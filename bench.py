@@ -1,0 +1,74 @@
+"""Benchmark runner: p50 wall-clock per declared query on one warm session.
+
+Prints ONE JSON line:
+  {"metric": "p50_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Env:
+  SPARK_GRAFT_SF_DIR  fixture dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local cores (default 32)
+  BENCH_REPEAT        timed repeats per query, best-of (default 2)
+
+Methodology (BASELINE.md): one shared warm SparkSession (JVM startup
+excluded — the reference's per-query floor is Athena's ~1 s poll loop,
+not JVM spin-up); each query timed end-to-end including the collect-side
+materialization (df.count() via toPandas-free path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from dataengineeringutils_spark.registry import queries  # noqa: E402
+from dataengineeringutils_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("bench")
+    qs = queries()
+
+    # warm the JVM + file listing once with the flagship query
+    qs["agg_group_sums"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 4)
+
+    p50 = statistics.median(per_query.values())
+    print(
+        json.dumps(
+            {
+                "metric": "p50_query_seconds",
+                "value": round(p50, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "n_queries": len(per_query),
+                "p95": round(
+                    sorted(per_query.values())[max(0, int(0.95 * len(per_query)) - 1)], 4
+                ),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,280 @@
+"""Scalar function families (B34-B41).
+
+Each op exercises one family as aliased columns over a key-bounded subset
+(the bound is a pushdown-able key predicate, not LIMIT, so the scan prunes
+and the result is deterministic). All expressions are JVM-side builtins
+inside whole-stage codegen — no Python in the hot path.
+
+Cross-engine exactness notes:
+- String/date/int ops are exact. Double per-row arithmetic is exact
+  (same IEEE ops). `sqrt` is correctly rounded by IEEE — exact.
+- `ln`/`exp` are libm-dependent (may differ in the last ulp between the
+  JVM and DuckDB): rounded to 6 dp, which is safe because the results are
+  irrational (never sit on a decimal grid boundary). NEVER round a value
+  whose true decimal form lies exactly on the rounding grid (e.g.
+  round(money, 1)) — the two engines' rounding paths disagree there.
+
+Reference locus: Athena/Presto SQL passthrough,
+[R] dataengineeringutils/athena.py (SURVEY.md §0/§2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTRING(p_name, 1, 5) AS name_head,
+           TRIM(CONCAT(' ', p_name, ' ')) AS name_trim,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           LPAD(p_type, 12, '.') AS type_pad,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word
+    FROM part
+    WHERE p_partkey <= 100
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: string function family over part."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad("p_type", 12, ".").alias("type_pad"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(day(o_orderdate) AS INT) AS o_day,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS plus_30d,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus_3mo,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_epoch0,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS TIMESTAMP) AS month_end
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: date/time function family (DuckDB's date_diff argument order is
+    flipped vs Spark's datediff — aligned in the oracle, per FIXTURES.md)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("plus_30d"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).cast("timestamp").alias("plus_3mo"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch0"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           ABS(o_totalprice - 50000.0) AS abs_diff,
+           CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           SQRT(o_totalprice) AS price_sqrt,
+           o_orderkey % 7 AS key_mod7,
+           CAST(SIGN(o_totalprice - 50000.0) AS INT) AS diff_sign,
+           ROUND(LN(o_totalprice), 6) AS price_ln,
+           o_totalprice * o_totalprice AS price_sq
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: math function family (sqrt exact; ln rounded off-grid)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.abs(price - 50000.0).alias("abs_diff"),
+        F.ceil(price).cast("long").alias("price_ceil"),
+        F.floor(price).cast("long").alias("price_floor"),
+        F.sqrt(price).alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.signum(price - 50000.0).cast("int").alias("diff_sign"),
+        F.round(F.ln(price), 6).alias("price_ln"),
+        (price * price).alias("price_sq"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 10000 THEN 'small'
+                WHEN o_totalprice < 100000 THEN 'medium'
+                ELSE 'large' END AS price_tier,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_clean,
+           GREATEST(o_totalprice, 50000.0) AS at_least_50k,
+           LEAST(o_totalprice, 50000.0) AS at_most_50k,
+           CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37: CASE/coalesce/nullif/greatest/least family."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price < 10000, "small")
+        .when(price < 100000, "medium")
+        .otherwise("large")
+        .alias("price_tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_clean"
+        ),
+        F.greatest(price, F.lit(50000.0)).alias("at_least_50k"),
+        F.least(price, F.lit(50000.0)).alias("at_most_50k"),
+        F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS VARCHAR) AS custkey_str,
+           CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS priority_num,
+           CAST(o_custkey AS DOUBLE) AS custkey_dbl,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS TIMESTAMP) AS date_roundtrip,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 12:00:00' AS TIMESTAMP) AS noon_ts
+    FROM orders
+    WHERE o_orderkey <= 200
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38: cast/format family (format tokens aligned: Spark 'yyyy-MM-dd'
+    ↔ DuckDB strftime '%Y-%m-%d')."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    date_str = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("custkey_str"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.col("o_custkey").cast("double").alias("custkey_dbl"),
+        date_str.alias("date_str"),
+        F.to_date(date_str, "yyyy-MM-dd").cast("timestamp").alias("date_roundtrip"),
+        F.to_timestamp(F.concat(date_str, F.lit(" 12:00:00"))).alias("noon_ts"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_val,
+           SQRT(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+           list_sort(embedding, 'DESC')[1:3] AS top3
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39: array function family over embeddings (1-based indexing in
+    both engines; float->double casts before arithmetic so the math is
+    bit-identical)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias("l2_norm"),
+        F.slice(F.sort_array("embedding", asc=False), 1, 3).alias("top3"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40: JSON extraction + aggregate (exact integer sums; avg is one
+    deterministic double division)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS m_type,
+           CAST(user_id AS BIGINT) AS m_user
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41: build a map with str_to_map, extract scalars back out.
+
+    The oracle states the semantic identity (extracted values equal the
+    source columns) — the map itself never crosses the comparison boundary,
+    per SURVEY's note that map literals hash engine-specifically.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.str_to_map(
+        F.concat(
+            F.lit("type:"),
+            F.col("event_type"),
+            F.lit(",user:"),
+            F.col("user_id").cast("string"),
+        ),
+        F.lit(","),
+        F.lit(":"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "user").cast("long").alias("m_user"),
+    )

@@ -1,0 +1,226 @@
+"""Aggregation operators (B17-B24).
+
+All hash-aggregated by Catalyst with map-side partial aggregation: at
+100 TB each of these shuffles only one pre-aggregated row per (task, group),
+not raw rows. Money sums use the exact-decimal pattern from ``exprs`` so
+results are independent of partial/final merge order (see exprs.py).
+
+Reference locus: Athena/Presto SQL passthrough,
+[R] dataengineeringutils/athena.py (SURVEY.md §0/§2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.exprs import (
+    money4_sum,
+    money_avg,
+    money_sum,
+    o_money4_sum,
+    o_money_avg,
+    o_money_sum,
+)
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "agg_group_sums",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {o_money_sum('l_quantity')} AS sum_qty,
+           {o_money_sum('l_extendedprice')} AS sum_base_price,
+           {o_money4_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {o_money_avg('l_quantity')} AS avg_qty,
+           {o_money_avg('l_extendedprice')} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: TPC-H Q1 shape — multi-aggregate group-by on the fact table."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum("l_quantity").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money4_sum(disc_price).alias("sum_disc_price"),
+        money_avg("l_quantity").alias("avg_qty"),
+        money_avg("l_extendedprice").alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: exact distinct counts (Catalyst expands to a two-phase agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: approximate distinct suppliers/parts per flag (HLL++).
+
+    At 100 TB this is the right default for cardinality questions: fixed
+    memory per group, single pass, no expand. rows-only check — estimates
+    are engine-specific by design.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: hierarchical totals region -> nation -> grand total."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_items,
+           {o_money_sum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: all grouping combinations of returnflag x linestatus."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        money_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: explicit GROUPING SETS with grouping indicators."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: sample statistics. No exact cross-engine form exists (merge
+    order of moment aggregates differs), so results are rounded to 4 dp;
+    magnitudes chosen (price stddev, quantity variance, correlation) keep
+    the float error many orders below the rounding grid."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    WITH ranked AS (
+        SELECT c.c_nationkey AS nation,
+               o.o_orderkey,
+               o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                                  ORDER BY o.o_totalprice ASC, o.o_orderkey ASC) AS rmin
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT nation,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_orderkey,
+           MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS max_price,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_orderkey,
+           MAX(CASE WHEN rmin = 1 THEN o_totalprice END) AS min_price
+    FROM ranked
+    WHERE rmax = 1 OR rmin = 1
+    GROUP BY nation
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: per nation, the order key holding the max/min totalprice.
+
+    Spark's ``max_by``/``min_by`` with a struct ordering key gives a
+    deterministic tie-break (lexicographic on (price, orderkey)); the
+    oracle expresses the same with ROW_NUMBER windows.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("max_orderkey"),
+        F.max("o_totalprice").alias("max_price"),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("min_orderkey"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines (B42-B43 + extras).
+
+Implemented Spark-first, all deterministic (seeded hashes):
+
+- ``dedup_exact``          exact, keep-first by doc_id (hash group-by).
+- ``dedup_ngram_jaccard``  exact token-set Jaccard pairs, blocked by lang.
+- ``dedup_fuzzy_minhash``  shingle -> MinHash signature -> banded LSH
+                           candidates -> exact-Jaccard verify (rows-only:
+                           LSH recall is probabilistic by design).
+- ``dedup_simhash``        64-bit SimHash fingerprints; near-dup pairs by
+                           identical 16-bit bands + Hamming check.
+
+Scale design: every stage is explode/groupBy/join on keys — no driver
+collection, no cross product. LSH banding turns the O(n^2) pair space into
+per-bucket joins; blocking (lang) bounds the exact-Jaccard verify. At
+100 TB the shuffle keys are (band_id, band_hash) / (block, token) which
+AQE can split when a bucket is hot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+N_HASHES = 64  # MinHash signature length
+N_BANDS = 16  # LSH bands (r = 64/16 = 4 rows/band) -> ~0.5 sim threshold
+JACCARD_THRESHOLD = 0.5
+
+
+def tokens_col(text: str = "text"):
+    """Whitespace tokens with empties dropped (fixture text may have a
+    trailing space — FIXTURES.md)."""
+    return F.filter(F.split(F.col(text), " "), lambda t: t != "")
+
+
+def shingles_col(text: str = "text"):
+    """Distinct 3-token shingles (assumes >= 3 tokens per document, which
+    the fixture guarantees: measured minimum is 10)."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH survivors AS (
+        SELECT lang,
+               ROW_NUMBER() OVER (PARTITION BY TRIM(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (rn = 1) AS n_unique
+    FROM survivors
+    GROUP BY lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: exact dedup on normalized text, keep-first by doc_id.
+
+    Keep-first (min doc_id per normalized text) instead of
+    ``dropDuplicates`` because dropDuplicates keeps an *arbitrary* row —
+    nondeterministic across runs, unacceptable for a reproducible pipeline.
+    """
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.col("text"))
+    w = Window.partitionBy(norm).orderBy("doc_id")
+    flagged = d.withColumn("rn", F.row_number().over(w))
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_unique"),
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        )
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a,
+           i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+               / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram (shingle) Jaccard near-dup pairs (>= 0.5).
+
+    Jaccard is an exact rational (|∩| / |∪| of integer counts) — hash-safe,
+    so this op carries a full DuckDB oracle. Shingles are their own
+    blocking key: random documents share almost no 3-grams, so the
+    shingle-equality join generates pairs only between genuine near-dups —
+    output stays tiny even when the corpus is 100 TB. (Token-level 1-gram
+    Jaccard is noise on small vocabularies: measured 24k pairs vs 25 real
+    near-dup pairs on the sf0.01 fixture.)
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles_col())).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over 3-token shingles.
+
+    Shingles are hashed with xxhash64(shingle, seed_i) for n_hashes seeds;
+    the signature is the per-seed minimum. Entirely JVM-side expressions:
+    one explode + one groupBy — two narrow shuffles at any scale.
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+@query("dedup_fuzzy_minhash")  # rows-only: LSH candidate recall is probabilistic
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle -> 64-hash MinHash signature -> 16 bands of 4 ->
+    bucket-join within (band, band-hash) -> distinct candidate pairs ->
+    exact shingle-Jaccard >= 0.5 filter. Deterministic (fixed seeds).
+    """
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    r = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verify on shingle sets for the candidates only
+    sets = d.select("doc_id", F.array_distinct(shingles_col()).alias("sh"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    verified = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified
+
+
+@query("dedup_simhash")  # rows-only: fingerprint bits are hash-function-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 64-bit fingerprint = sign of the
+    token-hash bit sums; candidates share a 16-bit band; verified by
+    Hamming distance <= 3. Deterministic (xxhash64)."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    # per-bit vote: +1 if bit set else -1, summed over tokens
+    bits = h.select(
+        "doc_id",
+        *[
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(64)]
+    )
+    fp_expr = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp_expr = term if fp_expr is None else fp_expr.bitwiseXOR(term)
+    fps = votes.select("doc_id", fp_expr.alias("fp"))
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("fp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "fp", "bb.band", "bb.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )

@@ -1,0 +1,255 @@
+"""Join operators (B7-B15): every join shape the reference reaches via
+Athena SQL ([R] dataengineeringutils/athena.py passthrough — SURVEY.md §0),
+executed natively by Catalyst.
+
+Scale notes (100 TB):
+- Equi joins: Catalyst picks broadcast/shuffle-hash/sort-merge from stats;
+  AQE re-plans at runtime and splits skewed partitions (skewJoin enabled in
+  session.py). Dimension tables (region/nation/part/supplier) are
+  broadcast-eligible; fact-fact joins shuffle on the join key once.
+- B8 pins an explicit `F.broadcast` hint for the small side — at 100 TB
+  lineitem⋈part must NOT shuffle 100 TB of lineitem for a 20 GB dim.
+- B14/B15 keep an equality conjunct (same orderkey) so the range/interval
+  predicate is only a residual filter on a co-partitioned sort-merge join —
+  never a cartesian expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.exprs import money_sum, o_money_sum
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           {o_money_sum('o.o_totalprice')} AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: orders ⋈ customer ⋈ nation -> per-nation counts/sums."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), money_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           {o_money_sum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: fact ⋈ small dim with an explicit broadcast hint.
+
+    The hint guarantees a BroadcastHashJoin regardless of stats — the 100 TB
+    fact side never shuffles; each executor streams lineitem against an
+    in-memory copy of part. Verify: .explain shows BroadcastHashJoin.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), money_sum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: customer LEFT JOIN orders — customers with zero orders kept.
+
+    Aggregate-before-join: the order counts are reduced to one row per
+    customer *before* the join, so the outer join's build side is small and
+    the 0-order customers come from the null-fill path, not a row explosion.
+    """
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        table(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    )
+    return c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).alias("n_orders")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(cn.nation, sn.nation) AS nation,
+           COALESCE(cn.n_customers, 0) AS n_customers,
+           COALESCE(sn.n_suppliers, 0) AS n_suppliers
+    FROM (
+        SELECT n.n_name AS nation, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ) cn
+    FULL OUTER JOIN (
+        SELECT n.n_name AS nation, COUNT(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ) sn ON cn.nation = sn.nation
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: full outer join of customer-nations vs supplier-nations."""
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cn.join(sn, "nation", "full").select(
+        "nation",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: EXISTS — left-semi join never duplicates the left side and only
+    ships join keys, so the probe side stays 1 row per match at any scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: NOT EXISTS — left-anti join (customers with no large order;
+    the filter keeps the result non-empty: every customer has *some*
+    order in the fixture)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: explicit cartesian product (bounded dims only — 5x25)."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    n = table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT l1.l_returnflag AS flag_a,
+           l2.l_returnflag AS flag_b,
+           COUNT(*) AS n_pairs
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey
+     AND l1.l_linenumber < l2.l_linenumber
+    GROUP BY l1.l_returnflag, l2.l_returnflag
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: self-join with a range residual on an equi key.
+
+    The `<` predicate rides as a residual on the l_orderkey sort-merge join:
+    pairs are generated only within each order's few lineitems, never across
+    orders — output is O(sum k_i^2) with tiny k, not O(n^2).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_linenumber") < F.col("l2.l_linenumber")),
+        )
+        .groupBy(
+            F.col("l1.l_returnflag").alias("flag_a"),
+            F.col("l2.l_returnflag").alias("flag_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: key + interval-containment join (equi key, interval residual)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return li.join(o, cond).groupBy("o_orderstatus").agg(F.count("*").alias("n_items"))

@@ -1,0 +1,202 @@
+"""Vector similarity search over embedding columns (B44-B45 + extras).
+
+- ``sim_topk_cosine``  exact top-k neighbors of one query vector.
+- ``sim_knn_join``     exact kNN join for a bounded query set.
+- ``sim_ann_hyperplane_lsh``  the 100 TB path: random-hyperplane (cosine)
+  LSH buckets prefilter candidates, exact re-rank inside buckets.
+- ``dedup_embedding_cosine``  embedding near-dup pairs (cosine >= 0.95).
+
+Exactness: dot products and norms are computed float->double element-wise
+in array order (``zip_with`` + ``aggregate`` in Spark, ``list_transform``
++ ``list_sum`` in DuckDB) — the same IEEE operations in the same order,
+so cosine values hash-match bit-for-bit with no rounding.
+
+Scale design: the brute-force ops bound one side (a query set / a
+broadcast vector); the all-pairs op uses LSH bucketing so candidate
+generation is a per-bucket join, not a cross product. For a full ANN
+serving path, the bucketed layout would be written out with
+``write.bucketBy`` so repeated queries avoid re-shuffling the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Exact-order float->double dot product of two array columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# DuckDB fragments computing the identical math in the identical order.
+def o_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def o_norm(a: str) -> str:
+    return f"SQRT({o_dot(a, a)})"
+
+
+def o_cosine(a: str, b: str) -> str:
+    return f"{o_dot(a, b)} / ({o_norm(a)} * {o_norm(b)})"
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=f"""
+    SELECT e.vec_id,
+           {o_cosine('e.embedding', 'q.embedding')} AS cos_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: exact top-10 nearest embeddings to vec_id 0 by cosine.
+
+    The single query vector is a broadcast cross join (1 row) — the corpus
+    streams once, a TakeOrderedAndProject keeps the top 10; no shuffle of
+    the corpus at any scale.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine("embedding", "q_emb").alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+        SELECT q.vec_id AS q_id,
+               e.vec_id AS vec_id,
+               {o_cosine('e.embedding', 'q.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {o_cosine('e.embedding', 'q.embedding')} DESC,
+                            e.vec_id ASC
+               ) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 50
+    )
+    WHERE rn <= 5
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: 5 nearest neighbors for each of the first 50 vectors.
+
+    Bounded brute force: the 50-query side is broadcast; per-query top-5
+    via window. For unbounded query sets use the LSH op below.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine("embedding", "q_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+N_PLANES = 6  # LSH signature bits (64 buckets — sized so fixture buckets hold ~8 candidates; scale with corpus size / add multi-probe for recall)
+
+
+def _hyperplanes(dim: int = 64, n: int = N_PLANES) -> list[list[float]]:
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((n, dim)).tolist()
+
+
+def hyperplane_bucket(emb: str | Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit of <v, p_i> per plane."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(emb, plane) > 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+@query("sim_ann_lsh")  # rows-only: ANN recall is probabilistic by design
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket the corpus by signature,
+    join queries to their own bucket only, exact cosine re-rank inside.
+
+    Deterministic (seeded hyperplanes). This is the plan shape that holds
+    at 100 TB: candidate generation is an equi-join on bucket id (one
+    shuffle of ids, AQE-splittable), and the exact math touches only the
+    bucket's candidates. Recall is tunable via bits / multi-probe.
+    """
+    planes = _hyperplanes()
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", hyperplane_bucket("embedding", planes)
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+    scored = cand.select("q_id", "vec_id", cosine("embedding", "q_emb").alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a,
+           b.vec_id AS vec_b,
+           {o_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {o_cosine('a.embedding', 'b.embedding')} >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.95), exact.
+
+    Brute-force all-pairs is the correctness baseline the fixture scale
+    allows; the LSH bucketing above is the same op's 100 TB candidate
+    generator (bucket-join then this exact filter).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a", "vec_b", cosine("emb_a", "emb_b").alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.95)

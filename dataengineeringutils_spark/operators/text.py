@@ -1,0 +1,237 @@
+"""Text-analysis operators for training-data pipelines (B46-B47 + extras).
+
+- ``text_wordcount``     token frequencies, top-20.
+- ``text_lang_stats``    per-language corpus statistics.
+- ``text_quality_score`` per-document quality features (length, TTR,
+                         stopword ratio, mean token length).
+- ``text_langid``        rule-based language-ID heuristic (marker scoring).
+- ``text_fingerprint``   content fingerprint (md5 over the sorted distinct
+                         token set) -> cluster counts per source.
+- ``text_token_counts``  whitespace vs BPE-ish regex token counting.
+
+Everything is built-in string/array expressions (JVM codegen, no Python);
+ratios are exact rationals (int/int double division) so every op carries a
+full DuckDB oracle. Per-doc ops shuffle nothing; aggregations are partial
+-> final hash aggs on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.operators.dedup import tokens_col
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT tok AS word, COUNT(*) AS n
+    FROM (
+        SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: top-20 tokens (count desc, word asc tie-break)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+                AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: per-language doc count, mean chars, mean token count
+    (exact integer sums -> one double division)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col()).cast("long")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        (F.sum(n_tokens).cast("double") / F.count("*")).alias("avg_tokens"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+           CAST(len(list_filter(toks,
+               t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks) AS mean_token_len
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+        WHERE doc_id < 100
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features per document: token count, type-token ratio,
+    stopword ratio, mean token length — all exact rationals."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        (n_distinct.cast("double") / n_tokens).alias("ttr"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (len_sum.cast("double") / n_tokens).alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','fast','key'], t))) AS s_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['table','scan','merge'], t))) AS s_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['order','sort','value'], t))) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS predicted
+        FROM scored
+    )
+    SELECT predicted,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (predicted = lang) AS n_correct
+    FROM pred
+    GROUP BY predicted
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language-ID: score each doc against per-language marker
+    token lists, argmax with a fixed precedence tie-break. (A real n-gram
+    profile model is the same plan shape: per-doc feature extraction ->
+    argmax; markers stand in because the fixture vocabulary is synthetic.)
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def score(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        score(("the", "fast", "key")).alias("s_en"),
+        score(("table", "scan", "merge")).alias("s_de"),
+        score(("order", "sort", "value")).alias("s_fr"),
+    )
+    predicted = (
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("predicted")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("predicted") == F.col("lang")).cast("long")).alias("n_correct"),
+        )
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT source,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_fingerprints
+    FROM fp
+    GROUP BY source
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct token set
+    (identical hex in both engines). n_docs > n_fingerprints per source
+    reveals bag-of-words duplicates."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col()))))
+    return (
+        d.select("source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+        )
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT source,
+           SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS re_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    ([a-z]+|[0-9]+ word pieces), summed per source."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(tokens_col()).cast("long")
+    re_toks = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), F.lit(0))).cast("long")
+    return d.groupBy("source").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(re_toks).alias("re_tokens"),
+    )

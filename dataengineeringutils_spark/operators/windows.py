@@ -1,0 +1,199 @@
+"""Window-function operators (B25-B29) + sort/limit (B30).
+
+Every window is partitioned (never a global ORDER BY over the whole table):
+at 100 TB an unpartitioned window funnels everything through one task.
+All orderings include a unique tie-break key so ranks, frames, and running
+sums are fully deterministic — required for the cross-engine value-hash
+and just as necessary for reproducible pipelines at scale.
+
+Reference locus: Athena/Presto SQL passthrough,
+[R] dataengineeringutils/athena.py (SURVEY.md §0/§2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.exprs import MONEY
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_totalprice,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    QUALIFY rn <= 3
+    """,
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: top-3 orders per customer (rank / dense_rank / row_number).
+
+    Top-k per group via window + filter: Catalyst pushes a per-partition
+    limit (WindowGroupLimit) so each task keeps only k rows per key before
+    the shuffle — the canonical scalable top-k-per-group plan.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: cumulative spend per customer over order date.
+
+    The accumulator is exact decimal (order-independent) then cast to
+    double, so the running values hash-match DuckDB bit-for-bit.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "win_lead_lag",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: per-user inter-event gap (microseconds, exact integer math)
+    and next event type."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = table(spark, sf_dir, "events")
+    micros = F.unix_micros("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (micros - F.lag(micros).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           o_totalprice,
+           COUNT(*) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
+           ) AS n_near
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: RANGE frame — orders within +-1000 of each order's totalprice,
+    partitioned by status so the sort is per-partition, not global."""
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_near"),
+    )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: ntile / percent_rank / cume_dist. With a unique ordering,
+    percent_rank=(rn-1)/(n-1) and cume_dist=rn/n are exact rationals —
+    bit-identical across engines, no rounding needed."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "sort_multi_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sort_multi_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: multi-key sort + LIMIT with a unique tie-break.
+
+    Catalyst compiles this to TakeOrderedAndProject: each task keeps a
+    10-row heap and the driver merges — no global sort, O(n) scan at any
+    scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )

@@ -1,0 +1,63 @@
+"""Sink operators (B3-B4): CSV round-trip and Hive-partitioned parquet.
+
+The reference writes CSV/parquet to S3 folders and registers Hive-style
+partitions in Glue ([R] dataengineeringutils/s3.py, glue.py — SURVEY.md §0).
+Here the write is `DataFrameWriter` with explicit schema-on-read-back (never
+inferSchema in the engine path), and the partitioned read demonstrates
+partition pruning: the year filter is resolved against directory names, so
+at 100 TB only one partition's files are listed and scanned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.exprs import money_sum, o_money_sum
+from dataengineeringutils_spark.paths import scratch_dir
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+NATION_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+
+@query(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: write nation to CSV, read back with declared schema, aggregate."""
+    out = scratch_dir("sink_csv_nation")
+    table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(NATION_SCHEMA).option("header", True).csv(out)
+    return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle=f"""
+    SELECT COUNT(*) AS n_orders,
+           {o_money_sum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: write orders partitioned by order year, read one partition back.
+
+    The read-back filter on `o_year` prunes to a single Hive partition
+    directory (static partition pruning — verify with .explain: the scan's
+    `PartitionFilters` contains the year predicate).
+    """
+    out = scratch_dir("sink_orders_partitioned")
+    orders = table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    return back.agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("sum_price"),
+    )

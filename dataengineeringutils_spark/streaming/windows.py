@@ -1,0 +1,237 @@
+"""Streaming surface (B49-B53): event-time windows, watermarks, state.
+
+B49-B51 are declared as batch queries (hash-checkable against the DuckDB
+oracle); the *same* logical plans run under Structured Streaming by
+swapping the source — ``run_streaming`` below does exactly that, and the
+unit tests assert batch/stream equivalence. B52-B53 execute genuinely
+stateful streams over a deterministic two-micro-batch file source.
+
+Scale: windowed aggregations shuffle on (window, key) with partial aggs;
+watermarks bound the state store, so 100 TB/day of events keeps only the
+open windows / in-horizon dedup keys in state, not history.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.exprs import money_sum, o_money_sum
+from dataengineeringutils_spark.paths import scratch_dir
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+_sink_counter = itertools.count()
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: 1-hour tumbling windows x event_type (batch-equivalent form)."""
+    ev = table(spark, sf_dir, "events")
+    return tumbling_agg(ev)
+
+
+def tumbling_agg(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    SELECT window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_money_sum('value')} AS sum_value
+    FROM (
+        SELECT UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS window_start,
+               event_type,
+               value
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: 1-hour windows sliding every 30 minutes. Each event lands in
+    exactly two windows; the oracle materializes both epoch-aligned window
+    starts per event and aggregates identically."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), money_sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id,
+               ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_last,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: 30-minute-gap sessionization via ``session_window``.
+
+    Spark merges an event into a session while its time is strictly before
+    session end (last event + gap); the gaps-and-islands oracle starts a
+    new session when the gap exceeds 30 minutes — identical semantics
+    except at exact-equality gaps, which cannot occur at µs precision.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("session_last"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "session_last",
+            "n_events",
+        )
+    )
+
+
+# --- genuinely-streaming execution harness --------------------------------
+
+
+def run_streaming(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    scratch_name: str,
+    build_query: Callable[[DataFrame], DataFrame],
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute ``build_query`` as a real Structured Streaming job over the
+    given micro-batches (each written as one parquet file, streamed with
+    maxFilesPerTrigger=1 + availableNow) into an in-memory sink.
+    Deterministic: fixed batch contents, fixed batch order."""
+    src = scratch_dir(scratch_name)
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch={i}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/batch=*")
+    )
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (
+        build_query(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("stream_watermark_late")  # rows-only: late-drop is streaming-execution state
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: tumbling-window counts under a 10-minute watermark.
+
+    The source is split by event_id parity — batch 2 replays the full time
+    range after batch 1 has already advanced the watermark to max(ts)-10min,
+    so nearly all of batch 2 is late and dropped: the late-data path is
+    genuinely exercised. Append mode emits only watermark-finalized windows.
+    """
+    ev = table(spark, sf_dir, "events")
+    batches = [
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+    ]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+        )
+
+    return run_streaming(spark, batches, "stream_wm", build)
+
+
+@query(
+    "stream_dedup_state",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: stateful streaming dedup. Each micro-batch carries every event
+    twice (union with itself); ``dropDuplicatesWithinWatermark`` on
+    event_id removes the duplicates in the state store, so the streamed
+    result equals the plain batch per-type counts — giving this stateful
+    op a full DuckDB oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    early = ev.filter(F.col("ts") <= F.lit(cutoff))
+    late = ev.filter(F.col("ts") > F.lit(cutoff))
+    batches = [early.unionByName(early), late.unionByName(late)]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type")
+        )
+
+    out = run_streaming(spark, batches, "stream_dd", build)
+    return out.groupBy("event_type").agg(F.count("*").alias("n_events"))

@@ -1,0 +1,48 @@
+"""Fixture-table access used by every declared query.
+
+Tables and schemas per FIXTURES.md; one parquet file per table under the
+scale-factor directory. Reads go through ``spark.read.parquet`` so Catalyst
+gets predicate pushdown / column pruning on the scan for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark refuses by
+    default (PARQUET_TYPE_ILLEGAL): read it as a long via the legacy conf
+    and integer-divide to microseconds — exactly what DuckDB's parquet
+    reader does (TIMESTAMP_NS -> TIMESTAMP µs truncation), so the engines
+    see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

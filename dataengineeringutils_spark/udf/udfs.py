@@ -1,0 +1,135 @@
+"""Python UDF surface (B54-B56) — the engine's escape hatch, Arrow-batched.
+
+Patterns follow the public grouped-map/pandas-udf idioms (SNIPPETS.md [1]
+and [3]): vectorized scalar ``pandas_udf``, per-group ``applyInPandas``,
+and 1->N ``mapInPandas`` expansion. Row-at-a-time Python UDFs are banned
+in this engine: every Python crossing is an Arrow batch.
+
+Scale: pandas UDFs stream Arrow batches per partition (no driver
+involvement); ``applyInPandas`` shuffles by the group key and materializes
+one group per call — group sizes must be bounded (documented per-op).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+def _discounted_price_kernel(price: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized scalar kernel: price * (1 - discount) on Arrow batches.
+    Same IEEE ops as the SQL expression -> bit-identical to the oracle."""
+    return price * (1.0 - discount)
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS discounted
+    FROM lineitem
+    WHERE l_orderkey <= 400
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: vectorized scalar pandas UDF (Arrow batch transfer)."""
+    discounted_price = pandas_udf(_discounted_price_kernel, "double")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_price("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: z-score of `value` within one user's events.
+    (Pattern per SNIPPETS.md [1] convert_to_pandas_udf / [3] gapply.)"""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std(ddof=1)
+    z = (pdf["value"] - mean) / std if std and std > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "zscore": z.round(4),
+        }
+    )
+
+
+@query(
+    "udaf_grouped_map",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+    FROM events
+    WHERE user_id < 5
+    """,
+)
+def udaf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55: per-user z-score via grouped-map applyInPandas.
+
+    One user's events fit one pandas frame (bounded group size); results
+    rounded to 4 dp because mean/stddev summation order differs between
+    pandas and the oracle's window aggregate.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore_group, schema="event_id long, user_id long, zscore double"
+    )
+
+
+def _explode_tokens(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 1->N row expansion (doc -> one row per token,
+    with 1-based position). The Python-side equivalent of a UDTF."""
+    for pdf in it:
+        rows = {"doc_id": [], "pos": [], "token": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = [t for t in text.split(" ") if t]
+            rows["doc_id"].extend([doc_id] * len(toks))
+            rows["pos"].extend(range(1, len(toks) + 1))
+            rows["token"].extend(toks)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "pos": pd.Series(rows["pos"], dtype="int32"),
+                "token": pd.Series(rows["token"], dtype="object"),
+            }
+        )
+
+
+@query(
+    "udtf_flatmap",
+    oracle="""
+    SELECT doc_id,
+           CAST(pos AS INT) AS pos,
+           tok AS token
+    FROM (
+        SELECT doc_id,
+               generate_subscripts(toks, 1) AS pos,
+               UNNEST(toks) AS tok
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+            WHERE doc_id < 20
+        )
+    )
+    """,
+)
+def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: 1->N row expansion via mapInPandas (UDTF shape)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id", "text").mapInPandas(
+        _explode_tokens, schema="doc_id long, pos int, token string"
+    )

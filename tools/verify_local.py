@@ -1,0 +1,145 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every declared query on Spark and its oracle on DuckDB at sf0.01,
+compares row count, column names, and exact values (order-insensitive),
+and prints a per-query PASS/FAIL table with first-difference diagnostics.
+
+Usage: python tools/verify_local.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+
+from dataengineeringutils_spark.registry import oracle_sql, queries  # noqa: E402
+from dataengineeringutils_spark.session import get_spark  # noqa: E402
+from dataengineeringutils_spark.tables import TABLES  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon_cell(v):
+    """Canonicalize a cell for exact cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_datetime64().astype("datetime64[us]").item()
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(canon_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_cell(x)) for k, x in v.items()))
+    return v
+
+
+def canon_frame(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        out.append(tuple(canon_cell(v) for v in row))
+    out.sort(key=repr)
+    return cols, out
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    issues = []
+    if len(spark_pdf) != len(duck_pdf):
+        issues.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, s_rows = canon_frame(spark_pdf)
+    d_cols, d_rows = canon_frame(duck_pdf)
+    if s_cols != d_cols:
+        issues.append(f"columns: spark={s_cols} duck={d_cols}")
+        return issues
+    if issues:
+        return issues
+    n_bad = 0
+    first = None
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        if a != b:
+            n_bad += 1
+            if first is None:
+                first = (i, a, b)
+    if n_bad:
+        i, a, b = first
+        diffcols = [
+            f"{c}: {x!r} vs {y!r}" for c, x, y in zip(s_cols, a, b) if x != y
+        ]
+        issues.append(f"{n_bad}/{len(s_rows)} rows differ; first @{i}: " + "; ".join(diffcols[:4]))
+    return issues
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("verify_local")
+    con = duck_connect(SF_DIR)
+    qs = queries()
+    oracles = oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb oracle error\n{traceback.format_exc()}")
+            continue
+        issues = compare(name, spark_pdf, duck_pdf)
+        if issues:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name} ({time.time()-t0:.1f}s): " + " | ".join(issues))
+        else:
+            n_pass += 1
+            print(f"PASS  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"({len(qs)} total declared) =="
+    )
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
