@@ -51,6 +51,23 @@ def shingles_col(text: str = "text"):
     )
 
 
+def shingle_hashes_col(text: str = "text"):
+    """3-token shingles hashed straight to int64 via multi-arg xxhash64 —
+    no string materialization. Set operations on these hashes equal set
+    operations on the string shingles up to xxhash64 collisions
+    (~n^2 / 2^64: negligible at any realistic shingle count, and verified
+    exactly against the string-based oracle at the test scale)."""
+    toks = tokens_col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.xxhash64(
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -127,7 +144,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs on the sf0.01 fixture.)
     """
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles_col())).alias("s"))
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingle_hashes_col())).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,12 +176,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig: array<bigint>) — MinHash over 3-token shingles.
 
-    Shingles are hashed with xxhash64(shingle, seed_i) for n_hashes seeds;
-    the signature is the per-seed minimum. Entirely JVM-side expressions:
-    one explode + one groupBy — two narrow shuffles at any scale.
+    Shingles are hashed with xxhash64(shingle_hash, seed_i) for n_hashes
+    seeds; the signature is the per-seed minimum. Entirely JVM-side
+    expressions: one explode + one groupBy — two narrow shuffles at any
+    scale.
     """
     exploded = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+        "doc_id", F.explode(F.array_distinct(shingle_hashes_col())).alias("shingle")
     )
     mins = exploded.groupBy("doc_id").agg(
         *[
@@ -218,7 +236,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact-Jaccard verify on shingle sets for the candidates only
-    sets = d.select("doc_id", F.array_distinct(shingles_col()).alias("sh"))
+    sets = d.select("doc_id", F.array_distinct(shingle_hashes_col()).alias("sh"))
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     verified = (
