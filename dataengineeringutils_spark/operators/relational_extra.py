@@ -1,0 +1,353 @@
+"""Extended relational surface beyond the SURVEY §2 minimum.
+
+Operators a user of the reference reaches through Athena SQL but that the
+§2 canonical list did not name explicitly: exact percentiles, ordered
+string aggregation, pivot/unpivot reshaping, deterministic systematic
+sampling, time-series gap-fill, rolling window frames, correlated-EXISTS
+SQL entry, and bitwise function family.
+
+Reference locus: Athena/Presto SQL passthrough,
+[R] dataengineeringutils/athena.py (SURVEY.md §0/§2.B).
+
+Scale notes per op in docstrings; everything here is built-in DataFrame /
+SQL API (hash agg, window, generate+join) — no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# aggregates
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25,
+           ROUND(PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p75,
+           ROUND(MEDIAN(o_totalprice), 2) AS med
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) + median.
+
+    Spark's ``percentile`` is the exact sort-based aggregate (not the
+    t-digest approximation) — at 100 TB prefer ``approx_percentile`` for
+    one-pass estimates; this op is the exact anchor the approximate one is
+    judged against. Rounded 2 dp: interpolation arithmetic is the only
+    cross-engine ulp risk.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("p75"),
+        F.round(F.median("o_totalprice"), 2).alias("med"),
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_nations,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG equivalent).
+
+    ``collect_list`` order is nondeterministic under parallel merge, so the
+    deterministic form is sort-then-join — the only hash-stable way to
+    string-agg on any engine.
+    """
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# reshaping
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per status × priority.
+
+    The pivot value list is EXPLICIT — an implicit pivot needs an extra
+    distinct-collect job over the full table to discover values, a
+    full-scan you never want at 100 TB. With fixed values this is one
+    ordinary hash aggregation (pivot compiles to ``count(CASE WHEN …)``).
+    """
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{src}`"), F.lit(0)).alias(dst) for src, dst in renames.items()],
+    )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): one row per (part, attribute).
+
+    ``unpivot`` is a narrow map-side transform (a generator over each row)
+    — no shuffle at any scale; output is 2× the input rows here.
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("retailprice"),
+        )
+    )
+    return p.unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+
+
+# ---------------------------------------------------------------------------
+# sampling / time series
+
+
+@query(
+    "sample_mod",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 50 = 7
+    GROUP BY l_returnflag
+    """,
+)
+def sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (key mod N) + aggregate.
+
+    Reproducible cross-engine sampling: ``TABLESAMPLE`` / ``df.sample`` are
+    RNG-based and engine-specific, so pipelines that must be replayable
+    sample on a key instead. The predicate is pushed to the parquet scan
+    (row-group stats can't prune a mod, but the filter runs pre-shuffle).
+    At 100 TB prefer bucketing by the sample key so the sample reads only
+    matching buckets.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 7)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(d AS DATE) AS day
+        FROM generate_series(DATE '1995-02-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-02-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+        GROUP BY 1
+    )
+    SELECT CAST(days.day AS TIMESTAMP) AS day, COALESCE(daily.n, 0) AS n_orders
+    FROM days LEFT JOIN daily ON days.day = daily.day
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: daily order counts with missing days as 0.
+
+    The calendar spine is generated (``sequence`` + ``explode``), not
+    scanned, and the daily aggregate is tiny after groupBy — so the join is
+    broadcast regardless of fact-table size. This is the canonical
+    resample/gap-fill shape for downstream window math that needs a dense
+    time axis.
+    """
+    o = table(spark, sf_dir, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-02-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-02-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return days.join(daily, "day", "left").select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows
+
+
+@query(
+    "win_rolling_stats",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS roll_avg,
+           COUNT(*) OVER w AS roll_n
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def win_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row average per customer (moving-average frame).
+
+    The frame sum goes through exact DECIMAL so sliding-frame evaluation
+    strategies (running accumulator vs segment tree) can't produce ulp
+    drift between engines. One shuffle on the partition key; within each
+    customer the frame is evaluated in a single sorted pass.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("roll_avg"),
+        F.count("*").over(w).alias("roll_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry (correlated subqueries)
+
+_EXISTS_SQL = """
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n_big_spenders
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+GROUP BY c.c_nationkey
+"""
+
+
+@query("join_exists_sql", oracle=_EXISTS_SQL)
+def join_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point.
+
+    Exercises Catalyst's subquery decorrelation: both subqueries rewrite to
+    left-semi / left-anti hash joins on ``o_custkey`` (verified via
+    ``explain``) — the same physical plan as the DataFrame ``join_semi`` /
+    ``join_anti`` ops, proving the SQL and DataFrame surfaces converge.
+    """
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# scalar family: bitwise
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS b_and,
+           p_partkey | 4096 AS b_or,
+           xor(p_partkey, 1365) AS b_xor,
+           p_partkey << 3 AS b_shl,
+           p_partkey >> 2 AS b_shr,
+           bit_count(p_partkey) AS b_pop
+    FROM part
+    WHERE p_partkey < 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (AND/OR/XOR/shifts/popcount) on int64 keys."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 1000)
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(k, 3).alias("b_shl"),
+        F.shiftright(k, 2).alias("b_shr"),
+        F.bit_count(k).cast("int").alias("b_pop"),
+    )

@@ -2,8 +2,10 @@
 
 - ``sim_topk_cosine``  exact top-k neighbors of one query vector.
 - ``sim_knn_join``     exact kNN join for a bounded query set.
-- ``sim_ann_hyperplane_lsh``  the 100 TB path: random-hyperplane (cosine)
-  LSH buckets prefilter candidates, exact re-rank inside buckets.
+- ``sim_ann_lsh``      100 TB path A: random-hyperplane (cosine) LSH
+  buckets prefilter candidates, exact re-rank inside buckets.
+- ``sim_ann_ivf``      100 TB path B: IVF coarse quantizer — assign to
+  nearest centroid, search own cell only (deterministic, full oracle).
 - ``dedup_embedding_cosine``  embedding near-dup pairs (cosine >= 0.95).
 
 Exactness: dot products and norms are computed float->double element-wise
@@ -181,6 +183,101 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        FROM n WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {o_dot('n.embedding', 'c.c_emb')} / (n.nrm * c.c_nrm) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM n CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cid FROM scored WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid
+        FROM assigned WHERE vec_id < 20
+    )
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+        SELECT q.q_id, a.vec_id,
+               {o_dot('a.embedding', 'q.q_emb')} / (a.nrm * q.q_nrm) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY {o_dot('a.embedding', 'q.q_emb')} / (a.nrm * q.q_nrm) DESC,
+                            a.vec_id ASC
+               ) AS rn
+        FROM assigned a JOIN q ON a.cid = q.cid
+        WHERE a.vec_id <> q.q_id
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization, single-probe.
+
+    The coarse quantizer is a deterministic centroid subset (vec_id % 50
+    — in production: k-means centroids, refreshed offline); every vector
+    is assigned to its nearest centroid by cosine (tie-break on centroid
+    id), queries search ONLY their own cell, exact re-rank inside. Fully
+    deterministic, so unlike most ANN ops this one carries a complete
+    DuckDB oracle.
+
+    100 TB shape: the assignment is a broadcast join against the (small)
+    centroid set + one window per vector over n_centroid rows; the cell
+    search is an equi-join on cid — one shuffle, AQE-splittable, and the
+    cell layout can be persisted with ``write.bucketBy("cid")`` so
+    queries skip the assignment scan entirely. Recall is tuned by probing
+    the p nearest cells instead of 1 (union p copies of the query side).
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cid", c_cos.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    q = assigned.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    cos = dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))
+    cand = assigned.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", "cos_sim")
     )

@@ -37,6 +37,42 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
 
 
+DOCS_JSONL_SCHEMA = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+
+
+@query(
+    "sink_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents metadata as JSON Lines, read back with a DECLARED
+    schema, aggregate — the JSONL leg of the reference's CSV/JSONL/parquet
+    format surface ([R] dataengineeringutils/s3.py writes JSONL to S3).
+
+    Schema-on-read is explicit: ``inferSchema``-style sampling reads the
+    data twice and guesses types — never in the engine path. The oracle
+    aggregates the original parquet, so the checked property is exact
+    value preservation through the JSON round-trip.
+    """
+    out = scratch_dir("sink_jsonl_documents")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(DOCS_JSONL_SCHEMA).json(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 @query(
     "sink_partitioned_parquet",
     oracle=f"""
