@@ -114,3 +114,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return packed.mapInPandas(decode_binary_batches, schema=DECODE_SCHEMA)
+
+
+# Kernels above ship to executors; serialize this module by value so the
+# driver does not need the package importable on workers (see serde.py).
+from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)

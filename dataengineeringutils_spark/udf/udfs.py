@@ -133,3 +133,10 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _explode_tokens, schema="doc_id long, pos int, token string"
     )
+
+
+# Kernels above ship to executors; serialize this module by value so the
+# driver does not need the package importable on workers (see serde.py).
+from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)
