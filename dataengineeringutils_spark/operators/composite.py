@@ -1,0 +1,152 @@
+"""Composite analytical queries (TPC-H-shaped) + skew-safe aggregation.
+
+The reference reaches multi-join analytical SQL through Athena/Presto
+([R] dataengineeringutils/athena.py — SURVEY.md §0/§2.B); these ops prove
+the engine runs the same workload shapes natively: a 3-way fact join with
+top-k (Q3 shape), a 6-way star join with a region filter (Q5 shape), and
+the salted two-phase aggregation pattern that survives hot keys at 100 TB.
+
+Plan notes: dimension sides broadcast (region/nation/customer at any sane
+scale); the fact-side joins shuffle on their keys with AQE handling skew;
+CostBasedJoinReorder can reorder the Q5 chain when table stats exist
+(`ANALYZE TABLE ... COMPUTE STATISTICS`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.exprs import money4_sum, o_money4_sum, revenue
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "tpch_q3_shape",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {o_money4_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter -> 3-way join -> top-10 revenue.
+
+    customer is filtered BEFORE the join (predicate pushdown to the scan)
+    and broadcast; the orders⋈lineitem join shuffles on the order key.
+    The final top-10 is a TakeOrderedAndProject — no global sort.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money4_sum(revenue()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_shape",
+    oracle=f"""
+    SELECT n.n_name,
+           {o_money4_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, local-supplier revenue per nation.
+
+    region -> nation -> customer collapses to a broadcast chain (tiny
+    dims); the two fact joins (orders, lineitem) shuffle on their keys;
+    the supplier join carries the co-location predicate
+    s_nationkey = c_nationkey as a residual. One final 1-row-per-nation
+    aggregate.
+    """
+    start = F.lit("1996-01-01").cast("timestamp")
+    end = F.lit("1998-01-01").cast("timestamp")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(money4_sum(revenue()).alias("revenue"))
+    )
+
+
+N_SALTS = 64
+
+
+@query(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: the hot-key survival pattern.
+
+    Phase 1 aggregates by (key, salt) — xxhash64 of a high-cardinality
+    column mod N_SALTS — spreading each hot key over N_SALTS reducers;
+    phase 2 merges the (3-distinct-key × 64-salt) partials. Result is
+    provably identical to the direct groupBy (counts and decimal sums are
+    associative), which the oracle checks. Spark's own map-side partial
+    aggregation makes this redundant for built-in aggs — the pattern
+    matters for ops WITHOUT partial pushdown (collect_list, exact
+    distinct merges, applyInPandas) and for skew beyond what AQE splits.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(N_SALTS)).alias("salt")
+    partial = li.groupBy("l_returnflag", salt).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_items"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+    )

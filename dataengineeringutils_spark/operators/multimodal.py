@@ -116,6 +116,126 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.mapInPandas(decode_binary_batches, schema=DECODE_SCHEMA)
 
 
+RESIZE_MAX = 256
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, out_w int, out_h int"
+
+
+def resize_dims(w: int, h: int, cap: int = RESIZE_MAX) -> tuple[int, int]:
+    """STUB resize kernel (dimension arithmetic only). A real deployment
+    resizes pixel buffers here (PIL/cv2 — not in this container); the
+    fit-within-cap integer arithmetic below is exactly what those
+    libraries' thumbnail paths compute, so the Spark plumbing and the
+    oracle check the real contract."""
+    m = max(w, h)
+    if m <= cap:
+        return w, h
+    return max(1, w * cap // m), max(1, h * cap // m)
+
+
+def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode dims from the payload (stub), then
+    compute fit-within-256 output dims."""
+    for pdf in it:
+        dims = pdf["payload"].map(_decode_image_stub)
+        w = dims.map(lambda t: t[0])
+        h = dims.map(lambda t: t[1])
+        out = [resize_dims(a, b) for a, b in zip(w, h)]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_w": pd.Series([t[0] for t in out], dtype="int32", index=pdf.index),
+                "out_h": pd.Series([t[1] for t in out], dtype="int32", index=pdf.index),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 + length(text) % 320 AS INT) AS width,
+               CAST(16 + (length(text) * 7) % 240 AS INT) AS height
+        FROM documents
+        WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           width,
+           height,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+                ELSE greatest(1, width * 256 // greatest(width, height)) END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+                ELSE greatest(1, height * 256 // greatest(width, height)) END AS INT) AS out_h
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary payload -> decoded dims -> fit-within-
+    256 output dims, via Arrow-batched ``mapInPandas`` (stub kernels).
+
+    The oracle recomputes both stubs' integer arithmetic from the source
+    text, checking the full binary -> Arrow batch -> kernel round-trip.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return packed.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, n_frames int, frame_idx int"
+FRAME_STRIDE = 7
+
+
+def frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 1 -> N expansion, one row per sampled frame.
+    STUB decode: frame count keys off payload length (a real deployment
+    reads the container header via pyav/ffmpeg — not in this container)."""
+    for pdf in it:
+        doc_ids, counts, idxs = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = 1 + len(payload) % 100
+            sampled = range(0, n_frames, FRAME_STRIDE)
+            for fi in sampled:
+                doc_ids.append(doc_id)
+                counts.append(n_frames)
+                idxs.append(fi)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "n_frames": pd.Series(counts, dtype="int32"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+            }
+        )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(UNNEST(range(0, n_frames, 7)) AS INT) AS frame_idx
+    FROM (
+        SELECT doc_id, 1 + length(text) % 100 AS n_frames
+        FROM documents
+        WHERE doc_id < 100
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload -> frame count (stub
+    header decode) -> every-7th-frame expansion (1 row per sampled frame)
+    via Arrow-batched ``mapInPandas``.
+
+    This is the UDTF-shaped multimodal path: output cardinality is
+    data-dependent, so the kernel yields variable-length batches; Spark
+    never materializes per-document frame lists as single rows.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return packed.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
+
+
 # Kernels above ship to executors; serialize this module by value so the
 # driver does not need the package importable on workers (see serde.py).
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
