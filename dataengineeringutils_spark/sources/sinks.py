@@ -73,6 +73,69 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BUCKETS = 8
+
+
+def write_bucketed(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Write lineitem + orders bucketed AND sorted by the join key, read
+    back as catalog tables. Co-located, co-sorted layout: a join on the
+    bucket key needs NO shuffle and NO sort (verified in the unit test:
+    the join plan contains no Exchange)."""
+    # the managed-table location outlives the (per-session) derby
+    # metastore: drop the entry AND clear any orphaned location, or CREATE
+    # fails with LOCATION_ALREADY_EXISTS in a fresh session
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for t in ("lineitem_bucketed", "orders_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        p = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{t}")
+        p.getFileSystem(hconf).delete(p, True)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_bucketed")
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_bucketed")
+    )
+    return spark.table("lineitem_bucketed"), spark.table("orders_bucketed")
+
+
+@query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: write both sides bucketed+sorted by
+    the join key, join shuffle-free, aggregate.
+
+    This is the 100 TB pattern for repeated fact-to-fact joins: pay the
+    shuffle ONCE at write time, then every subsequent join on the bucket
+    key is a zero-exchange, zero-sort merge of matching buckets.
+    (At fixture scale the write dominates; that is the point — it's
+    amortized across every downstream join.)
+    """
+    li_b, o_b = write_bucketed(spark, sf_dir)
+    j = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
 @query(
     "sink_partitioned_parquet",
     oracle=f"""

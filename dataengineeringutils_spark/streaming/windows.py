@@ -205,6 +205,63 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming(spark, batches, "stream_wm", build)
 
 
+def _running_count_kernel(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user running event count.
+    State = one long; each micro-batch adds its rows and emits the
+    updated total (update output mode -> one row per user per batch)."""
+    import pandas as pd
+
+    total = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+
+@query(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running counter across micro-batches.
+
+    Each batch the kernel loads its group's state, adds the batch rows,
+    stores the new total, and emits it — so the LAST emission per user is
+    the complete count, which must equal the plain batch aggregate (the
+    oracle). This is the extension point for operators Structured
+    Streaming lacks natively (custom sessionization, decaying counters,
+    online sketches); state lives in the state store, scaling with
+    distinct keys, not history.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(cutoff)).select("user_id", "event_id"),
+        ev.filter(F.col("ts") > F.lit(cutoff)).select("user_id", "event_id"),
+    ]
+
+    def build(stream: DataFrame) -> DataFrame:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _running_count_kernel,
+            outputStructType="user_id long, n_events long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    out = run_streaming(spark, batches, "stream_counter", build, output_mode="update")
+    # last emission per user == total count
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 @query(
     "stream_dedup_state",
     oracle="""
@@ -235,3 +292,10 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = run_streaming(spark, batches, "stream_dd", build)
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+# The stateful kernel ships to executors; serialize this module by value so
+# the driver does not need the package importable on workers (see serde.py).
+from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)
