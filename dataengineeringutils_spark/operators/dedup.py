@@ -125,9 +125,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+NGRAM_ORACLE = """
     WITH sh AS (
         SELECT doc_id,
                UNNEST(list_distinct(list_transform(
@@ -155,8 +153,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
     WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram (shingle) Jaccard near-dup pairs (>= 0.5).
 
@@ -370,3 +370,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+MAX_CC_ITERS = 15
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {NGRAM_ORACLE}
+    ),
+    edges(a, b) AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+    FROM reach
+    GROUP BY a
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact-Jaccard
+    pair graph, labeled by each component's minimum doc_id.
+
+    The canonical post-dedup step — pairs say "these two match"; keeping
+    one survivor per group needs the transitive closure. Implemented as
+    iterative min-label propagation (the simplified star-contraction loop):
+    each round every node takes the min of its own and its neighbors'
+    labels; converged when nothing changes — O(component diameter) rounds,
+    and near-dup components are shallow (the fixture converges in 2).
+
+    Iterative-Spark mechanics that matter at 100 TB: the pair graph is
+    ``localCheckpoint``-ed ONCE up front (else every round re-runs the full
+    shingle join), and each round's labels are checkpointed too — without
+    the lineage cut the plan doubles per iteration and the driver spends
+    minutes in Catalyst before any task runs. The DuckDB oracle computes
+    the same labels via a recursive-CTE transitive closure.
+    """
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster"))
