@@ -278,3 +278,38 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("m_type"),
         F.element_at(m, "user").cast("long").alias("m_user"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VARIANT: ``parse_json`` shreds the
+    props column once into the binary variant encoding, then typed
+    ``variant_get`` paths extract fields — the scale-friendly way to query
+    ragged JSON (parse once, extract many, no per-extract re-parse, and
+    columnar shredding when written to parquet). Absent paths yield NULL
+    (counted zero by COUNT), matching the oracle's json_extract semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    shredded = ev.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("missing").alias("n_missing"),
+    )

@@ -52,21 +52,6 @@ def tokens_col(text: str = "text"):
     return F.filter(F.split(F.col(text), " "), lambda t: t != "")
 
 
-def shingles_col(text: str = "text"):
-    """Distinct 3-token shingles (assumes >= 3 tokens per document, which
-    the fixture guarantees: measured minimum is 10)."""
-    toks = tokens_col(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
-
-
 def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, s) rows: 3-token shingles hashed to int64.
 
