@@ -10,14 +10,15 @@ Implemented Spark-first, all deterministic (seeded hashes):
 - ``dedup_simhash``        64-bit SimHash fingerprints; near-dup pairs by
                            identical 16-bit bands + Hamming check.
 
-Scale design: shingles/tokens are hashed to int64 map-side (multi-arg
-xxhash64, no string materialization), per-document signatures are built by
-explode + codegen'd aggregates (measured faster than "zero-shuffle"
-higher-order-function array expressions, which evaluate interpreted), and
-pair generation is one groupBy into per-key posting lists (shingle / LSH
-bucket / SimHash band) with pairs emitted from each list — no self-join, no
-cross product, no driver collection. At 100 TB the shuffle keys are
-(band, bucket) / shingle-hash, which AQE can split when a bucket runs hot.
+Scale design: shingles/tokens are hashed to int64 via codegen shapes
+(posexplode + window lead + multi-arg xxhash64 — no shingle strings, no
+interpreted array lambdas; see ``shingle_rows``); SimHash fingerprints are
+a vectorized numpy kernel over per-doc hash lists. Pair generation picks
+the measured winner per op: streaming self-equi-joins where collision
+lists run large (shingles, SimHash bands), per-bucket posting lists where
+they stay tiny (MinHash LSH buckets). No cross products, no driver
+collection; shuffle keys — shingle-hash / (band, bucket) — are
+AQE-splittable when a key runs hot.
 """
 
 from __future__ import annotations
