@@ -313,3 +313,52 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.count("missing").alias("n_missing"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, p_brand) AS lev,
+           CAST(position('a' IN p_name) AS INT) AS pos_a,
+           reverse(p_brand) AS rev_brand,
+           repeat(p_type, 2) AS type2
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance + positional string family (fuzzy matching support:
+    levenshtein is the exact-verify step behind blocking-based record
+    linkage, the same pattern as the dedup operators' candidate+verify)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("lev"),
+        F.instr("p_name", "a").cast("int").alias("pos_a"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.repeat("p_type", 2).alias("type2"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.08) AS all_low_disc,
+           bool_or(l_quantity >= 45) AS any_big_qty,
+           count_if(l_tax > 0.05) AS n_taxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (every/some/count_if — ANSI bool_and /
+    bool_or). Short-circuit-friendly partial aggregation: each partition
+    contributes one boolean/long per group."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") <= 0.08).alias("all_low_disc"),
+        F.some(F.col("l_quantity") >= 45).alias("any_big_qty"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_taxed"),
+    )

@@ -294,6 +294,43 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming micro-batches join a static
+    dimension (customer) batch-side — each trigger joins only its own
+    micro-batch against the dim (broadcast at dim scale), then feeds the
+    running aggregate; complete output mode materializes the final totals,
+    which must equal the batch join (the oracle).
+    """
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(cutoff)).select("event_id", "user_id"),
+        ev.filter(F.col("ts") > F.lit(cutoff)).select("event_id", "user_id"),
+    ]
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(cust, stream.user_id == cust.c_custkey)
+            .groupBy("nationkey")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+    return run_streaming(spark, batches, "stream_static", build, output_mode="complete")
+
+
 # The stateful kernel ships to executors; serialize this module by value so
 # the driver does not need the package importable on workers (see serde.py).
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
