@@ -351,3 +351,95 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("b_shr"),
         F.bit_count(k).cast("int").alias("b_pop"),
     )
+
+
+@query(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_ok,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value navigation functions. last/nth use an explicit
+    full-partition frame: the default frame ends at CURRENT ROW, where
+    LAST_VALUE degenerates to the current row on every engine."""
+    o = table(spark, sf_dir, "orders")
+    wdef = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = wdef.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(wdef).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+    )
+
+
+N_HIST_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 600000.0
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR((o_totalprice - {HIST_LO})
+               / (({HIST_HI} - {HIST_LO}) / {N_HIST_BUCKETS})),
+               {N_HIST_BUCKETS} - 1) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range histogram: bucket index from closed-form arithmetic
+    (identical FLOOR/LEAST expression in both engines — no width_bucket
+    dependency), one hash aggregation. The constant-time alternative to
+    exact percentiles for distribution profiling at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    step = (HIST_HI - HIST_LO) / N_HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(step)),
+        F.lit(N_HIST_BUCKETS - 1),
+    ).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey,
+LATERAL (
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+) t
+"""
+
+
+@query("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join through the SQL entry point.
+    Catalyst decorrelates the lateral relation into an ordinary equi-join
+    (DecorrelateInnerQuery) — same physical plan as the DataFrame
+    formulation, so per-row subquery semantics cost nothing at scale."""
+    for t in ("nation", "customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
