@@ -150,3 +150,48 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_items"),
         F.sum("pq").cast("double").alias("sum_qty"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the manual hot-key defense, provably identical
+    to the plain join (the oracle).
+
+    The probe (fact) side gets a deterministic salt in [0, N_SALTS); the
+    build side is replicated N_SALTS times via a generated salt column;
+    the join key becomes (key, salt), so one hot order key spreads over
+    N_SALTS reducers instead of melting one. This is what you reach for
+    when AQE's skew split can't help — e.g. a skewed key feeding a
+    windowed or stateful op downstream of the join. Replication factor ×
+    build-side size is the cost; salt only the keys diagnosed hot in
+    production (here all keys are salted to keep the op self-contained).
+    """
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(N_SALTS))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .withColumn("salt_i", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))))
+        .withColumn("salt_o", F.col("salt_i").cast("long"))
+    )
+    j = li.join(
+        o,
+        (F.col("salt") == F.col("salt_o"))
+        & (F.col("l_orderkey") == F.col("o_orderkey")),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
