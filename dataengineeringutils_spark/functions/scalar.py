@@ -362,3 +362,45 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("l_quantity") >= 45).alias("any_big_qty"),
         F.count_if(F.col("l_tax") > 0.05).alias("n_taxed"),
     )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT vec_id,
+           list_contains(ia, 0) AS has_zero,
+           CAST(list_position(ia, 1) AS INT) AS pos_one,
+           list_has_any(ia, [1, 2, 3]) AS overlaps_123,
+           list_sort(list_distinct(ia)) AS sorted_distinct,
+           list_max(ia) AS mx,
+           list_min(ia) AS mn
+    FROM (
+        SELECT vec_id,
+               list_transform(embedding[1:8], x -> CAST(floor(x * 4) AS BIGINT)) AS ia
+        FROM embeddings
+        WHERE vec_id < 200
+    )
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array membership/position/set family on derived integer arrays
+    (first 8 embedding dims quantized). Complements fn_array's
+    numeric/slicing coverage; 1-based positions match DuckDB, absent
+    elements yield position 0 in both engines."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    ia = F.transform(
+        F.slice("embedding", 1, 8),
+        lambda x: F.floor(x.cast("double") * 4).cast("long"),
+    )
+    d = e.select("vec_id", ia.alias("ia"))
+    return d.select(
+        "vec_id",
+        F.array_contains("ia", F.lit(0)).alias("has_zero"),
+        F.array_position("ia", 1).cast("int").alias("pos_one"),
+        F.arrays_overlap("ia", F.array(F.lit(1), F.lit(2), F.lit(3))).alias(
+            "overlaps_123"
+        ),
+        F.array_sort(F.array_distinct("ia")).alias("sorted_distinct"),
+        F.array_max("ia").alias("mx"),
+        F.array_min("ia").alias("mn"),
+    )

@@ -236,6 +236,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.mapInPandas(frame_sample_batches, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = "doc_id bigint, n_samples int, duration_ms int, peak int"
+AUDIO_RATE = 16  # stub samples per millisecond (16 kHz)
+
+
+def audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: audio feature extraction over binary payloads.
+    STUB decode: sample count / duration / peak derive from payload bytes
+    (a real deployment decodes PCM via soundfile/librosa — not in this
+    container); the arithmetic is vectorized numpy over the Arrow batch."""
+    import numpy as np
+
+    for pdf in it:
+        lens = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+        firsts = pdf["payload"].map(lambda b: b[0] if len(b) else 0).to_numpy(
+            dtype=np.int64
+        )
+        n_samples = lens * 4
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": pd.Series(n_samples, dtype="int32", index=pdf.index),
+                "duration_ms": pd.Series(
+                    n_samples // AUDIO_RATE, dtype="int32", index=pdf.index
+                ),
+                "peak": pd.Series(
+                    (firsts * 129) % 32768, dtype="int32", index=pdf.index
+                ),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) * 4 AS INT) AS n_samples,
+           CAST(length(text) * 4 // 16 AS INT) AS duration_ms,
+           CAST((ascii(substring(text, 1, 1)) * 129) % 32768 AS INT) AS peak
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extraction plumbing: binary payload -> sample count,
+    duration, peak amplitude via an Arrow-batched ``mapInPandas`` kernel
+    (stub decode — see ``audio_feature_batches``). Completes the
+    decode / feature-extract / resize / frame-sample verb set over the
+    binary-column modality plumbing; the oracle recomputes the stub
+    arithmetic from the source text (ASCII fixture: byte == char).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    packed = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return packed.mapInPandas(audio_feature_batches, schema=AUDIO_SCHEMA)
+
+
 # Kernels above ship to executors; serialize this module by value so the
 # driver does not need the package importable on workers (see serde.py).
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
