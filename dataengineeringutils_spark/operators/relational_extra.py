@@ -443,3 +443,69 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer", "orders"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "win_ewma",
+    oracle=f"""
+    WITH seq AS (
+        SELECT o_orderkey,
+               o_custkey,
+               o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_orderkey,
+           o_custkey,
+           ROUND(
+               POW(1 - {EWMA_ALPHA}, rn)
+               * SUM(o_totalprice * POW(1.0 / (1 - {EWMA_ALPHA}), rn)) OVER (
+                     PARTITION BY o_custkey ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )
+               / ((1 - POW(1 - {EWMA_ALPHA}, rn)) / {EWMA_ALPHA}),
+               4
+           ) AS ewma
+    FROM seq
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per key (pandas ewm
+    adjust=True semantics), as pure window algebra — no UDF, no recursion.
+
+    The recurrence is rewritten closed-form: scale each value by
+    (1-α)^(-i), take a running SUM, rescale by (1-α)^n, and normalize by
+    the geometric-series weight total. One shuffle on the key; valid while
+    (1-α)^(-n) stays in double range (n ≲ 2000 at α=0.3 — per-key series
+    here are ≤ ~30; for longer series, segment the window and carry the
+    boundary term). Rounded 4 dp: the rescaling is the one place the two
+    engines' floating point can drift.
+    """
+    o = table(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(wseq).alias("rn"),
+    )
+    wrun = (
+        Window.partitionBy("o_custkey")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    decay = F.pow(F.lit(1 - EWMA_ALPHA), F.col("rn"))
+    scaled_sum = F.sum(
+        F.col("o_totalprice") * F.pow(F.lit(1.0 / (1 - EWMA_ALPHA)), F.col("rn"))
+    ).over(wrun)
+    denom = (F.lit(1.0) - decay) / F.lit(EWMA_ALPHA)
+    return seq.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(decay * scaled_sum / denom, 4).alias("ewma"),
+    )
