@@ -253,3 +253,62 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAY"))
     )
     return li.join(o, cond).groupBy("o_orderstatus").agg(F.count("*").alias("n_items"))
+
+
+BUCKET_DAYS = 90  # range-blocking granularity for the bucketized interval join
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT l.l_orderkey,
+           l.l_linenumber,
+           COUNT(*) AS n_matching_orders
+    FROM lineitem l
+    JOIN orders o
+      ON o.o_orderdate <= l.l_shipdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+     AND l.l_orderkey % 200 = 0
+    GROUP BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: pure interval predicates (no equi-key) made
+    scalable by coarse time-bucket blocking.
+
+    A naive interval-only join is a broadcast-nested-loop — O(n·m) pair
+    evaluations. Bucketizing both sides to the interval width (90 days)
+    and equi-joining on the bucket id turns it into a hash join: each
+    probe row joins its own bucket and the preceding one (every ≤90-day
+    window spans at most two 90-day buckets), then the exact interval
+    predicate filters residually. Cost drops to O(n + m + matches); the
+    bucket id is an AQE-splittable shuffle key. Same technique as
+    Databricks' range-join optimization, expressed with public API only.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    o = table(spark, sf_dir, "orders")
+    day = F.lit(86400)
+    li_b = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.floor(F.unix_timestamp("l_shipdate") / (day * BUCKET_DAYS)).alias("lb"),
+    )
+    o_b = o.select(
+        "o_orderdate",
+        F.floor(F.unix_timestamp("o_orderdate") / (day * BUCKET_DAYS)).alias("ob"),
+    )
+    # probe joins its own bucket and the previous one
+    expanded = li_b.withColumn(
+        "probe_bucket", F.explode(F.array(F.col("lb"), F.col("lb") - 1))
+    )
+    j = expanded.join(o_b, F.col("probe_bucket") == F.col("ob")).filter(
+        (F.col("o_orderdate") <= F.col("l_shipdate"))
+        & (
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+    )
+    return j.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count("*").alias("n_matching_orders")
+    )

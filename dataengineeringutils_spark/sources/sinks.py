@@ -160,3 +160,43 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money_sum("o_totalprice").alias("sum_price"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           SUM(CASE WHEN o_orderkey % 2 = 1 THEN CAST(year(o_orderdate) AS BIGINT)
+                    ELSE 0 END) AS sum_year_new
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different schemas
+    (the second adds an ``o_year`` column) unified by ``mergeSchema`` —
+    rows from the old batch surface NULL for the added column.
+
+    The reference's metadata system handles this by re-registering the
+    Glue table with the widened schema; Spark reads both vintages in one
+    scan. Scale note: ``mergeSchema`` reads every file's footer at
+    planning time — at 100 TB, declare the merged schema explicitly (as
+    conformance metadata) instead of paying the footer sweep.
+    """
+    out = scratch_dir("sink_schema_evolution")
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderstatus", F.year("o_orderdate").alias("o_year"))
+    )
+    old.write.mode("overwrite").parquet(f"{out}/batch=0")
+    new.write.mode("overwrite").parquet(f"{out}/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{out}/batch=*")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.coalesce(F.col("o_year").cast("long"), F.lit(0))).alias("sum_year_new"),
+    )
