@@ -404,3 +404,24 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("ia").alias("mx"),
         F.array_min("ia").alias("mn"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash family (md5 / sha-256, lowercase hex in both
+    engines) — content addressing and stable record fingerprints."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+    )

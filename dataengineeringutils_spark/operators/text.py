@@ -235,3 +235,43 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ws).alias("ws_tokens"),
         F.sum(re_toks).alias("re_tokens"),
     )
+
+
+@query(
+    "text_bigrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+        SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM (
+            SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS u(i)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token bigrams (count desc, bigram asc tie-break).
+
+    Bigrams form via posexplode + window ``lead`` — the codegen n-gram
+    shape shared with the dedup shingles (see
+    ``dedup.shingle_rows``), not an interpreted array lambda.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
