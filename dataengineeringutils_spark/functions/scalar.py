@@ -425,3 +425,114 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("p_name").alias("h_md5"),
         F.sha2("p_name", 256).alias("h_sha256"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(LEN(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           regexp_matches(p_name, '^[a-m]') AS starts_early,
+           regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family: extract / global replace / match count /
+    boolean match / anchored capture.
+
+    Spark ``regexp_replace`` is global by default; DuckDB needs the 'g'
+    flag — the one semantic trap in this family. All Java-regex patterns
+    here are RE2-compatible so both engines compile them identically.
+    Per-row codegen expressions; the pushed ``p_partkey`` filter bounds
+    the scan, and at 100 TB regex cost scales linearly with no shuffle.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias("n_vowels"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_early"),
+        F.regexp_extract("p_brand", "([0-9]+)$", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sin(l_quantity), 6) AS s,
+           ROUND(cos(l_quantity), 6) AS c,
+           ROUND(tan(l_quantity / 100.0), 6) AS t,
+           ROUND(asin(l_discount), 6) AS a_s,
+           ROUND(atan2(l_quantity, l_extendedprice), 6) AS a2,
+           ROUND(degrees(l_discount), 6) AS deg,
+           ROUND(radians(l_quantity), 6) AS rad
+    FROM lineitem
+    WHERE l_orderkey < 300
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / angular function family (sin, cos, tan, asin,
+    atan2, degrees, radians).
+
+    Both engines delegate to libm doubles; rounded 6 dp to absorb the
+    last-ulp differences libm builds are allowed. Pure codegen map —
+    no shuffle at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin("l_quantity"), 6).alias("s"),
+        F.round(F.cos("l_quantity"), 6).alias("c"),
+        F.round(F.tan(F.col("l_quantity") / 100.0), 6).alias("t"),
+        F.round(F.asin("l_discount"), 6).alias("a_s"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("a2"),
+        F.round(F.degrees("l_discount"), 6).alias("deg"),
+        F.round(F.radians("l_quantity"), 6).alias("rad"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_pos,
+           LEN(list_filter(embedding, x -> x > 0.9)) > 0 AS any_big,
+           LEN(list_filter(embedding, x -> NOT (x > -0.9))) = 0 AS all_gt,
+           ROUND(list_sum(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE) * x)), 4) AS sumsq
+    FROM embeddings
+    WHERE vec_id < 500
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: filter / exists / forall / zip_with
+    + aggregate, reduced to scalar outputs.
+
+    ``sumsq`` runs ``zip_with`` of the embedding with itself then a
+    fold — the Spark shape for element-wise vector math; the oracle
+    expresses the same value as transform+list_sum. HOF lambdas evaluate
+    INTERPRETED (not codegen, ~36 µs/element measured — see
+    operators/dedup.py): fine here where each 64-element array is
+    touched once, but hot loops should use the explode+window shape
+    instead.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    prod = F.zip_with(
+        "embedding", "embedding", lambda a, b: a.cast("double") * b
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.exists("embedding", lambda x: x > 0.9).alias("any_big"),
+        F.forall("embedding", lambda x: x > -0.9).alias("all_gt"),
+        F.round(
+            F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sumsq"),
+    )

@@ -1,0 +1,241 @@
+"""Event-analytics operators: funnel, cohort retention, streaks, rollups.
+
+The reference reaches these shapes through hand-written Athena SQL over
+append-only event tables ([R] dataengineeringutils/athena.py, SURVEY.md
+§0/§2.B); product-analytics funnels/cohorts/streaks and multi-resolution
+time rollups are the canonical queries of that workload. Implemented
+natively on the ``events`` fixture (user_id, ts, event_type, value).
+
+Scale notes (100 TB events):
+- Every op here groups/joins on ``user_id`` (high cardinality, ~uniform)
+  — hash shuffles partition evenly; no skew salting needed.
+- The funnel's three stage frames derive from ONE scan (conditional
+  filters on event_type reach the parquet scan as pushed predicates);
+  stage joins are user_id equi-joins that AQE plans as broadcast once a
+  stage's survivor set shrinks below the threshold — exactly the funnel
+  drop-off behavior.
+- The hypertable rollup computes hour/day/month resolutions in a SINGLE
+  scan + single shuffle via GROUPING SETS rather than 3 scans + UNION
+  (at 100 TB the scan dominates; a 3× row expansion in the shuffle is
+  map-side-combined down to bucket cardinality first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS users_viewed,
+           (SELECT COUNT(*) FROM s2) AS users_clicked,
+           (SELECT COUNT(*) FROM s3) AS users_purchased
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel: view -> click -> purchase, strictly in time.
+
+    A user counts at stage N only with an event AFTER their first stage-N-1
+    event (first-touch semantics: MIN ts per stage). Three conditional
+    aggregates off one scan; stage joins shrink monotonically so AQE
+    broadcasts the survivor side.
+    """
+    e = table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("users_viewed"))
+        .crossJoin(s2.agg(F.count("*").alias("users_clicked")))
+        .crossJoin(s3.agg(F.count("*").alias("users_purchased")))
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_week,
+           DATE_DIFF('day', f.cohort_day,
+                     CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7 AS week_n,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix.
+
+    Cohort = Monday-start week of a user's first event; week_n = whole
+    weeks since. Two shuffles (user_id agg, then cohort/week agg) — the
+    second is map-side-combined to |cohorts|x|weeks| rows. The first-seen
+    frame is per-user (small relative to events), so AQE broadcasts it
+    into the events join at any realistic scale.
+    """
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_day"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+        FROM days
+    )
+    SELECT user_id, MAX(streak) AS max_streak, COUNT(*) AS n_streaks
+    FROM (
+        SELECT user_id, island, COUNT(*) AS streak
+        FROM islands GROUP BY user_id, island
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user.
+
+    Classic date-minus-row_number island labeling — consecutive dates map
+    to a constant (date - rank), so streaks become a groupBy. One shuffle
+    on user_id serves the distinct, the window, and both aggregations
+    (same partitioning reused across stages; no re-exchange).
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak").alias("max_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "rollup_hypertable",
+    oracle="""
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'month' END AS level,
+           CAST(COALESCE(h, CAST(d AS TIMESTAMP),
+                         CAST(m AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+        SELECT event_type, value,
+               DATE_TRUNC('hour', ts)  AS h,
+               DATE_TRUNC('day', ts)   AS d,
+               DATE_TRUNC('month', ts) AS m
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hour/day/month) in one pass.
+
+    The hypertable continuous-aggregate shape: one scan, one shuffle,
+    GROUPING SETS over three truncation granularities instead of three
+    scans + UNION ALL. ``GROUPING()`` disambiguates the level; buckets
+    are cast to timestamp so all three resolutions share one column.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+    )
+    e.createOrReplaceTempView("_hypertable_src")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day'
+                    ELSE 'month' END AS level,
+               COALESCE(h, d, m) AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM _hypertable_src
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type),
+                                (m, event_type))
+        """
+    )

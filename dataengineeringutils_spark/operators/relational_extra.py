@@ -509,3 +509,82 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(decay * scaled_sum / denom, 4).alias("ewma"),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) <= 10
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 10 rows per stratum
+    (order priority), selected by smallest key.
+
+    The reproducible alternative to ``df.sampleBy`` (whose random draw
+    is seed+partitioning dependent): rank within stratum over a unique
+    key, keep rank <= 10. One shuffle on the stratum key; at 100 TB
+    swap row_number for a per-partition pre-filter (any partition needs
+    at most 10 survivors) which AQE's partial top-k already applies via
+    the window group-limit optimization.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@query(
+    "agg_top_freq",
+    oracle="""
+    WITH counts AS (
+        SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS top_priority, n
+    FROM counts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority ASC) = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_top_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent order priority per market
+    segment (count desc, value asc tie-break).
+
+    Spark's ``F.mode`` is tie-nondeterministic, so the hash-stable form
+    is count + rank-1 — the same reason the reference's Athena SQL would
+    use a ranked subquery over Presto's arbitrary-tie ``max_by``. The
+    count agg collapses to |segments| x |priorities| rows before the
+    window, so the rank runs on a trivially small frame at any scale.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("top_priority"),
+            "n",
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -373,3 +373,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+@query(
+    "sim_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        FROM n WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {o_dot('n.embedding', 'c.c_emb')} / (n.nrm * c.c_nrm) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM n CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, nrm, cid FROM scored WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid
+        FROM scored WHERE rn <= 2 AND vec_id < 20
+    )
+    SELECT q_id, vec_id, cos_sim
+    FROM (
+        SELECT q.q_id, a.vec_id,
+               {o_dot('a.embedding', 'q.q_emb')} / (a.nrm * q.q_nrm) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY {o_dot('a.embedding', 'q.q_emb')} / (a.nrm * q.q_nrm) DESC,
+                            a.vec_id ASC
+               ) AS rn
+        FROM assigned a JOIN q ON a.cid = q.cid
+        WHERE a.vec_id <> q.q_id
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF with multi-probe (nprobe=2): each query searches its
+    TWO nearest cells, trading 2x candidate work for recall.
+
+    Same deterministic quantizer as ``sim_ann_ivf``; the only change is
+    the query side keeps assignment ranks 1..2, so each query joins two
+    disjoint cells (every corpus vector lives in exactly one cell — the
+    probe union needs no dedup). The top-3 re-rank then runs over the
+    union. This is THE standard IVF recall knob: at 100 TB nprobe scales
+    candidate volume linearly while the corpus-side layout (bucketed by
+    cid) is untouched — queries just fan out to nprobe buckets.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cid", c_cos.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wa))
+    )
+    assigned = scored.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", "cid"
+    )
+    q = scored.filter((F.col("rn") <= 2) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    cos = dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))
+    cand = assigned.join(F.broadcast(q), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "cos_sim")
+    )

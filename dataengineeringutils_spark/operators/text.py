@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dataengineeringutils_spark.operators.dedup import tokens_col
 from dataengineeringutils_spark.registry import query
@@ -274,4 +275,68 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY lang, tok
+    ),
+    df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.lang, tf.tok,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    )
+    SELECT lang, tok, score
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY score DESC, tok ASC) <= 5
+    ORDER BY lang, score DESC, tok
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language (tf x ln(N/df), deterministic
+    tie-break).
+
+    One explode feeds both the per-(lang, token) TF agg and the
+    corpus-wide DF agg; both are partial->final hash aggs on the token.
+    The DF side collapses to |vocab| rows, so the tf-df join shuffles
+    on token with AQE free to broadcast the smaller side. N is a scalar
+    cross join (broadcast by construction). At 100 TB the explode
+    dominates — it pipelines inside the scan stage with no shuffle of
+    raw text.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("tok")
+    )
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "tok").select(
+        "lang",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", F.col("score").desc(), "tok")
     )
