@@ -536,3 +536,41 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("sumsq"),
     )
+
+
+@query(
+    "fn_extract",
+    oracle="""
+    SELECT event_id,
+           EXTRACT(hour FROM ts) AS h,
+           EXTRACT(minute FROM ts) AS mi,
+           EXTRACT(second FROM ts) AS s,
+           EXTRACT(doy FROM ts) AS doy,
+           EXTRACT(week FROM ts) AS wk,
+           EXTRACT(quarter FROM ts) AS q,
+           EXTRACT(isodow FROM ts) AS idow,
+           CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT) AS ep
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def fn_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp part-extraction family (EXTRACT surface).
+
+    Alignment traps encoded here: epoch must FLOOR (DuckDB's cast
+    rounds, Spark's unix_timestamp truncates); day-of-week must be ISO
+    (Spark ``dayofweek`` is 1=Sunday, ``weekday``+1 is isodow); week is
+    ISO week-of-year in both engines. Pure codegen projection.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        F.weekofyear("ts").cast("long").alias("wk"),
+        F.quarter("ts").cast("long").alias("q"),
+        (F.weekday("ts") + 1).cast("long").alias("idow"),
+        F.unix_timestamp("ts").alias("ep"),
+    )

@@ -224,3 +224,66 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias("min_orderkey"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation — no rounding, no float drift.
+
+    Doubles need ROUND() in every oracle because summation order differs
+    across engines; DECIMAL is the money-correct answer: both engines sum
+    fixed-point integers, so the results match EXACTLY regardless of
+    partitioning or merge order (the final cast to double is only for the
+    comparison bridge — one exact decimal converts to one double). The
+    100 TB version is identical — decimal sums are associative, so
+    partial aggregation is lossless.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("double").alias("sum_price"),
+        F.sum(price * disc).cast("double").alias("sum_disc"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(DISTINCT l_shipdate) AS n_dates,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over different columns in one query.
+
+    Catalyst plans this with Expand (one replica of each input row per
+    distinct clause) + two-phase aggregation — N distincts cost one extra
+    row-multiplication, not N query passes. The plain COUNT(*) rides
+    along in the same Expand. At 100 TB prefer approx_count_distinct
+    where exactness isn't contractual (see agg_approx_distinct).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_shipdate").alias("n_dates"),
+        F.count("*").alias("n_rows"),
+    )

@@ -33,12 +33,19 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     payload_prefix: str = "asof_",
+    direction: str = "backward",
+    strict: bool = False,
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the payload of the
-    right row with the greatest ``right_ts <= left_ts`` within ``by``.
+    """As-of join: for each left row, attach the payload of the nearest
+    right row within ``by`` — the greatest ``right_ts <= left_ts``
+    (``direction="backward"``, DuckDB ``>=``) or the smallest
+    ``right_ts >= left_ts`` (``direction="forward"``, DuckDB ``<=``).
 
-    Ties (equal timestamps) match, consistent with DuckDB ``ASOF JOIN``'s
-    ``>=`` condition. Left rows with no earlier right row get NULL payload.
+    ``strict=True`` excludes equal timestamps (DuckDB ``>`` / ``<``).
+    Direction flips the sort; strictness flips which side wins ties of
+    (ts): inclusive puts right rows first so the running carry sees them,
+    strict puts left rows first so it doesn't. Left rows with no match
+    get NULL payload. Cost is direction-independent: one shuffle + sort.
     """
     pay_struct: Column = F.struct(*[F.col(c) for c in payload])
     l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1)).withColumn(
@@ -65,9 +72,13 @@ def asof_join(
     )
     unioned = l_tag.select(*left_cols, "__ts", "__side", "__pay").unionByName(r_full)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    ts_ord = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    side_ord = F.col("__side").desc() if strict else F.col("__side").asc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_ord, side_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__carry", F.last("__pay", ignorenulls=True).over(w))
@@ -112,4 +123,99 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_click_ts"),
         F.col("asof_click_value"),
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           c.ts AS next_click_ts,
+           c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the FIRST click by the same
+    user at or after the purchase time (post-purchase behavior tracking).
+
+    Same union+window machinery as the backward op with the sort
+    reversed — demonstrating the direction knob costs nothing: still one
+    shuffle + one sort, no per-group materialization.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_ts", "click_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_ts").alias("next_click_ts"),
+        F.col("asof_click_value").alias("next_click_value"),
+    )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           t.event_type AS touch_type,
+           t.ts AS touch_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') t
+      ON p.user_id = t.user_id AND p.ts > t.ts
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent non-purchase event STRICTLY before it.
+
+    Strict backward as-of (DuckDB ``>``): an equal-timestamp touch does
+    not get credit. The touch candidate set is every other event type,
+    so this is the one-pass marketing-attribution query shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["touch_type", "touch_ts"],
+        direction="backward",
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_touch_type").alias("touch_type"),
+        F.col("asof_touch_ts").alias("touch_ts"),
     )

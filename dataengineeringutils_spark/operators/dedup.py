@@ -447,3 +447,38 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT MIN(doc_id) AS survivor_id,
+           ARG_MIN(lang, doc_id) AS lang,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY TRIM(text)
+    ORDER BY survivor_id
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup returning the SURVIVOR rows: per normalized text, the
+    lowest doc_id wins; carries the survivor's lang and the group size.
+
+    Complements ``dedup_exact`` (which only counts): this is the form a
+    pipeline actually writes back out. ``min_by`` rides the same hash
+    agg as ``min`` — one shuffle on the (hashed) normalized text, and at
+    100 TB the groupBy key should be ``xxhash64(text_norm)`` so the
+    shuffle moves 8-byte keys instead of document bodies (the full text
+    only travels for true hash collisions — verify step optional).
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.trim("text").alias("text_norm"))
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("text_norm")
+        .orderBy("survivor_id")
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 import itertools
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.exprs import money_sum, o_money_sum
@@ -329,6 +329,79 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_streaming(spark, batches, "stream_static", build, output_mode="complete")
+
+
+@query(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert: ``foreachBatch`` MERGE keeping each user's latest
+    event — the canonical "stream into a keyed table" pattern (a Delta/
+    Iceberg MERGE stand-in on plain parquet with versioned swaps).
+
+    Each micro-batch reduces to its per-user latest row (window rank over
+    (ts, event_id) — deterministic under replay), then merges against the
+    current state version and writes state version N+1; the final version
+    is the answer. State lives in the TABLE, not executor memory — at
+    100 TB the merge is a key-partitioned join Spark shuffles normally,
+    and the format would be Delta/Iceberg MERGE INTO for transactional
+    swaps instead of path versioning.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    cols = ["event_id", "ts", "user_id", "value"]
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(cutoff)).select(*cols),
+        ev.filter(F.col("ts") > F.lit(cutoff)).select(*cols),
+    ]
+
+    base = scratch_dir(f"stream_upsert_{next(_sink_counter)}")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{base}/batch={i}")
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    version = {"n": -1}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if version["n"] >= 0:
+            prev = spark.read.parquet(f"{base}/state_v{version['n']}")
+            latest = (
+                prev.unionByName(latest)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        version["n"] += 1
+        latest.write.mode("overwrite").parquet(f"{base}/state_v{version['n']}")
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{base}/batch=*")
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/state_v{version['n']}").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
 
 
 # The stateful kernel ships to executors; serialize this module by value so
