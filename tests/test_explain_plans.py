@@ -114,3 +114,12 @@ def test_ivf_assignment_is_broadcast(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_salted_join_is_shuffled_not_broadcast(spark, sf_dir):
+    # The whole point of salting is spreading the shuffle; if Catalyst
+    # broadcasts the REPLICATED build side instead, every replica rides
+    # the broadcast and the op regresses ~10x (measured at sf0.1).
+    plan = plan_of(spark, sf_dir, "join_skew_salted")
+    assert "ShuffledHashJoin" in plan, plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" not in plan.split("\n\n")[0]
