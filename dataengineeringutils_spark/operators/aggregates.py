@@ -287,3 +287,36 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_shipdate").alias("n_dates"),
         F.count("*").alias("n_rows"),
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov_s,
+           ROUND(covar_pop(l_extendedprice, l_quantity), 4) AS cov_p
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family: OLS slope/intercept/R² and
+    covariances of price vs quantity per return flag.
+
+    These are one-pass algebraic aggregates (sums of x, y, xy, x², y²)
+    — partial+final hash agg like any SUM, so they scale exactly as
+    well. Rounded: the moment sums are double accumulations whose order
+    differs across engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.covar_samp(y, x), 4).alias("cov_s"),
+        F.round(F.covar_pop(y, x), 4).alias("cov_p"),
+    )

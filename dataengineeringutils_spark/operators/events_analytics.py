@@ -239,3 +239,55 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (m, event_type))
         """
     )
+
+
+@query(
+    "events_zscore_anomaly",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(CAST(e.ts AS DATE) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (ROUND(ABS((e.value - s.mu) / s.sigma), 6) > 2)
+               AS n_anomalies
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly counts per event type per day (|z| > 2 against the
+    type's global mean/stddev).
+
+    The scalable shape: aggregate the per-type stats (5 rows), broadcast
+    them back onto the stream — NOT a whole-type window, which would
+    shuffle every event into one partition per type. Two scans of
+    events, both pipelined; the z threshold is applied on a rounded
+    value so the engines' last-ulp mean/stddev differences can't flip a
+    boundary row.
+    """
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = F.round(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")), 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").cast("timestamp").alias("day"),
+            (z > 2).cast("long").alias("is_anom"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_anom").alias("n_anomalies"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -464,3 +464,71 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("q_id", "vec_id", "cos_sim")
     )
+
+
+@query(
+    "sim_centroid_per_label",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, label, u.i AS i,
+               CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    cent AS (
+        SELECT label, i, ROUND(AVG(x), 6) AS c
+        FROM dims GROUP BY label, i
+    ),
+    dist AS (
+        SELECT d.vec_id, d.label,
+               SQRT(SUM((d.x - cent.c) * (d.x - cent.c))) AS dst
+        FROM dims d JOIN cent ON d.label = cent.label AND d.i = cent.i
+        GROUP BY d.vec_id, d.label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(dst), 4) AS avg_dist,
+           ROUND(MAX(dst), 4) AS max_dist
+    FROM dist
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + intra-cluster distance stats (mean/max L2 of
+    members to their label centroid) — cluster-quality profiling for an
+    embedding corpus.
+
+    Everything runs in EXPLODED space (one row per vector dimension):
+    the centroid is a (label, dim) hash agg, member distances re-join on
+    the same (label, dim) keys, and no array is ever rebuilt — so every
+    stage is a plain shuffle-agg that scales to any corpus and any
+    dimensionality. Centroids are rounded 6 dp in both engines before
+    the distance so cross-engine mean ulps can't leak into the sums.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = dims.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("c"))
+    dist = (
+        dims.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dst"))
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("dst"), 4).alias("avg_dist"),
+            F.round(F.max("dst"), 4).alias("max_dist"),
+        )
+        .orderBy("label")
+    )

@@ -340,3 +340,47 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", F.col("score").desc(), "tok")
     )
+
+
+@query(
+    "text_ngram_profile",
+    oracle="""
+    WITH grams AS (
+        SELECT lang, substr(text, u.i, 3) AS gram
+        FROM documents, LATERAL UNNEST(range(1, len(text) - 1)) AS u(i)
+        WHERE len(text) >= 3
+    )
+    SELECT lang, gram, COUNT(*) AS n
+    FROM grams
+    GROUP BY lang, gram
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, gram ASC) <= 10
+    ORDER BY lang, n DESC, gram
+    """,
+)
+def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 character trigrams per language — the classic langid
+    feature profile (the n-gram tables behind ``text_langid``, computed
+    from the corpus itself).
+
+    Explode positions 1..len-2 and substring — a codegen generate, no
+    interpreted array lambdas (see dedup.py shingles for why). The gram
+    agg is partial->final on (lang, gram); the per-lang top-10 runs
+    under WindowGroupLimit. At 100 TB the explode multiplies rows by
+    ~doc length — it pipelines inside the scan stage, and the map-side
+    combine collapses to |lang|x|gram| before any shuffle.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = (
+        d.select("lang", "text", F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"))
+        .select("lang", F.expr("substring(text, i, 3)").alias("gram"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        grams.groupBy("lang", "gram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("lang", F.col("n").desc(), "gram")
+    )
