@@ -11,7 +11,7 @@ Reference locus: Athena/Presto SQL passthrough,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.exprs import (
@@ -320,3 +320,47 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp(y, x), 4).alias("cov_s"),
         F.round(F.covar_pop(y, x), 4).alias("cov_p"),
     )
+
+
+@query(
+    "agg_ratio_to_report",
+    oracle="""
+    WITH per_prio AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share,
+           ROUND(CAST(n_orders AS DOUBLE) / SUM(n_orders) OVER (), 6)
+               AS order_share
+    FROM per_prio
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of the grand total.
+
+    The empty-frame window (``OVER ()``) runs on the AGGREGATED frame —
+    5 rows here — which is the only safe place for it: over raw data an
+    unpartitioned window funnels everything through one task. Aggregate
+    first, window the summary; at any scale the window input is
+    |groups| rows. Shares are computed from the ROUNDED revenue so both
+    engines divide identical numerators.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_prio = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = Window.partitionBy()
+    return per_prio.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("revenue_share"),
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w), 6
+        ).alias("order_share"),
+    ).orderBy("o_orderpriority")

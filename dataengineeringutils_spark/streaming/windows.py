@@ -167,15 +167,24 @@ def run_streaming(
         .parquet(f"{src}/batch=*")
     )
     name = f"stream_sink_{next(_sink_counter)}"
-    q = (
-        build_query(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Size state-store count to the key volume, not cluster width: each
+    # shuffle partition is a state store paying fixed setup+commit cost
+    # per micro-batch. Fresh checkpoints each call, so the setting isn't
+    # sticky; at production scale this is the knob you RAISE.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            build_query(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
@@ -402,6 +411,87 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks: purchases joined to the
+    same user's clicks from the preceding hour.
+
+    Both sides are genuine streams; the time-range conjunct bounds how
+    long each side's rows stay in join state, and the watermarks let the
+    engine evict state it can no longer match — THE mechanism that makes
+    an unbounded stream-stream join runnable forever. Executed with each
+    side as a single availableNow batch so the inner-join output is the
+    complete pair set (the batch interval join, i.e. the oracle); the
+    watermark/eviction machinery is still fully engaged in the plan.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = scratch_dir(f"stream_ssj_{next(_sink_counter)}")
+    cols = ["event_id", "ts", "user_id"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(*cols)
+    clicks = ev.filter(F.col("event_type") == "click").select(*cols)
+    purchases.coalesce(1).write.mode("overwrite").parquet(f"{base}/p")
+    clicks.coalesce(1).write.mode("overwrite").parquet(f"{base}/c")
+
+    p_stream = (
+        spark.readStream.schema(purchases.schema)
+        .parquet(f"{base}/p")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+        )
+    )
+    c_stream = (
+        spark.readStream.schema(clicks.schema)
+        .parquet(f"{base}/c")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user_id"),
+        )
+    )
+    joined = p_stream.join(
+        c_stream,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    name = f"stream_sink_{next(_sink_counter)}"
+    # The join key-space here is tiny; state-store count == shuffle
+    # partitions and each store pays fixed setup/commit cost per batch,
+    # so run the stateful query on few partitions (sized to key volume,
+    # not cluster width — at scale you'd RAISE this, it's baked into the
+    # checkpoint). Restore the session conf afterwards.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.select("purchase_id", "click_id", "user_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 # The stateful kernel ships to executors; serialize this module by value so

@@ -140,3 +140,46 @@ def udtf_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+@query(
+    "udtf_python_native",
+    oracle="""
+    SELECT doc_id, tok AS word, length(tok) AS wlen
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+        WHERE doc_id < 50
+    )
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native Python UDTF (``@udtf`` class, LATERAL-applied):
+    1->N tokenization with a per-row Python generator.
+
+    Contrast with ``udtf_flatmap``: the class-based UDTF is the
+    user-facing API (registerable, callable from SQL, supports
+    ``analyze()`` for polymorphic schemas) but crosses Python per ROW;
+    ``mapInPandas`` crosses per Arrow BATCH and stays the hot-path
+    choice. Both appear here deliberately so the trade-off is measured,
+    not assumed (see bench.py output for the gap).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class Tokens:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                if t:
+                    yield t, len(t)
+
+    spark.udtf.register("tokens_udtf", Tokens)
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.wlen
+        FROM _udtf_docs d, LATERAL tokens_udtf(d.text) t
+        """
+    )

@@ -1,0 +1,80 @@
+"""Cost-based-optimizer and partition-pruning behavior, driven end-to-end.
+
+These pin the two optimizer behaviors that only show up when the engine is
+wired to real table metadata (not just in-memory frames):
+
+- ANALYZE TABLE statistics flow into join planning: a table that LOOKS
+  large by file size but is small after stats gets broadcast once stats
+  exist (the CBO path the reference delegated to Athena/Presto).
+- Partition-pruned reads: a partitionBy-written dataset filtered on the
+  partition column must show PartitionFilters and touch only matching
+  directories — at 100 TB this is reading 1/N of the lake instead of N/N.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.paths import scratch_dir
+from dataengineeringutils_spark.tables import table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_analyze_stats_enable_broadcast(spark, sf_dir):
+    # DROP TABLE clears the (session-local) metastore entry, but the
+    # managed-table directory in spark-warehouse/ survives across
+    # sessions and blocks the next saveAsTable — remove both.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cbo_orders", "cbo_custkeys"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable("cbo_orders")
+    # A projected one-column table: small, but Spark only knows that
+    # from stats (file-size estimates are conservative upper bounds).
+    table(spark, sf_dir, "customer").select("c_custkey").limit(500).write.mode(
+        "overwrite"
+    ).saveAsTable("cbo_custkeys")
+
+    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE cbo_custkeys COMPUTE STATISTICS")
+
+    j = spark.table("cbo_orders").join(
+        spark.table("cbo_custkeys"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan, plan.split("\n\n")[0]
+
+    row = spark.sql("DESC EXTENDED cbo_custkeys").filter(
+        F.col("col_name") == "Statistics"
+    ).collect()
+    assert row and "rows" in row[0]["data_type"], row
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir):
+    out = scratch_dir("pruning_orders")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    # The pruned read must constrain o_year inside PartitionFilters.
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_year" in pf, plan
+    # And the data filter list must NOT need o_year (it never hits rows).
+    assert df.count() == o.filter(F.col("o_year") == 1995).count()
