@@ -41,6 +41,11 @@ def main() -> int:
     # warm the JVM + file listing once with the flagship query
     qs["agg_group_sums"](spark, sf_dir).count()
 
+    # Optional subset: `python bench.py name [name ...]` for fast local
+    # iteration on specific ops; the driver's no-arg run times everything.
+    if len(sys.argv) > 1:
+        qs = {n: qs[n] for n in sys.argv[1:]}
+
     per_query: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         best = float("inf")

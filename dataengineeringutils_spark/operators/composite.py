@@ -207,3 +207,144 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution.
+
+    The classic outer-join-then-double-aggregate: customers must survive
+    with zero orders (LEFT join, and the priority predicate lives in the
+    join CONDITION, not a WHERE — a WHERE would silently turn the join
+    inner). First aggregate is per-customer COUNT of the non-null join
+    side; second collapses to the distribution, whose cardinality is the
+    max order count per customer — tiny at any scale, so the second
+    shuffle is negligible and the plan cost is the first join, which
+    shuffles both sides on custkey (customer is broadcast-size here, and
+    AQE will pick that up at runtime).
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q17_shape",
+    oracle="""
+    SELECT COUNT(*) AS n_small_orders,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (small-quantity orders
+    vs the part's own average).
+
+    Written as the user writes it — a correlated ``(SELECT AVG ...)`` in
+    the predicate — and left to Catalyst's decorrelation, which rewrites
+    it into an aggregate-then-join: one per-partkey AVG over lineitem,
+    joined back on partkey. That rewrite is the scalable plan (a naive
+    per-row re-scan would be O(rows × table)); expressing it via SQL here
+    pins that the ENGINE does the decorrelation, not the author. The
+    quantity comparison is exact cross-engine: quantities are small
+    integers stored as doubles, so SUM/COUNT/AVG are bit-identical.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_small_orders,
+               ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM q17_lineitem l
+        JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.5 * AVG(l2.l_quantity)
+              FROM q17_lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "tpch_q18_shape",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+           SUM(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via IN-subquery with HAVING.
+
+    The ``IN (SELECT ... HAVING)`` qualifier becomes a LEFT SEMI join
+    against a pre-aggregated key set in Catalyst — the semi side is an
+    aggregate over the same fact table, so the plan scans lineitem twice
+    but the semi probe carries only qualifying keys (tiny), making it
+    broadcastable at any realistic threshold selectivity. Top-20 by
+    price is TakeOrderedAndProject, never a global sort.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("q18_lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("q18_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("q18_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               SUM(l.l_quantity) AS sum_qty
+        FROM q18_customer c
+        JOIN q18_orders o   ON c.c_custkey = o.o_custkey
+        JOIN q18_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM q18_lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+        )
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 20
+        """
+    )

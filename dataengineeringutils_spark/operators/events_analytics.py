@@ -291,3 +291,57 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "timeseries_resample",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS bucket_day,
+           CAST(FLOOR(EXTRACT(hour FROM ts) / 6) * 6 AS INT) AS bucket_hour,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into 6-hour OHLC bars per event type.
+
+    The market-data resample shape, generalized: open/close are
+    ``min_by``/``max_by`` on the event timestamp — ONE hash aggregate,
+    no window, no self-join, and map-side partial aggregation collapses
+    each input partition to |buckets| rows before the shuffle, so at
+    100 TB the shuffle moves bucket-cardinality data (~600 rows/day
+    here), not events. The mean divides an exact decimal sum by the
+    count so both engines round the same quotient (double summation
+    order would differ in the last ulp). Fixture timestamps are unique
+    (microsecond grain), making arg_min/arg_max deterministic without a
+    composite tiebreak; production data with tied timestamps would order
+    by a (ts, event_id) struct on the Spark side.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("bucket_day"),
+            (F.floor(F.hour("ts") / 6) * 6).cast("int").alias("bucket_hour"),
+            "ts",
+            "value",
+        )
+        .groupBy("event_type", "bucket_day", "bucket_hour")
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Data-profiling operators: per-column summary statistics in one scan.
+
+The reference's conformance layer validates frames column-by-column
+against table metadata ([R] dataengineeringutils/datatypes.py,
+SURVEY.md §2.A4-A6); profiling is the observational twin of that
+contract — the report a pipeline emits BEFORE deciding a batch is sane
+(null surge, cardinality collapse, value-range drift).
+
+Scale notes (100 TB): the whole profile is ONE wide aggregate over one
+scan — no per-column scans, no collect. The multi-column exact
+COUNT(DISTINCT) planning goes through Spark's Expand (one row per
+distinct-column per input row, map-side combined before the shuffle);
+for lakehouse-wide profiling at extreme widths you would swap the exact
+distincts for ``approx_count_distinct`` and keep the identical shape —
+the exact form is kept here because the oracle can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+_NUM_COLS = ["o_custkey", "o_totalprice"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+@query(
+    "profile_summary",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice), NULL, NULL,
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+           MAX(o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+           MAX(o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders``: rows, nulls, exact distincts, ranges.
+
+    One wide aggregate computes every metric for every profiled column,
+    then a 1-row explode pivots the result to one-row-per-column — the
+    oracle's four UNION'd scans collapse to one scan + one shuffle here.
+    Numeric ranges surface as doubles and string ranges as strings
+    (separate columns) so no cross-engine number formatting is involved.
+    """
+    # Fixture tables are single parquet files -> one scan partition; the
+    # Expand (one row per distinct-column per input row) would run on a
+    # single core. Spread rows first; on a real multi-file lake the scan
+    # is already parallel and this repartition is a no-op to remove.
+    o = table(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _NUM_COLS + _STR_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    for c in _NUM_COLS:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    for c in _STR_COLS:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    row = o.agg(*aggs)
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    structs = []
+    for c in _NUM_COLS + _STR_COLS:
+        is_num = c in _NUM_COLS
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (null_s if is_num else F.col(f"{c}__min")).alias("min_str"),
+                (null_s if is_num else F.col(f"{c}__max")).alias("max_str"),
+                (F.col(f"{c}__min") if is_num else null_d).alias("min_num"),
+                (F.col(f"{c}__max") if is_num else null_d).alias("max_num"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -384,3 +384,54 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", F.col("n").desc(), "gram")
     )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS docs_with_hits,
+           SUM(n_hits) AS total_redactions,
+           SUM(length(text) - length(redacted)) AS chars_delta
+    FROM (
+        SELECT lang, text,
+               regexp_replace(text, '\\b(key|hash)\\b', '[REDACTED]', 'g')
+                   AS redacted,
+               length(regexp_extract_all(text, '\\b(key|hash)\\b')) AS n_hits
+        FROM documents
+    ) r
+    GROUP BY lang
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction over the corpus with an audit rollup per language.
+
+    The PII-scrub stage of a training-data pipeline: every document is
+    rewritten with denylisted patterns replaced, and the op emits the
+    audit counts (documents touched, total redactions, characters
+    removed) that a compliance report needs. The term lexicon here
+    stands in for the production patterns (emails, phone numbers, SSNs —
+    same ``regexp_replace`` shape, different regex). Everything is
+    codegen'd JVM regex on the scan — no Python, no shuffle until the
+    per-language rollup of 5 groups; at 100 TB the rewrite streams
+    through the scan and the audit aggregate is map-side-combined to
+    |langs| rows. The negative (chars_delta < 0) is expected: the
+    replacement token is longer than the terms it replaces.
+    """
+    pat = r"\b(key|hash)\b"
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        "lang",
+        "text",
+        F.regexp_replace("text", pat, "[REDACTED]").alias("redacted"),
+        F.regexp_count("text", F.lit(pat)).alias("n_hits"),
+    )
+    return r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0)).alias(
+            "docs_with_hits"
+        ),
+        F.sum("n_hits").alias("total_redactions"),
+        F.sum(F.length("text") - F.length("redacted")).alias("chars_delta"),
+    )

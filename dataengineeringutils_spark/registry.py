@@ -35,6 +35,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.operators.composite",
     "dataengineeringutils_spark.operators.events_analytics",
     "dataengineeringutils_spark.operators.pipeline",
+    "dataengineeringutils_spark.operators.profiling",
     "dataengineeringutils_spark.functions.scalar",
     "dataengineeringutils_spark.operators.dedup",
     "dataengineeringutils_spark.operators.similarity",
