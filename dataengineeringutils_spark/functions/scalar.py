@@ -574,3 +574,57 @@ def fn_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday("ts") + 1).cast("long").alias("idow"),
         F.unix_timestamp("ts").alias("ep"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || doc_id
+                   || '?lang=' || lang || '&v=1' AS url
+        FROM documents
+        WHERE doc_id < 200
+    )
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: construct, then decompose with ``parse_url``.
+
+    The fixture corpus carries no URLs, so the op builds one per document
+    from real columns and then parses it back — the parse side is the
+    operator under test (`parse_url` PROTOCOL/HOST/PATH/QUERY plus keyed
+    query-parameter extraction), the Spark-native path for log/clickstream
+    crawl pipelines. `parse_url` is a JVM builtin evaluated inside
+    codegen; the oracle decomposes the identical strings with anchored
+    regexes, pinning byte-identical components cross-engine.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    with_url = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+            F.lit("?lang="),
+            F.col("lang"),
+            F.lit("&v=1"),
+        ).alias("url"),
+    )
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.lower(F.parse_url("url", F.lit("PROTOCOL"))).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

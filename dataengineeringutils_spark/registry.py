@@ -25,6 +25,7 @@ _ORACLES: dict[str, str] = {}
 _OP_MODULES = [
     "dataengineeringutils_spark.sources.scan",
     "dataengineeringutils_spark.sources.sinks",
+    "dataengineeringutils_spark.sources.python_datasource",
     "dataengineeringutils_spark.operators.project_filter",
     "dataengineeringutils_spark.operators.joins",
     "dataengineeringutils_spark.operators.asof",

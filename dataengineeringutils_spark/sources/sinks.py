@@ -200,3 +200,45 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.coalesce(F.col("o_year").cast("long"), F.lit(0))).alias("sum_year_new"),
     )
+
+
+@query(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem as ORC, read back, aggregate — the ORC leg of the
+    format surface (the reference's Athena tables are parquet-or-ORC;
+    [R] dataengineeringutils/basic_utils.py format dispatch).
+
+    ORC is the one columnar alternative Spark ships natively (no extra
+    package): same predicate-pushdown/column-pruning machinery as the
+    parquet scan, different encoder. The written files carry min/max
+    stripe statistics exactly like parquet row groups, so the pruning
+    story at 100 TB is unchanged. The oracle aggregates the ORIGINAL
+    parquet — the checked property is exact value preservation through
+    the ORC encode/decode, including decimal sums over every row.
+    """
+    out = scratch_dir("sink_orc_lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
