@@ -532,3 +532,129 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    seed_ids AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM dims ORDER BY vec_id LIMIT 4)
+    ),
+    cent0 AS (
+        SELECT s.cid, d.i, d.x AS c
+        FROM dims d JOIN seed_ids s ON d.vec_id = s.vec_id
+    ),
+    d1 AS (
+        SELECT d.vec_id, c.cid, SUM((d.x - c.c) * (d.x - c.c)) AS dst
+        FROM dims d JOIN cent0 c ON d.i = c.i
+        GROUP BY d.vec_id, c.cid
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dst, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    cent1 AS (
+        SELECT a.cid, d.i, ROUND(AVG(d.x), 6) AS c
+        FROM dims d JOIN a1 a ON d.vec_id = a.vec_id
+        GROUP BY a.cid, d.i
+    ),
+    d2 AS (
+        SELECT d.vec_id, c.cid, SUM((d.x - c.c) * (d.x - c.c)) AS dst
+        FROM dims d JOIN cent1 c ON d.i = c.i
+        GROUP BY d.vec_id, c.cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid, dst FROM (
+            SELECT vec_id, cid, dst,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dst, cid) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           COUNT(*) AS n_members,
+           ROUND(AVG(SQRT(dst)), 4) AS avg_dist
+    FROM a2
+    GROUP BY cid
+    ORDER BY cid
+    """,
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's algorithm), K=4, two fixed iterations, fully in
+    exploded (vec_id, dim) space — the iterative-algorithm pattern on
+    DataFrames.
+
+    Each iteration is: (1) distance of every vector to every centroid via
+    a join on the DIMENSION key (centroid frame is K x dims = 256 rows —
+    broadcast at any K that fits a sketch), (2) argmin assignment via a
+    per-vector window, (3) centroid update as a (cid, dim) hash agg.
+    Nothing ever touches the driver and no array is rebuilt, so the same
+    plan runs at any corpus size and any dimensionality; at production
+    scale you would persist() the assignment frame between iterations and
+    loop in the driver until movement < epsilon (the loop count here is
+    fixed at 2 so the oracle can replay it as SQL CTEs). Init is the K
+    smallest vec_ids (deterministic, k-means|| in production). Updated
+    centroids round 6 dp in both engines so mean ulps can't flip the next
+    assignment; ties on distance break by cluster id.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select("vec_id", F.posexplode("embedding").alias("i0", "xf")).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    dims = dims.persist()
+
+    seed_ids = (
+        dims.select("vec_id")
+        .distinct()
+        .orderBy("vec_id")
+        .limit(4)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+        )
+    )
+    cent = (
+        dims.join(F.broadcast(seed_ids), "vec_id")
+        .select("cid", "i", F.col("x").alias("c"))
+    )
+
+    w_vec = Window.partitionBy("vec_id").orderBy("dst", "cid")
+    assign = None
+    for it in range(2):
+        d = (
+            dims.join(F.broadcast(cent), "i")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dst"))
+        )
+        assign = (
+            d.withColumn("rn", F.row_number().over(w_vec))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it == 0:
+            cent = (
+                dims.join(assign.select("vec_id", "cid"), "vec_id")
+                .groupBy("cid", "i")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+            )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg(F.sqrt("dst")), 4).alias("avg_dist"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_members", "avg_dist")
+        .orderBy("cluster_id")
+    )
