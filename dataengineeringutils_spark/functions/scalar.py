@@ -628,3 +628,62 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""
+    SELECT seg,
+           COUNT(*) AS n_rows,
+           COUNT(seg) AS n_nonnull,
+           SUM(CASE WHEN seg IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END) AS n_nullsafe_null,
+           ROUND(SUM(COALESCE(bal, 0)), 2) AS sum_bal_coalesced,
+           ROUND(SUM(bal), 2) AS sum_bal_skipnull,
+           COUNT(bal) AS n_bal
+    FROM (
+        SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        FROM customer
+    ) t
+    GROUP BY seg
+    ORDER BY seg NULLS FIRST
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family: NULLIF production, null-retaining GROUP BY,
+    COUNT(*) vs COUNT(col), null-safe equality (``<=>`` / IS NOT DISTINCT
+    FROM), aggregate null-skipping vs COALESCE imputation, NULLS FIRST
+    ordering.
+
+    The three-valued-logic corners every engine must agree on: the NULL
+    group is a real group (not dropped), SUM skips NULLs while
+    COALESCE(bal, 0) imputes them (identical here because the imputed
+    value is 0 — both columns asserted so a drifting engine fails on one
+    of them), and ``eqNullSafe`` is the only equality that is TRUE on
+    NULL = NULL. Sort order of NULLs is engine-DEFAULT-divergent (Spark
+    ASC puts them first, DuckDB last) — pinned explicitly on both sides,
+    the portable form.
+    """
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    return (
+        c.groupBy("seg")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("seg").alias("n_nonnull"),
+            F.sum(
+                F.when(F.col("seg").eqNullSafe(F.lit(None)), 1).otherwise(0)
+            ).alias("n_nullsafe_null"),
+            F.round(F.sum(F.coalesce(F.col("bal"), F.lit(0.0))), 2).alias(
+                "sum_bal_coalesced"
+            ),
+            F.round(F.sum("bal"), 2).alias("sum_bal_skipnull"),
+            F.count("bal").alias("n_bal"),
+        )
+        .orderBy(F.col("seg").asc_nulls_first())
+    )

@@ -183,3 +183,75 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL tokens_udtf(d.text) t
         """
     )
+
+
+@query(
+    "udf_arrow_quantize",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        WHERE vec_id < 500
+    ),
+    rng AS (
+        SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx
+        FROM dims GROUP BY vec_id
+    ),
+    q AS (
+        SELECT d.vec_id,
+               FLOOR((d.x - r.mn) / (r.mx - r.mn) * 127 + 0.5) AS qv,
+               d.x, r.mn, r.mx
+        FROM dims d JOIN rng r ON d.vec_id = r.vec_id
+    )
+    SELECT vec_id,
+           CAST(SUM(qv) AS BIGINT) AS sum_q,
+           ROUND(AVG(POW(x - (mn + qv * (mx - mn) / 127), 2)) * 1e6, 4)
+               AS mse_ppm
+    FROM q
+    GROUP BY vec_id
+    """,
+)
+def udf_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization via ``mapInArrow`` — the lowest-overhead
+    Python crossing (raw Arrow RecordBatches, no pandas conversion).
+
+    The storage-shrink stage of an embedding pipeline: per-vector min/max
+    affine quantization to [0, 127] plus reconstruction error, computed by
+    a numpy kernel over whole Arrow batches. ``mapInArrow`` completes the
+    engine's Python-exchange spectrum (scalar pandas_udf -> mapInPandas ->
+    applyInPandas -> Arrow-native) and is the choice when the kernel wants
+    raw buffers without pandas box/unbox overhead. Rounding uses
+    floor(v + 0.5) on BOTH sides — numpy's round() is banker's, SQL ROUND
+    is half-up; writing the tie-break explicitly is the only portable
+    form. Error is reported in ppm (×1e6) so the 4-dp round sits well
+    above double noise.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float64
+            )
+            mn = emb.min(axis=1, keepdims=True)
+            mx = emb.max(axis=1, keepdims=True)
+            scale = (mx - mn) / 127.0
+            q = np.floor((emb - mn) / (mx - mn) * 127.0 + 0.5)
+            dq = mn + q * scale
+            mse_ppm = np.round(((emb - dq) ** 2).mean(axis=1) * 1e6, 4)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(q.sum(axis=1).astype(np.int64)),
+                    pa.array(mse_ppm, type=pa.float64()),
+                ],
+                names=["vec_id", "sum_q", "mse_ppm"],
+            )
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return e.select("vec_id", "embedding").mapInArrow(
+        kernel, "vec_id long, sum_q long, mse_ppm double"
+    )
