@@ -1,0 +1,104 @@
+"""Physical-plan contracts for the round-continuation operators.
+
+Same discipline as test_explain_plans.py: each test pins the plan property
+that makes the op scale, not just that it runs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from dataengineeringutils_spark.registry import queries
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q17_correlated_subquery_is_decorrelated(spark, sf_dir):
+    df = queries()["tpch_q17_shape"](spark, sf_dir)
+    plan = _plan(df)
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate-then-join; a surviving per-row subquery node would re-scan
+    # lineitem per row.
+    assert "Subquery" not in plan, plan[:1500]
+    assert plan.count("Scan parquet") >= 2  # lineitem twice + part
+
+
+def test_q18_in_subquery_becomes_semi_join(spark, sf_dir):
+    df = queries()["tpch_q18_shape"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_left_join_survives_condition_predicate(spark, sf_dir):
+    df = queries()["tpch_q13_shape"](spark, sf_dir)
+    plan = _plan(df)
+    # The priority predicate lives in the join condition; the join must
+    # still be an outer join (a WHERE would have made it inner).
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan[:1500]
+
+
+def test_semi_reduction_probe_is_broadcast(spark, sf_dir):
+    df = queries()["join_semi_reduction"](spark, sf_dir)
+    plan = _plan(df)
+    first = plan.split("\n\n")[0]
+    assert "LeftSemi" in first
+    assert "BroadcastHashJoin" in first
+
+
+def test_timeseries_resample_single_shuffle(spark, sf_dir):
+    df = queries()["timeseries_resample"](spark, sf_dir)
+    tree = _plan(df).split("\n\n")[0]
+    # One hash aggregate pair around ONE exchange; no window, no join.
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" not in tree
+    assert "Join" not in tree
+
+
+def test_python_datasource_plans_declared_partitions(spark, sf_dir):
+    from dataengineeringutils_spark.sources.python_datasource import (
+        NumbersDataSource,
+    )
+
+    spark.dataSource.register(NumbersDataSource)
+    df = (
+        spark.read.format("numbers_synth")
+        .option("n", "1000")
+        .option("parts", "5")
+        .load()
+    )
+    # partitions() is the parallelism contract: 5 InputPartitions -> 5 tasks.
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+
+
+def test_arrow_quantize_crosses_python_once(spark, sf_dir):
+    df = queries()["udf_arrow_quantize"](spark, sf_dir)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInArrow") == 1, tree
+    # No pandas-path nodes: this op is the raw-Arrow crossing.
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_profile_summary_is_single_scan(spark, sf_dir):
+    df = queries()["profile_summary"](spark, sf_dir)
+    tree = _plan(df).split("\n\n")[0]
+    # One scan feeds every per-column metric (the oracle needs four).
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Expand" in tree  # multi-distinct planning
+
+
+def test_kmeans_stays_jvm_side(spark, sf_dir):
+    df = queries()["sim_kmeans_lloyd"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # centroid joins broadcast
