@@ -345,3 +345,57 @@ def timeseries_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences.
+
+    ``lag`` over (user_id, ts) forms the bigrams — one shuffle on
+    user_id, partitions are independent users so the window never
+    funnels. The transition counts collapse to |types|² rows; the row
+    normalization (empirical transition probability) windows over THAT
+    aggregated frame, exactly like ratio-to-report: the expensive data
+    never sees an unpartitioned window. Timestamps are unique per user
+    (fixture grain), so the sequence order is total and both engines
+    build identical bigrams.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_prev), 6).alias("p"),
+    ).orderBy("prev_type", "next_type")
