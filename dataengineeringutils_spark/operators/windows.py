@@ -197,3 +197,62 @@ def sort_multi_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH first_day AS (
+        SELECT event_type, user_id,
+               MIN(strftime(ts, '%Y-%m-%d')) AS d
+        FROM events
+        GROUP BY event_type, user_id
+    ),
+    new_per_day AS (
+        SELECT event_type, d, COUNT(*) AS n_new
+        FROM first_day GROUP BY event_type, d
+    )
+    SELECT event_type, d AS day,
+           n_new,
+           CAST(SUM(n_new) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+    FROM new_per_day
+    ORDER BY event_type, day
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user count per event type by day — the
+    rewrite for ``COUNT(DISTINCT) OVER``, which no engine supports as a
+    running window.
+
+    A distinct count is a running SUM of first occurrences: MIN(day) per
+    (type, user) marks where each user first counts, a daily aggregate
+    collapses that to |types|×|days| rows, and the cumulative window runs
+    over THAT tiny frame. The naive alternative — collect_set over an
+    expanding window — holds every user id in every frame and dies at
+    scale; this shape shuffles events once on (type, user) and windows
+    only the aggregate. Day keys are strings on both sides (date-type
+    round-trips differ cross-engine).
+    """
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("d")
+    )
+    new_per_day = first_day.groupBy("event_type", "d").agg(
+        F.count("*").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        new_per_day.select(
+            "event_type",
+            F.col("d").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).alias("cum_distinct_users"),
+        )
+        .orderBy("event_type", "day")
+    )
