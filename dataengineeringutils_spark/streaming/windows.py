@@ -188,19 +188,63 @@ def run_streaming(
     return spark.table(name)
 
 
-@query("stream_watermark_late")  # rows-only: late-drop is streaming-execution state
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH wm0 AS (
+        SELECT MAX(ts) - INTERVAL 10 MINUTE AS v
+        FROM events WHERE event_id % 3 = 0
+    ),
+    wmf AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS v FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               COUNT(*) FILTER (event_id % 3 < 2) AS n_early,
+               COUNT(*) AS n_all
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT ws AS window_start, event_type, n_events
+    FROM (
+        SELECT ws, event_type,
+               CASE WHEN ws + INTERVAL 1 HOUR <= (SELECT v FROM wm0)
+                    THEN n_early ELSE n_all END AS n_events
+        FROM agg
+        WHERE ws + INTERVAL 1 HOUR <= (SELECT v FROM wmf)
+    )
+    WHERE n_events > 0
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B52: tumbling-window counts under a 10-minute watermark.
+    """B52: tumbling-window counts under a 10-minute watermark, with the
+    late-data drop EXACTLY oracle-checked.
 
-    The source is split by event_id parity — batch 2 replays the full time
-    range after batch 1 has already advanced the watermark to max(ts)-10min,
-    so nearly all of batch 2 is late and dropped: the late-data path is
-    genuinely exercised. Append mode emits only watermark-finalized windows.
+    Three micro-batches split by event_id mod 3; batch 2 replays the full
+    time range after the watermark has advanced, so its rows for closed
+    windows are dropped as late. The drop set is deterministic because
+    the harness is (one file per batch, ``maxFilesPerTrigger=1``,
+    oldest-first) and because the effective watermark follows measured
+    Spark 4 micro-batch semantics, pinned here by experiment:
+
+    - the watermark FILTERING batch N is derived from data through batch
+      N-2 (one batch of lag beyond the documented through-N-1: the next
+      batch is planned before the prior commit's watermark update lands),
+      so batch 0 and batch 1 run unfiltered and batch 2 is filtered by
+      wm0 = max(ts of batch 0) - 10min;
+    - final emission (append mode) covers windows with
+      end <= max(all ts) - 10min.
+
+    An hour window w therefore emits iff end(w) <= max(all ts) - 10min,
+    counting only batches 0-1 when end(w) <= wm0 (batch 2 was late) and
+    all rows otherwise. Boundary ties between hour ends and µs-grain
+    watermarks cannot occur. If a Spark upgrade tightens the watermark
+    lag, this oracle breaks loudly — that is intentional: it documents
+    the exact late-data contract the engine ships with.
     """
     ev = table(spark, sf_dir, "events")
     batches = [
-        ev.filter(F.col("event_id") % 2 == 0),
-        ev.filter(F.col("event_id") % 2 == 1),
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 == 1),
+        ev.filter(F.col("event_id") % 3 == 2),
     ]
 
     def build(stream: DataFrame) -> DataFrame:
