@@ -77,18 +77,47 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL++ estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS supp_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B19: approximate distinct suppliers/parts per flag (HLL++).
+    """B19: approximate distinct suppliers/parts per flag (HLL++), with
+    the estimate-quality property value-checked.
 
     At 100 TB this is the right default for cardinality questions: fixed
-    memory per group, single pass, no expand. rows-only check — estimates
-    are engine-specific by design.
+    memory per group, single pass, no Expand. Raw HLL++ estimates are
+    engine-specific, so the hash-matched surface is the PROPERTY the
+    estimate contracts to: alongside the exact counts (oracle-matched),
+    each group asserts |approx - exact| / exact <= 5 % — Spark's default
+    rsd = 0.05. The oracle expects TRUE; a drifting sketch implementation
+    fails the gate loudly. HLL++ is seed-free and deterministic for fixed
+    input, so the booleans are stable.
     """
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    within = lambda approx, exact: (  # noqa: E731
+        (F.abs(approx - exact) / exact) <= F.lit(0.05)
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("a_supp"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_partkey").alias("a_part"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_suppliers",
+        "exact_parts",
+        within(F.col("a_supp"), F.col("exact_suppliers")).alias("supp_within_5pct"),
+        within(F.col("a_part"), F.col("exact_parts")).alias("parts_within_5pct"),
     )
 
 
