@@ -81,3 +81,46 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33: nations with customers but no suppliers (distinct EXCEPT)."""
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "set_union_drift",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    b AS (
+        SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, source
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           COUNT(n_chars) AS with_chars,
+           COUNT(source) AS with_source,
+           SUM(COALESCE(n_chars, 0)) AS sum_chars
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY lang
+    """,
+)
+def set_union_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two frames with DIFFERENT column sets combined
+    by NAME with null fill — ``unionByName(allowMissingColumns=True)``.
+
+    The real-world union: two ingestion eras of the same table where a
+    column was added/retired. Positional UNION would silently misalign
+    or reject; by-name union aligns on column identity and fills the
+    missing side with NULLs (observable downstream via COUNT(col) /
+    null-skipping aggregates — asserted per language here). Still a
+    zero-shuffle concatenation: alignment is a per-child projection.
+    """
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("n_chars").alias("with_chars"),
+        F.count("source").alias("with_source"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+    )

@@ -435,3 +435,69 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hits").alias("total_redactions"),
         F.sum(F.length("text") - F.length("redacted")).alias("chars_delta"),
     )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               length(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                   AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed-budget
+    context bins (2048 whitespace tokens) per source shard.
+
+    The pretraining batch-packing shape: documents are packed in a
+    deterministic order (doc_id within source) and a document opens bin k
+    when the tokens packed BEFORE it fill k whole budgets — a pure
+    running-sum window, no sequential driver loop, parallel across
+    sources (shards). This is streaming-order packing, not bin-packing
+    optimality: the same contract a distributed packer can honor at
+    100 TB, where each shard packs independently and bin ids offset by
+    shard. Token counts are whitespace-split sizes (same codegen
+    split/filter both engines).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
