@@ -78,3 +78,33 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir):
     assert "o_year" in pf, plan
     # And the data filter list must NOT need o_year (it never hits rows).
     assert df.count() == o.filter(F.col("o_year") == 1995).count()
+
+
+def test_dynamic_partition_pruning_subquery_in_plan(spark, sf_dir):
+    """A join between a year-partitioned fact and a filtered dim on the
+    partition column must plan a DPP filter: the fact scan's partition
+    list is decided at RUNTIME from the dim side (at 100 TB: touching
+    only the partitions the dim selects, without a literal year filter).
+    """
+    out = scratch_dir("dpp_orders")
+    o = table(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+
+    fact = spark.read.parquet(out)
+    # The dim predicate must be NON-foldable onto the join key: filtering
+    # the dim on the key itself ("d_year = 1995") gets constant-propagated
+    # into a STATIC partition filter (verified — Catalyst infers
+    # o_year = 1995 transitively and DPP never fires). Deriving the year
+    # set from an unrelated predicate leaves it runtime-only.
+    dim = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.year("o_orderdate") >= 1996)
+        .select(F.year("o_orderdate").alias("d_year"))
+        .distinct()
+    )
+    j = fact.join(dim, fact.o_year == dim.d_year).groupBy("o_year").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = j.collect()
+    assert rows and all(r["o_year"] >= 1996 for r in rows)
