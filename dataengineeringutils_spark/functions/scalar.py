@@ -687,3 +687,42 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("seg").asc_nulls_first())
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 3, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS bad_num,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+           CAST(TRY_CAST(o_orderstatus AS DATE) AS VARCHAR) AS bad_date
+    FROM orders
+    WHERE o_orderkey <= 300
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY-function family: NULL-on-error arithmetic under ANSI mode.
+
+    The engine runs ANSI mode (division by zero and malformed casts are
+    runtime ERRORS, matching DuckDB) — ``try_divide``/``try_cast`` are
+    the sanctioned per-expression escape hatch, turning the failure into
+    NULL instead of killing a 100 TB job at row three billion. Each
+    column exercises one failure class: integer-zero denominators,
+    non-numeric strings to double, a leading-digit extraction that DOES
+    cast, and a string that can never be a date (surfaced as string —
+    an all-NULL date column types differently across engines). The
+    oracle mirrors with TRY_CAST / NULLIF-guarded division.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias(
+            "safe_div"
+        ),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999.99")).cast(
+            "double"
+        ).alias("bad_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.col("o_orderstatus").try_cast("date").cast("string").alias("bad_date"),
+    )

@@ -588,3 +588,46 @@ def agg_top_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_approx_quantile_bounds",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice),
+                 2) AS exact_p50,
+           TRUE AS approx_in_bounds
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median (one-pass quantile sketch) with its accuracy
+    contract value-checked — the sketch twin of ``agg_percentiles``.
+
+    ``approx_percentile`` estimates carry a rank-error guarantee but the
+    raw value is engine- and merge-order-specific, so the hash-matched
+    surface is the PROPERTY: the estimate must lie within the exact
+    interpolated quantiles at 0.5 ± 0.01 (vastly wider than the sketch's
+    default 1e-4 rank error — the slack absorbs partial-merge order
+    wobble, scale changes, and disc-vs-cont convention gaps; a sketch
+    regression that actually matters still fails loudly). The exact p50
+    anchors the oracle alongside. At 100 TB the approximate form is the
+    right default: fixed memory, single pass, mergeable across
+    partitions; the exact one is the audit anchor.
+    """
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5)).alias("approx_p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("exact_p50"),
+        F.percentile("o_totalprice", F.lit(0.49)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.51)).alias("hi"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_p50",
+        (
+            (F.col("approx_p50") >= F.col("lo"))
+            & (F.col("approx_p50") <= F.col("hi"))
+        ).alias("approx_in_bounds"),
+    )
