@@ -100,3 +100,29 @@ def test_create_external_table_from_metadata(spark, sf_dir):
         assert spark.sql("SELECT COUNT(*) AS n FROM region_ext").collect()[0]["n"] == 5
     finally:
         catalog.drop_table(spark, "region_ext")
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    """df.observe: pipeline instrumentation without a second scan.
+
+    The conformance/audit pattern at 100 TB: row counts and quality
+    tallies are collected AS the job runs (accumulator-style, exact for
+    counts/sums) instead of re-aggregating the input. The observation
+    must not change the result."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.tables import table
+
+    obs = Observation("ingest_audit")
+    o = table(spark, sf_dir, "orders")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    out = observed.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    metrics = obs.get
+    assert metrics["n_rows"] == o.count()  # observed BEFORE the filter
+    assert metrics["bad_price"] == 0
+    assert out == o.filter(F.col("o_orderpriority") == "1-URGENT").count()
