@@ -359,3 +359,48 @@ def join_semi_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg
+        FROM customer WHERE c_custkey <= 2000
+    ),
+    s AS (
+        SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg
+        FROM customer
+    )
+    SELECT COALESCE(c.seg, '<null>') AS seg_key,
+           COUNT(*) AS n_matched
+    FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>``): NULL keys MATCH each other.
+
+    Plain equality drops every NULL-keyed row from an inner join (NULL =
+    NULL is unknown); ``eqNullSafe`` treats NULL as a value, the behavior
+    a keyed upsert or dimension lookup with optional keys usually wants.
+    Catalyst plans ``<=>`` as a HASHED join key (null-safe equality is
+    still an equi-join — no fallback to nested-loop), so the scale story
+    is identical to a plain join; the NULL bucket hashes like any other
+    key and is the one to watch for skew when optional keys dominate.
+    The output coalesces the key for display so neither engine emits a
+    NULL group label.
+    """
+    cust = table(spark, sf_dir, "customer")
+    c = cust.filter(F.col("c_custkey") <= 2000).select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+    )
+    s = cust.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg2")
+    ).distinct()
+    j = c.join(s, c.seg.eqNullSafe(s.seg2))
+    return j.groupBy(
+        F.coalesce(F.col("seg"), F.lit("<null>")).alias("seg_key")
+    ).agg(F.count("*").alias("n_matched"))
