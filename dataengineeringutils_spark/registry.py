@@ -34,6 +34,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.operators.setops",
     "dataengineeringutils_spark.operators.relational_extra",
     "dataengineeringutils_spark.operators.composite",
+    "dataengineeringutils_spark.operators.tpch_decorrelate",
     "dataengineeringutils_spark.operators.events_analytics",
     "dataengineeringutils_spark.operators.pipeline",
     "dataengineeringutils_spark.operators.profiling",

@@ -102,3 +102,61 @@ def test_kmeans_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # centroid joins broadcast
+
+
+def test_q2_min_is_window_not_self_join(spark, sf_dir):
+    df = queries()["tpch_q2_shape"](spark, sf_dir)
+    plan = _plan(df)
+    # The correlated MIN must run as a window over the already-joined
+    # rows: exactly one lineitem scan, no decorrelated second aggregate
+    # join, and the part side broadcast.
+    assert "Window" in plan, plan[:1500]
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, tree  # part + lineitem once
+    assert "BroadcastHashJoin" in tree
+
+
+def test_q4_exists_is_hashed_semi_join(spark, sf_dir):
+    df = queries()["tpch_q4_shape"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    # The shipdate inequality must ride the hash join as a condition,
+    # not force a nested-loop plan.
+    assert "NestedLoop" not in plan, plan[:1500]
+
+
+def test_q11_scalar_stays_in_plan_as_broadcast(spark, sf_dir):
+    df = queries()["tpch_q11_shape"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        plan[:1500]
+    )
+    # The initial plan shows lineitem twice, but at runtime AQE dedupes
+    # the identical per-suppkey shuffle stages: the global total is
+    # computed from the REUSED per-supp exchange, so the base table is
+    # scanned exactly once.
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final.split("\n\n")[0]
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    df = queries()["tpch_q16_shape"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "Expand" in plan or "HashAggregate" in plan  # distinct expansion
+
+
+def test_q21_has_semi_and_anti_on_same_key(spark, sf_dir):
+    df = queries()["tpch_q21_shape"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+def test_q22_anti_join_after_broadcast_threshold(spark, sf_dir):
+    df = queries()["tpch_q22_shape"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
