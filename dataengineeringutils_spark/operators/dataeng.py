@@ -1,0 +1,341 @@
+"""Warehouse-maintenance operators: the pipeline jobs around the queries.
+
+The reference's users run these as recurring jobs over the same tables
+the queries read ([R] dataengineeringutils: table-maintenance utilities
+around athena.py / s3.py per SURVEY.md §0b): dimension history builds,
+referential-integrity audits, robust-statistics cleaning, and
+concurrency profiling. Each is expressed as pure DataFrame/window ops —
+no UDFs, no driver loops — so the plans scale with the shuffle, not the
+driver.
+
+Determinism notes: timestamps are emitted as epoch microseconds
+(``unix_micros`` ↔ ``epoch_us``), money stays in DECIMAL(18,2), and no
+op divides (ratios are emitted as exact numerator/denominator pairs) —
+see the oracle-determinism rules pinned across tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+_DEC = "decimal(18,2)"
+
+
+@query(
+    "scd2_build",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type, ts,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS version
+        FROM seq
+    ),
+    runs AS (
+        SELECT user_id, CAST(version AS INT) AS version,
+               MIN(event_type) AS state,
+               epoch_us(MIN(ts)) AS valid_from_us,
+               COUNT(*) AS n_obs
+        FROM flagged GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from_us,
+           LEAD(valid_from_us)
+               OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+           n_obs,
+           (LEAD(valid_from_us)
+               OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL)
+               AS is_current
+    FROM runs
+    """,
+)
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: run-length compress each user's observed
+    state stream into [valid_from, valid_to) versions, open-ended current
+    row last.
+
+    The classic change-flag + running-sum version numbering: one shuffle
+    on user_id serves BOTH windows and the groupBy (same partitioning,
+    Catalyst reuses the exchange), and the final LEAD runs on the
+    compressed runs, not the raw stream. At 100 TB this is the standard
+    incremental-dimension build: partition by entity key, and the
+    per-entity sort is bounded by each entity's history, not the table.
+    Timestamps emitted as epoch µs; fixture ts is globally unique so
+    every ordering is total.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = flagged.groupBy("user_id", F.col("version").cast("int").alias("version")).agg(
+        F.min("event_type").alias("state"),
+        F.unix_micros(F.min("ts")).alias("valid_from_us"),
+        F.count("*").alias("n_obs"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        "n_obs",
+        F.lead("valid_from_us").over(wv).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star schema, one row per edge.
+
+    Each edge is a left-anti join from child to parent counted down to
+    one row; dimension parents (part/supplier/customer/nation) broadcast,
+    so only the child scan moves. The edges are independent jobs unioned
+    at the end — on a cluster they run concurrently and the audit costs
+    one pass over each child table. An audit that returns 0 orphans is
+    the point: it pins the invariant the join operators in this engine
+    rely on (and would catch fixture regressions).
+    """
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, edge: str) -> DataFrame:
+        orphans = child.join(
+            F.broadcast(parent), child[ckey] == parent[pkey], "left_anti"
+        )
+        return child.agg(F.count("*").alias("n_rows")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(F.lit(edge).alias("edge"), "n_rows", "n_orphans")
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    parts = [
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        audit(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"),
+    ]
+    out = parts[0]
+    for part_df in parts[1:]:
+        out = out.unionAll(part_df)
+    return out
+
+
+@query(
+    "winsorize_pct",
+    oracle="""
+    WITH bounded AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROUND(quantile_cont(o_totalprice, 0.05)
+                   OVER (PARTITION BY o_orderpriority), 2) AS p05,
+               ROUND(quantile_cont(o_totalprice, 0.95)
+                   OVER (PARTITION BY o_orderpriority), 2) AS p95
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_totalprice < p05) AS n_clipped_low,
+           COUNT(*) FILTER (WHERE o_totalprice > p95) AS n_clipped_high,
+           CAST(SUM(CAST(GREATEST(LEAST(o_totalprice, p95), p05)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+    FROM bounded
+    GROUP BY o_orderpriority
+    """,
+)
+def winsorize_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized cleaning: clamp each group's values to its own
+    [p05, p95] and report clipped counts + the robust sum.
+
+    The percentiles are computed as WINDOW aggregates over the group
+    partition — one shuffle on the group key serves the percentile and
+    the final aggregate both; no second scan, no join back. Percentile
+    bounds are rounded to the money grid (2 dp) BEFORE clamping, so the
+    clamped values are exact decimals and the sum is exact — the
+    interpolated percentile is the only cross-engine ulp source and the
+    rounding kills it. At 100 TB swap the exact percentile for
+    ``approx_percentile`` (same shape, one pass, bounded memory).
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    bounded = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percentile("o_totalprice", F.lit(0.05)).over(w), 2).alias("p05"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)).over(w), 2).alias("p95"),
+    )
+    clamped = F.greatest(F.least(F.col("o_totalprice"), F.col("p95")), F.col("p05"))
+    return bounded.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") < F.col("p05")).alias("n_clipped_low"),
+        F.count_if(F.col("o_totalprice") > F.col("p95")).alias("n_clipped_high"),
+        F.sum(clamped.cast(_DEC)).cast("double").alias("sum_winsorized"),
+    )
+
+
+@query(
+    "interval_max_concurrent",
+    oracle="""
+    WITH pts AS (
+        SELECT o_orderpriority, o_orderdate AS t, 1 AS delta FROM orders
+        UNION ALL
+        SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1 FROM orders
+    ),
+    swept AS (
+        SELECT o_orderpriority,
+               SUM(delta) OVER (PARTITION BY o_orderpriority
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM pts
+    )
+    SELECT o_orderpriority, MAX(open_now) AS max_concurrent
+    FROM swept GROUP BY o_orderpriority
+    """,
+)
+def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency profile: max simultaneously-open intervals
+    per group (orders held open 30 days).
+
+    Each interval explodes into a (+1 at start, -1 at end) pair from ONE
+    scan (array+explode, stays in codegen); a running sum ordered by
+    (t, delta) — closes before opens at the same instant, the [start,
+    end) convention — peaks at the answer. Tie groups share a delta
+    sign, so the MAX is order-independent and deterministic. One shuffle
+    on the group key; the per-group sort is the cost, exactly as an
+    interval tree would be, but expressed as a window the engine can
+    spill. This is the scalable form of "peak concurrent sessions" —
+    the naive per-timestamp COUNT self-join is O(n²).
+    """
+    o = table(spark, sf_dir, "orders")
+    pts = o.select(
+        "o_orderpriority",
+        F.explode(
+            F.array(
+                F.struct(F.col("o_orderdate").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("o_orderpriority", "pt.t", "pt.delta")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = pts.withColumn("open_now", F.sum("delta").over(w))
+    return swept.groupBy("o_orderpriority").agg(
+        F.max("open_now").alias("max_concurrent")
+    )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, value,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us)
+                     AS DECIMAL(38,2)) AS VARCHAR) AS twa_num,
+           SUM(dt_us) AS twa_den_us,
+           COUNT(*) AS n_spans
+    FROM spans
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (step interpolation): each observation holds
+    until the next one, weighted by its holding duration.
+
+    Emits the exact (numerator, denominator) pair instead of dividing —
+    values are money-grid decimals and durations are integer µs, so
+    ``Σ v·dt`` is EXACT decimal arithmetic and hash-identical across
+    engines; a division would put every user one ulp from a mismatch
+    (consumers divide at display time). The numerator crosses the
+    comparison bridge as a decimal-formatted STRING: its unscaled value
+    exceeds 2^53, where DuckDB's decimal→double conversion
+    (int→double, then /10^scale) double-rounds and drifts one ulp from
+    Spark's correctly-rounded cast. One window + one aggregate on
+    the same user_id partitioning = one shuffle. This is the standard
+    irregular-time-series average for sensor/price data, where the plain
+    AVG over-weights chatty periods.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    spans = ev.select(
+        "user_id",
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return spans.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(_DEC) * F.col("dt_us"))
+        .cast("decimal(38,2)")
+        .cast("string")
+        .alias("twa_num"),
+        F.sum("dt_us").alias("twa_den_us"),
+        F.count("*").alias("n_spans"),
+    )

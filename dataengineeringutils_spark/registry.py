@@ -36,6 +36,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.operators.composite",
     "dataengineeringutils_spark.operators.tpch_decorrelate",
     "dataengineeringutils_spark.operators.events_analytics",
+    "dataengineeringutils_spark.operators.dataeng",
     "dataengineeringutils_spark.operators.pipeline",
     "dataengineeringutils_spark.operators.profiling",
     "dataengineeringutils_spark.functions.scalar",
