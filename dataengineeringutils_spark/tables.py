@@ -27,18 +27,25 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    default (PARQUET_TYPE_ILLEGAL): read it as a long via the legacy conf
-    and integer-divide to microseconds — exactly what DuckDB's parquet
-    reader does (TIMESTAMP_NS -> TIMESTAMP µs truncation), so the engines
-    see identical values.
+    ``events.ts`` has shipped in two fixture generations: TIMESTAMP(NANOS)
+    (which Spark refuses by default, PARQUET_TYPE_ILLEGAL — read as long via
+    the legacy conf and integer-divide to µs, matching DuckDB's ns→µs
+    truncation) and plain TIMESTAMP(MICROS)/NTZ. Branch on the type the scan
+    actually yields so both eras produce an identical TimestampType column.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
     if name == "events":
+        from pyspark.sql.types import LongType, TimestampType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if not isinstance(ts_type, TimestampType):
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
