@@ -726,3 +726,40 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
         F.col("o_orderstatus").try_cast("date").cast("string").alias("bad_date"),
     )
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%07d', p_partkey) AS key_pad,
+           printf('%x', p_partkey) AS key_hex,
+           printf('%o', p_partkey) AS key_oct,
+           printf('%s#%03d', p_brand, p_partkey % 1000) AS brand_tag,
+           printf('%5d|', p_size) AS size_ralign,
+           printf('%-5d|', p_size) AS size_lalign
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B163: printf-style formatting family (``format_string``).
+
+    Integer conversions only (%d/%x/%o, width/zero-pad/left-align flags):
+    float conversions are deliberately excluded because %f rounding modes
+    differ across engines (Java Formatter HALF_UP vs C half-even) — that's
+    a documented cross-engine trap, not a missing feature (fn_cast covers
+    numeric rendering via CAST). Pure codegen JVM builtin, no UDF.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.format_string("%07d", "p_partkey").alias("key_pad"),
+        F.format_string("%x", "p_partkey").alias("key_hex"),
+        F.format_string("%o", "p_partkey").alias("key_oct"),
+        F.format_string(
+            "%s#%03d", F.col("p_brand"), F.col("p_partkey") % 1000
+        ).alias("brand_tag"),
+        F.format_string("%5d|", "p_size").alias("size_ralign"),
+        F.format_string("%-5d|", "p_size").alias("size_lalign"),
+    )

@@ -339,3 +339,50 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dt_us").alias("twa_den_us"),
         F.count("*").alias("n_spans"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        FROM events
+    )
+    SELECT user_id,
+           ROUND(value, 2) AS final_value,
+           event_type AS last_change,
+           n_changes
+    FROM latest
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B162: batch CDC apply — collapse a changelog into current state.
+
+    Debezium-style semantics over the events changelog: every non-'error'
+    event upserts the key's value, 'error' tombstones it; the table's
+    current state is each key's LAST change (deleted keys absent). One
+    ``max_by`` over a composite (ts, event_id) order key does it in a
+    single hash aggregate — no window, no row_number shuffle-then-filter:
+    the aggregate carries one candidate row of state per key, so a key
+    with a billion changes costs the same merge as a key with two. This is
+    the snapshot-rebuild half of the streaming upsert op
+    (stream_upsert_latest, B114).
+    """
+    ev = table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    state = ev.groupBy("user_id").agg(
+        F.max_by("value", ord_key).alias("last_value"),
+        F.max_by("event_type", ord_key).alias("last_change"),
+        F.count("*").alias("n_changes"),
+    )
+    return state.filter(F.col("last_change") != "error").select(
+        "user_id",
+        F.round("last_value", 2).alias("final_value"),
+        "last_change",
+        "n_changes",
+    )

@@ -1,0 +1,159 @@
+"""Mergeable-sketch aggregates (B158-B160): Apache DataSketches via Spark 4.
+
+The 100 TB story: sketches are *mergeable summaries* — each executor builds a
+small fixed-size sketch over its partition, the shuffle moves sketches (KB)
+instead of raw keys (GB), and a second-level aggregate merges them. This is
+the only way COUNT(DISTINCT)-class questions stay one-pass at cluster scale,
+and it composes with rollups: sketches built per fine bucket (month) can be
+re-merged to any coarser bucket (year) without rescanning the fact table.
+
+Estimates are deterministic for a given input (DataSketches HLL/theta hash
+values, no RNG at query time; register/KLL-compaction merges are
+order-insensitive), but *engine-specific* — so the declared outputs carry
+the EXACT values plus an accuracy-contract boolean, and the DuckDB oracle
+asserts the same exact values with the contract literally TRUE. A false
+boolean on the Spark side hash-mismatches the oracle and fails the gate.
+
+Reference locus: the reference reaches approx-distinct only via Athena
+(Presto ``approx_distinct``), [R] dataengineeringutils/athena.py
+(SURVEY.md §0 citation scheme).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+
+@query(
+    "agg_sketch_hll_merge",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def agg_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B158: two-level HLL distinct — per-month sketches union-merged to years.
+
+    Level 1 builds one HLL sketch per (year, month) — at scale this is the
+    map-side partial; level 2 merges 12 sketches per year with
+    ``hll_union_agg``. The exact count (for the contract) is computed in the
+    same job; at 100 TB you would *only* run the sketch path.
+    HLL lgConfigK=12 → rsd ≈ 1.6 %, so the 5 % contract is ~3σ.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_custkey",
+    )
+    partials = o.groupBy("o_year", "o_month").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = partials.groupBy("o_year").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy("o_year").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(merged, "o_year").select(
+        "o_year",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "agg_sketch_kll_quantile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2)
+               AS p50_exact,
+           TRUE AS within_rank_bounds
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B159: mergeable quantile sketch — two KLL partials merged, p50 queried.
+
+    Splits the fact table into two shards (even/odd orderkey — stand-ins for
+    two executors' partitions), builds one KLL(double) sketch per
+    (priority, shard), then merges the pair with the binary
+    ``kll_sketch_merge_double`` and reads the median off the merged sketch.
+    Contract: the sketch median must land between the exact p40 and p60
+    (KLL k=200 rank error ≈ 1.65 % ≪ the ±10 % rank window).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("o_orderkey") % 2).alias("shard"),
+    )
+    partials = o.groupBy("o_orderpriority", "shard").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    wide = partials.groupBy("o_orderpriority").pivot("shard", [0, 1]).agg(
+        F.first("sk")
+    )
+    est = wide.select(
+        "o_orderpriority",
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_merge_double(F.col("0"), F.col("1")), F.lit(0.5)
+        ).alias("p50_est"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.4)).alias("p40"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.6)).alias("p60"),
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority",
+        F.round("p50", 2).alias("p50_exact"),
+        F.col("p50_est").between(F.col("p40"), F.col("p60")).alias(
+            "within_rank_bounds"
+        ),
+    )
+
+
+@query(
+    "agg_sketch_theta_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS d,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def agg_sketch_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B160: theta-sketch daily distinct users (set-expression-capable family).
+
+    Theta sketches carry a retained-key sample, so beyond union they support
+    intersection/difference estimates — the family you reach for when the
+    question becomes "users who did A but not B". Below its nominal-entries
+    threshold (lgK=12 → 4096) the sketch is in exact mode, so the 5 %
+    contract is conservative at every fixture scale AND at 100 TB.
+    """
+    e = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    )
+    g = e.groupBy("d").agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return g.select(
+        "d",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )

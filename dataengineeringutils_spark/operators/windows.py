@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dataengineeringutils_spark.exprs import MONEY
+from dataengineeringutils_spark.exprs import MONEY, money_sum, o_money_sum
 from dataengineeringutils_spark.registry import query
 from dataengineeringutils_spark.tables import table
 
@@ -255,4 +255,63 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(w).alias("cum_distinct_users"),
         )
         .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "win_fill_forward",
+    oracle=f"""
+    WITH nulled AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type <> 'error' THEN value END AS v
+        FROM events
+    ), filled AS (
+        SELECT user_id, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_filled
+        FROM nulled
+    )
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE v IS NULL AND v_filled IS NOT NULL)
+               AS n_filled,
+           {o_money_sum('v_filled')} AS sum_filled
+    FROM filled
+    GROUP BY user_id
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B161: forward-fill (last-observation-carried-forward) per key.
+
+    The timeseries repair primitive: gaps (here: 'error' events, whose
+    value reading is treated as missing) inherit the most recent non-null
+    value in event order. ``last(ignorenulls=True)`` over a running rows
+    frame stays inside the window exec — one shuffle on user_id, no UDF,
+    and the frame carries a single scalar of state regardless of gap
+    length, so a key with a million-row gap costs the same as one with
+    none. Output is aggregated per user (fill count + exact decimal sum
+    of the filled series) for hash-stable comparison.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(
+            F.when(F.col("v").isNull() & F.col("v_filled").isNotNull(), 1)
+        ).alias("n_filled"),
+        money_sum("v_filled").alias("sum_filled"),
     )

@@ -39,6 +39,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.operators.dataeng",
     "dataengineeringutils_spark.operators.pipeline",
     "dataengineeringutils_spark.operators.profiling",
+    "dataengineeringutils_spark.operators.sketches",
     "dataengineeringutils_spark.functions.scalar",
     "dataengineeringutils_spark.operators.dedup",
     "dataengineeringutils_spark.operators.similarity",
