@@ -763,3 +763,47 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%5d|", "p_size").alias("size_ralign"),
         F.format_string("%-5d|", "p_size").alias("size_lalign"),
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                    ELSE lower(p_brand) END AS brand_mixed
+        FROM part
+    )
+    SELECT lower(brand_mixed) AS brand_key,
+           COUNT(*) AS n,
+           COUNT(DISTINCT brand_mixed) AS n_raw_variants
+    FROM mixed
+    GROUP BY lower(brand_mixed)
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 UTF8_LCASE) vs binary distinct.
+
+    Case-divergent spellings of one brand (synthesized: even keys UPPER,
+    odd keys lower) collapse into a single group when the grouping key
+    carries a case-insensitive collation — no lower() rewrite of the data.
+    The binary COUNT(DISTINCT) alongside shows each group still holds 2
+    raw variants. The emitted key is min(lower(...)) so the
+    representative is deterministic (the collated min alone could pick
+    either case variant — they compare equal under UTF8_LCASE).
+    """
+    p = table(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed")
+    )
+    return (
+        p.groupBy(F.collate("brand_mixed", "UTF8_LCASE").alias("brand_ci"))
+        .agg(
+            F.min(F.lower("brand_mixed")).alias("brand_key"),
+            F.count("*").alias("n"),
+            F.countDistinct(F.collate("brand_mixed", "UTF8_BINARY")).alias(
+                "n_raw_variants"
+            ),
+        )
+        .select("brand_key", "n", "n_raw_variants")
+    )

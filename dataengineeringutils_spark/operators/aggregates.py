@@ -393,3 +393,42 @@ def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("double") / F.sum("n_orders").over(w), 6
         ).alias("order_share"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med_value FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(m.med_value), 4) AS med_value,
+           ROUND(median(abs(e.value - m.med_value)), 4) AS mad_value,
+           COUNT(*) AS n
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread statistic.
+
+    Two passes by construction (MAD needs the group median before it can
+    score deviations): pass 1 is a 5-row median aggregate, broadcast back
+    onto the fact scan for pass 2 — NOT a per-row window over the whole
+    group, so the second shuffle moves pre-aggregated partials only.
+    DuckDB's built-in ``mad()`` matches median(abs(x - median(x))) exactly;
+    both engines interpolate medians as (a+b)/2.
+    """
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med_value"), 4).alias("med_value"),
+            F.round(F.median(F.abs(F.col("value") - F.col("med_value"))), 4).alias(
+                "mad_value"
+            ),
+            F.count("*").alias("n"),
+        )
+    )

@@ -74,6 +74,13 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ordering is total.
     """
     ev = table(spark, sf_dir, "events")
+    return _scd2(ev)
+
+
+def _scd2(ev: DataFrame) -> DataFrame:
+    """Run-length compress a (user_id, ts, event_type) stream into SCD2
+    [valid_from_us, valid_to_us) versions. Shared by scd2_build and the
+    point-in-time join (scd2_pit_join)."""
     w = Window.partitionBy("user_id").orderBy("ts")
     flagged = (
         ev.withColumn("prev", F.lag("event_type").over(w))
@@ -385,4 +392,71 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("last_value", 2).alias("final_value"),
         "last_change",
         "n_changes",
+    )
+
+
+@query(
+    "scd2_pit_join",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    flagged AS (
+        SELECT user_id, event_type, ts,
+               SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS version
+        FROM seq
+    ),
+    dim AS (
+        SELECT user_id, CAST(version AS INT) AS version,
+               MIN(event_type) AS state,
+               epoch_us(MIN(ts)) AS valid_from_us,
+               LEAD(epoch_us(MIN(ts)))
+                   OVER (PARTITION BY user_id ORDER BY MIN(ts)) AS valid_to_us
+        FROM flagged GROUP BY user_id, version
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           d.state AS state_at_purchase, d.version
+    FROM events p JOIN dim d ON p.user_id = d.user_id
+    WHERE p.event_type = 'purchase'
+      AND d.valid_from_us <= epoch_us(p.ts)
+      AND (d.valid_to_us IS NULL OR epoch_us(p.ts) < d.valid_to_us)
+    """,
+)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of dimension) join against an SCD2 history.
+
+    The consumption half of scd2_build: facts (purchases) join the
+    versioned dimension (SCD2 over the user's non-purchase state stream)
+    on the entity key, then the [valid_from, valid_to) window selects the
+    single version in effect at fact time. Because validity windows
+    partition the timeline, the range residual after the user_id equi-join
+    keeps at most one version per fact — so this stays a plain hashed
+    equi-join (no interval-join machinery), with per-key fan-out bounded
+    by that entity's version count, not the table size.
+    """
+    ev = table(spark, sf_dir, "events")
+    dim = _scd2(ev.filter(F.col("event_type") != "purchase")).select(
+        "user_id", "version", "state", "valid_from_us", "valid_to_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return (
+        purchases.join(dim, "user_id")
+        .filter(
+            (F.col("valid_from_us") <= F.col("ts_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("state").alias("state_at_purchase"),
+            "version",
+        )
     )

@@ -399,3 +399,68 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w_prev), 6).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(ts) AS gmax FROM events WHERE event_type = 'purchase'),
+    per_user AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(ts), ANY_VALUE(m.gmax)) AS BIGINT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        FROM events, maxd m
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT) AS r,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INT) AS f,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INT) AS m
+    FROM per_user
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring from purchases.
+
+    The fact table collapses to one row per user FIRST (exact-decimal
+    monetary sum), so the three global ntile windows — the only
+    unpartitioned windows in the engine — run over |users| rows, not
+    |events|: the scale-limiting step is bounded by the entity count.
+    All three orderings carry user_id tie-breaks for a total order.
+    """
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    per_user = (
+        ev.crossJoin(F.broadcast(gmax))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.any_value("gmax"), F.max("ts"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc()))
+        .cast("int")
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc()))
+        .cast("int")
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc()))
+        .cast("int")
+        .alias("m"),
+    )

@@ -315,3 +315,37 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_filled"),
         money_sum("v_filled").alias("sum_filled"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median per key — robust smoothing over a rows frame.
+
+    Median is not algebraic (no partial-merge form), so inside a window it
+    runs per-frame — but the frame is 7 rows, so per-row cost is constant
+    and the whole op is still one user_id shuffle + bounded per-key sort.
+    Spark's ``median`` alias refuses explicit frames; the underlying
+    ``percentile(x, 0.5)`` accepts them and is the same expression. Even
+    frames interpolate the two middle values as (a+b)/2 in both engines —
+    a single deterministic double op, rounded to 4 dp by convention.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med7"),
+    )
