@@ -432,3 +432,42 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wsum,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wtotal,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted average as a decimal numerator/denominator pair.
+
+    Quantity-weighted mean price: both the weighted sum and the weight
+    total accumulate in exact decimal (order-independent across partial
+    merges), and the only floating op is ONE double division at the end —
+    so the result is bit-identical across engines and run-to-run, with no
+    rounding convention needed. The num/den pair is also emitted: at
+    scale that's what you store, because pairs re-merge (e.g. daily →
+    monthly) while finished averages don't.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    num = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("double")
+    den = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        num.alias("wsum"),
+        den.alias("wtotal"),
+        (num / den).alias("weighted_avg_price"),
+    )

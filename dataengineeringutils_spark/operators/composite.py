@@ -14,7 +14,7 @@ CostBasedJoinReorder can reorder the Q5 chain when table stats exist
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.exprs import money4_sum, o_money4_sum, revenue
@@ -387,4 +387,77 @@ def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(20)
+    )
+
+
+@query(
+    "orders_abc_class",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+                   AS rev
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(rev) OVER () AS total_rev
+        FROM part_rev
+    )
+    SELECT CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_rev
+    FROM ranked
+    GROUP BY abc_class
+    """,
+)
+def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification over part revenue.
+
+    Parts ranked by revenue; the top ~80 % of cumulative revenue is class
+    A, the next 15 % B, the tail C. The fact table collapses to one exact
+    decimal revenue per part FIRST, so the two global windows (running
+    and grand total) run over |parts| rows — the aggregated frame, never
+    the fact scan. Class thresholds compare cum*100 ≤ total*80 in pure
+    decimal (cross-multiplication instead of a ratio), so classification
+    is exact and engine-independent.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(22,4)"
+            )
+        ).alias("rev")
+    )
+    w_run = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = part_rev.select(
+        "rev",
+        F.sum("rev").over(w_run).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    return (
+        ranked.select(
+            "rev",
+            F.when(
+                F.col("cum_rev") * 100 <= F.col("total_rev") * 80, "A"
+            )
+            .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_rev"),
+        )
     )

@@ -464,3 +464,49 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m"),
     )
+
+
+@query(
+    "events_path_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t1 || '>' || t2 AS path,
+           COUNT(*) AS n
+    FROM seq
+    WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: top-10 3-step event paths across users.
+
+    The n-gram generalization of the transition matrix (B140): two LEADs
+    over the per-user timeline emit each consecutive triple once, then a
+    hash count + top-k heap. One user_id shuffle for the window; the
+    count aggregate is map-side combined to |distinct paths| (≤ |types|³)
+    rows, so the second exchange is tiny at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )

@@ -404,3 +404,45 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         F.coalesce(F.col("seg"), F.lit("<null>")).alias("seg_key")
     ).agg(F.count("*").alias("n_matched"))
+
+
+@query(
+    "join_existence_flag",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(*) FILTER (WHERE EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS n_with_orders,
+           COUNT(*) FILTER (WHERE NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+           )) AS n_without_orders
+    FROM customer c
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag ("mark") join: keep every row, annotate with EXISTS.
+
+    Semi/anti joins partition rows; a mark join keeps them all and adds
+    the boolean — the shape behind EXISTS in a SELECT list. Implemented
+    as a left join against the DISTINCT probe keys (distinct first, so
+    the join's build side is |keys|, not |orders|) with a null-flag
+    projection; both counts then come from one pass, instead of running
+    a semi and an anti join separately.
+    """
+    c = table(spark, sf_dir, "customer")
+    okeys = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey"))
+        .distinct()
+        .withColumn("has_order", F.lit(True))
+    )
+    marked = c.join(okeys, c.c_custkey == okeys.o_custkey, "left").select(
+        "c_nationkey", F.coalesce("has_order", F.lit(False)).alias("has_order")
+    )
+    return marked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.count(F.when(F.col("has_order"), 1)).alias("n_with_orders"),
+        F.count(F.when(~F.col("has_order"), 1)).alias("n_without_orders"),
+    )

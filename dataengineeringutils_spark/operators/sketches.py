@@ -157,3 +157,42 @@ def agg_sketch_theta_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B170: EXACT distinct via two-phase bitmap merge (Spark 4 bitmaps).
+
+    The exact counterpart of the HLL op: keys map to (bucket, bit)
+    positions, each (year, month, bucket) group ORs its bits into one
+    32 KB bitmap, bucket bitmaps merge across months with
+    ``bitmap_or_agg``, and popcounts sum per year. Unlike
+    COUNT(DISTINCT)'s Expand-based two-phase agg, the shuffle here moves
+    fixed-size bitmaps no matter how many raw keys a group holds, and
+    the month-level partials remain re-mergeable to ANY coarser rollup —
+    sketch mechanics with no approximation error.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        "o_custkey",
+    )
+    month_bitmaps = o.groupBy(
+        "o_year", "o_month", F.bitmap_bucket_number("o_custkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"))
+    year_buckets = month_bitmaps.groupBy("o_year", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return (
+        year_buckets.select("o_year", F.bitmap_count("bm").alias("c"))
+        .groupBy("o_year")
+        .agg(F.sum("c").alias("n_customers"))
+    )
