@@ -160,3 +160,62 @@ def test_q22_anti_join_after_broadcast_threshold(spark, sf_dir):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cdc_apply_is_single_aggregate_no_window(spark, sf_dir):
+    df = queries()["cdc_apply_changes"](spark, sf_dir)
+    tree = _plan(df).split("\n\n")[0]
+    # max_by collapses the changelog in ONE hash aggregate; a row_number
+    # formulation would add a Window + full sort of every key's history.
+    assert "Window" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_sketch_ops_are_two_level_aggregates(spark, sf_dir):
+    for name in ("agg_sketch_hll_merge", "agg_bitmap_distinct"):
+        df = queries()[name](spark, sf_dir)
+        tree = _plan(df).split("\n\n")[0]
+        # fine-grained partials + merge level = two aggregate pairs
+        # (sketch aggs plan as ObjectHashAggregate/SortAggregate, not
+        # plain HashAggregate). The exact-count side contributes the
+        # HashAggregates; ≥4 aggregate nodes total pins the two levels.
+        import re
+
+        n_aggs = len(re.findall(r"\w*Aggregate", tree))
+        assert n_aggs >= 4, (name, n_aggs, tree)
+
+
+def test_fill_forward_single_user_shuffle(spark, sf_dir):
+    df = queries()["win_fill_forward"](spark, sf_dir)
+    tree = _plan(df).split("\n\n")[0]
+    # window on user_id, then groupBy user_id: Catalyst must reuse the
+    # window's partitioning for the aggregate — exactly one exchange.
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree
+
+
+def test_rfm_windows_run_on_aggregated_frame(spark, sf_dir):
+    df = queries()["events_rfm_segments"](spark, sf_dir)
+    plan = _plan(df)
+    first = plan.split("\n\n")[0]
+    # the global ntile windows must sit ABOVE the per-user aggregate
+    # (window input = |users| rows, not |events|).
+    agg_pos = first.find("HashAggregate")
+    win_pos = first.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert win_pos < agg_pos, first  # formatted plan prints top-down
+
+
+def test_mad_median_join_is_broadcast(spark, sf_dir):
+    df = queries()["agg_mad_robust"](spark, sf_dir)
+    tree = _plan(df).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_basket_pairs_shuffles_on_basket_key(spark, sf_dir):
+    df = queries()["basket_pair_counts"](spark, sf_dir)
+    tree = _plan(df).split("\n\n")[0]
+    # self-join on l_orderkey must be a real equi-join (hash or sort-merge),
+    # never a nested-loop over the < residual.
+    assert "Join" in tree and "BroadcastNestedLoopJoin" not in tree, tree
+    assert "TakeOrderedAndProject" in tree
