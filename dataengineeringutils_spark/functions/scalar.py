@@ -807,3 +807,38 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("brand_key", "n", "n_raw_variants")
     )
+
+
+@query(
+    "fn_encoding",
+    oracle="""
+    SELECT p_partkey,
+           to_base64(encode(p_brand)) AS brand_b64,
+           hex(encode(p_brand)) AS brand_hex,
+           ascii(p_brand) AS first_cp,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS key_letter,
+           md5(p_brand) AS brand_md5
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-encoding family: base64 / hex / codepoint / chr / digest.
+
+    UTF-8 is pinned explicitly (``encode(..., 'UTF-8')``) so the bytes —
+    and therefore the base64/hex/digest renderings — are engine-
+    independent. Both engines render hex() digits uppercase and md5()
+    lowercase — asserted by the oracle hash-match, not normalized away.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    brand_bytes = F.encode("p_brand", "UTF-8")
+    return p.select(
+        "p_partkey",
+        F.base64(brand_bytes).alias("brand_b64"),
+        F.hex(brand_bytes).alias("brand_hex"),
+        F.ascii("p_brand").alias("first_cp"),
+        F.char(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias(
+            "key_letter"
+        ),
+        F.md5(brand_bytes).alias("brand_md5"),
+    )

@@ -242,3 +242,33 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@query(
+    "sink_rebalanced_write",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_rebalanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file-safe write: REBALANCE hint + AQE size the output files.
+
+    The chronic 100 TB sink problem is file-count pathology: shuffle
+    partitioning decides output file sizes, so a skewed or over-split
+    stage writes thousands of KB-files (or a few giant ones). The
+    REBALANCE hint inserts an AQE-optimizable exchange that splits/merges
+    partitions toward ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+    at runtime — the declarative replacement for hand-tuned
+    ``repartition(n)`` calls that go stale as data grows. Round-trip
+    aggregate proves the rebalance is semantics-preserving.
+    """
+    out = scratch_dir("sink_rebalanced_events")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.hint("rebalance").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
