@@ -57,19 +57,37 @@ def main() -> int:
         per_query[name] = round(best, 4)
 
     p50 = statistics.median(per_query.values())
+    p95 = round(sorted(per_query.values())[max(0, int(0.95 * len(per_query)) - 1)], 4)
+    full = {
+        "metric": "p50_query_seconds",
+        "value": round(p50, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "n_queries": len(per_query),
+        "p95": p95,
+    }
+    # Full per-query map goes to a file: the driver captures only the LAST
+    # 2000 chars of stdout, so the printed line must be short AND complete
+    # (round 1's single 5 KB line lost its head and parsed as null).
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:40]
+    )
     print(
         json.dumps(
             {
                 "metric": "p50_query_seconds",
                 "value": round(p50, 4),
                 "unit": "sec",
-                "queries": per_query,
+                "queries": slowest,
                 "sf": sf,
                 "n_queries": len(per_query),
-                "p95": round(
-                    sorted(per_query.values())[max(0, int(0.95 * len(per_query)) - 1)], 4
-                ),
-            }
+                "p95": p95,
+                "queries_note": "slowest 40 shown; full map in BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
     return 0

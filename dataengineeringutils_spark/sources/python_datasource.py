@@ -66,8 +66,8 @@ class NumbersDataSource(DataSource):
     oracle="""
     SELECT CAST(i % 10 AS INT) AS bucket,
            COUNT(*) AS n,
-           SUM(i) AS sum_id,
-           SUM(i * i) AS sum_sq
+           CAST(SUM(i) AS BIGINT) AS sum_id,
+           CAST(SUM(i * i) AS BIGINT) AS sum_sq
     FROM range(0, 10000) t(i)
     GROUP BY 1
     """,

@@ -46,7 +46,7 @@ DOCS_JSONL_SCHEMA = "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
     SELECT lang,
            source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang, source
     """,
@@ -167,8 +167,9 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n,
-           SUM(CASE WHEN o_orderkey % 2 = 1 THEN CAST(year(o_orderdate) AS BIGINT)
-                    ELSE 0 END) AS sum_year_new
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                         THEN CAST(year(o_orderdate) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_year_new
     FROM orders
     GROUP BY o_orderstatus
     """,
