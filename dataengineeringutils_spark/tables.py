@@ -23,6 +23,50 @@ TABLES = (
     "embeddings",
 )
 
+# Plan-object cache: spark.read.parquet does driver-side file listing +
+# footer schema read EAGERLY per call; a 176-query correctness sweep
+# re-plans the same ten fixture scans hundreds of times. DataFrames are
+# immutable, so handing back the same object is safe and keeps the plan
+# (and its pushdown/pruning) identical. Keyed by applicationId so a
+# restarted SparkContext never receives a stale plan.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TUNED: set[tuple[str, str]] = set()
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return -1.0
+
+
+def _tune_for_scale(spark: SparkSession, sf_dir: str) -> None:
+    """Size shuffle width to the DATA, not the cluster default.
+
+    A plain session ships spark.sql.shuffle.partitions=200; at sf<=0.02
+    (whole dataset ~10 MB) that is 200 near-empty tasks per exchange and
+    dominates wall time. AQE coalesces most of it back, but state stores
+    and non-AQE subplans still pay per-partition setup. Local mode only —
+    on a real cluster this knob belongs to the deployment, not the
+    library.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TUNED:
+        return
+    _TUNED.add(key)
+    # The engine's timestamp semantics are UTC (SURVEY §4): every
+    # timestamp column is an instant, rendered/compared in UTC. A plain
+    # consumer session in another zone would silently shift the
+    # TimestampNTZ cast below AND every toPandas rendering relative to
+    # the oracle, so pin it here rather than trusting session.py ran.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not spark.sparkContext.master.startswith("local"):
+        return
+    sf = _sf_of(sf_dir)
+    if 0 <= sf <= 0.02:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
@@ -35,6 +79,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _DF_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    _tune_for_scale(spark, sf_dir)
     if name == "events":
         from pyspark.sql.types import LongType, TimestampType
 
@@ -42,11 +91,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = raw.schema["ts"].dataType
         if isinstance(ts_type, LongType):
-            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if not isinstance(ts_type, TimestampType):
-            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-        return raw
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, TimestampType):
+            df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            df = raw
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _DF_CACHE[cache_key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
