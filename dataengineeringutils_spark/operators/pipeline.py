@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.operators.dedup import (
     NGRAM_ORACLE,
-    dedup_ngram_jaccard,
+    hot_shingle_stoplist,
+    ngram_jaccard_pairs,
+    shingle_rows,
     tokens_col,
 )
 from dataengineeringutils_spark.registry import query
@@ -96,7 +98,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving = flags.filter(F.col("exact_keep") & F.col("quality_ok")).select(
         "doc_id"
     )
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Production path runs CAPPED shingle blocking (stop-gram posting cap,
+    # detected on a 1/8 doc sample): identical pairs at fixture scale (max
+    # shingle df 25 < 128, pinned by test_ngram_cap) but bounded k² pair
+    # fan-out on boilerplate at 100 TB.
+    pairs = ngram_jaccard_pairs(
+        shingle_rows(spark, sf_dir),
+        stop_shingles=hot_shingle_stoplist(spark, sf_dir),
+    ).select("doc_a", "doc_b")
     drops = (
         pairs.join(surviving.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(surviving.withColumnRenamed("doc_id", "doc_b"), "doc_b")

@@ -146,6 +146,9 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIST_BUCKETS = 32  # range buckets for the distributed rank; ~cluster width
+
+
 @query(
     "win_distribution",
     oracle="""
@@ -159,19 +162,74 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B29: ntile / percent_rank / cume_dist. With a unique ordering,
-    percent_rank=(rn-1)/(n-1) and cume_dist=rn/n are exact rationals —
-    bit-identical across engines, no rounding needed."""
-    w = Window.partitionBy("o_orderstatus").orderBy(
+    """B29: ntile / percent_rank / cume_dist, scale-safe two-pass form.
+
+    ``PARTITION BY o_orderstatus`` has cardinality 3, so the naive window
+    puts a third of the fact table on ONE task — a scale-killer at 100 TB.
+    Instead: (1) one quantile pass picks ~uniform price cut-points (the
+    cuts only balance partitions; results never depend on them); (2) rows
+    get a bucket via monotonic codegen comparisons; (3) a tiny
+    (status × bucket) count aggregate yields per-bucket rank offsets and
+    group sizes, broadcast back; (4) row_number runs per (status, bucket)
+    — bounded partitions — and the global in-group rank is local rank +
+    offset. ntile/percent_rank/cume_dist are then exact integer/rational
+    closed forms of (rank, n): with a unique ordering they are
+    bit-identical to the window-function definitions (and the oracle).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    qs = [i / DIST_BUCKETS for i in range(1, DIST_BUCKETS)]
+    cuts = sorted(set(o.approxQuantile("o_totalprice", qs, 0.001)))
+    price = F.col("o_totalprice")
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (price > F.lit(c)).cast("int")
+    o = o.withColumn("bkt", bucket)
+
+    counts = o.groupBy("o_orderstatus", "bkt").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy("o_orderstatus")
+    offsets = counts.select(
+        "o_orderstatus",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_grp).alias("n"),
+    )
+    w_loc = Window.partitionBy("o_orderstatus", "bkt").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
-    o = table(spark, sf_dir, "orders")
-    return o.select(
+    rn = (F.row_number().over(w_loc) + F.col("off")).alias("rn")
+    ranked = o.join(F.broadcast(offsets), ["o_orderstatus", "bkt"]).select(
+        "o_orderkey", "o_orderstatus", "n", rn
+    )
+    # NTILE(4): first (n mod 4) tiles hold (n div 4)+1 rows, the rest
+    # (n div 4); ceil(a/b) = (a+b-1) div b keeps it all integer-exact.
+    tile = (
+        F.when(
+            F.expr("rn <= (n % 4) * ((n div 4) + 1)"),
+            F.expr("(rn + (n div 4)) div ((n div 4) + 1)"),
+        )
+        .otherwise(
+            F.expr("(n % 4) + (rn - (n % 4) * ((n div 4) + 1) + (n div 4) - 1) div (n div 4)")
+        )
+        .cast("int")
+    )
+    return ranked.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        tile.alias("quartile"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        (F.col("rn").cast("double") / F.col("n").cast("double")).alias("cd"),
     )
 
 

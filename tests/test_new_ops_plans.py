@@ -219,3 +219,18 @@ def test_basket_pairs_shuffles_on_basket_key(spark, sf_dir):
     # never a nested-loop over the < residual.
     assert "Join" in tree and "BroadcastNestedLoopJoin" not in tree, tree
     assert "TakeOrderedAndProject" in tree
+
+
+def test_win_distribution_two_pass_no_status_window(spark, sf_dir):
+    df = queries()["win_distribution"](spark, sf_dir)
+    plan = _plan(df)
+    # The rank must come from a closed form over (rank-in-bucket + offset),
+    # never a window partitioned by the cardinality-3 status column alone:
+    # no ntile/percent_rank/cume_dist window functions in the plan, and the
+    # heavy-side window keys include the range bucket.
+    assert "ntile" not in plan and "percent_rank" not in plan, plan
+    assert "cume_dist" not in plan, plan
+    assert "bkt" in plan, plan
+    # offsets frame joins back broadcast — the fact table is exchanged at
+    # most once (by (status, bucket)) on the way to its window.
+    assert "BroadcastHashJoin" in plan, plan
