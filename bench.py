@@ -46,15 +46,18 @@ def main() -> int:
     if len(sys.argv) > 1:
         qs = {n: qs[n] for n in sys.argv[1:]}
 
-    per_query: dict[str, float] = {}
-    for name, fn in sorted(qs.items()):
-        best = float("inf")
-        for _ in range(repeat):
+    # Repeats are interleaved (full pass over the suite per round, best-of
+    # across rounds) rather than back-to-back: transient host-load bursts
+    # then hit a query in at most one round instead of inflating both of
+    # its adjacent repeats.
+    per_query: dict[str, float] = {n: float("inf") for n in qs}
+    for _ in range(repeat):
+        for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 4)
+            per_query[name] = min(per_query[name], time.perf_counter() - t0)
+    per_query = {n: round(v, 4) for n, v in per_query.items()}
 
     p50 = statistics.median(per_query.values())
     p95 = round(sorted(per_query.values())[max(0, int(0.95 * len(per_query)) - 1)], 4)

@@ -1,0 +1,73 @@
+"""KeyedTable: a MERGE-upsert interface over a keyed table.
+
+The reference surface's "write latest state per key" pattern (Glue/Athena
+users re-register snapshots; lakehouse users run ``MERGE INTO``). The
+interface is the contract; the implementation here is path-versioned
+parquet swaps because this sandbox ships no Delta/Iceberg package — on a
+real deployment ``_write_version`` / ``_read_current`` collapse to one
+``MERGE INTO`` on a transactional table and nothing above them changes.
+
+Scale: each upsert is ONE key-partitioned window over (current ∪ batch) —
+Spark shuffles by key exactly once per merge; state lives in the TABLE,
+never in driver or executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class KeyedTable:
+    """Latest-row-per-key table with MERGE-style upserts.
+
+    ``keys`` identify a row; ``order_by`` columns (descending, in order)
+    decide which version of a key wins — deterministic under replay as
+    long as the ordering is a total order per key.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        keys: list[str],
+        order_by: list[str],
+    ) -> None:
+        self.spark = spark
+        self.base_path = base_path
+        self.keys = keys
+        self.order_by = order_by
+        self._version = -1
+
+    def _rank_window(self):
+        return Window.partitionBy(*self.keys).orderBy(
+            *[F.col(c).desc() for c in self.order_by]
+        )
+
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__rn", F.row_number().over(self._rank_window()))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def upsert(self, batch: DataFrame) -> None:
+        """MERGE the batch: per key, keep the winner of (current, batch).
+
+        Equivalent to ``MERGE INTO t USING batch ON keys WHEN MATCHED AND
+        batch wins THEN UPDATE WHEN NOT MATCHED THEN INSERT`` — expressed
+        as one union + one keyed window so plain parquet can run it.
+        """
+        merged = self._latest_per_key(batch)
+        if self._version >= 0:
+            merged = self._latest_per_key(self.current().unionByName(merged))
+        self._version += 1
+        merged.write.mode("overwrite").parquet(
+            f"{self.base_path}/state_v{self._version}"
+        )
+
+    def current(self) -> DataFrame:
+        """The table's current (latest-committed) version."""
+        if self._version < 0:
+            raise ValueError("KeyedTable has no committed version yet")
+        return self.spark.read.parquet(f"{self.base_path}/state_v{self._version}")

@@ -416,8 +416,11 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     score deviations): pass 1 is a 5-row median aggregate, broadcast back
     onto the fact scan for pass 2 — NOT a per-row window over the whole
     group, so the second shuffle moves pre-aggregated partials only.
-    DuckDB's built-in ``mad()`` matches median(abs(x - median(x))) exactly;
-    both engines interpolate medians as (a+b)/2.
+    The declared oracle INTENTIONALLY mirrors this explicit 2-pass
+    median-join formulation rather than DuckDB's built-in ``mad()`` —
+    the built-in has NULL-handling/typing differences for DOUBLE across
+    DuckDB versions, so do not "simplify" the oracle to it. Both engines
+    interpolate medians as (a+b)/2.
     """
     ev = table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
@@ -470,4 +473,115 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("wsum"),
         den.alias("wtotal"),
         (num / den).alias("weighted_avg_price"),
+    )
+
+
+MEDIAN_BUCKETS = 32
+
+
+@query(
+    "agg_median_twophase",
+    oracle="""
+    SELECT o_orderstatus,
+           median(o_totalprice) AS med_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median by two-phase selection — no global sort, no
+    per-group window over the full table.
+
+    Phase 1: one pass counts rows per (group, range-bucket) (cuts from a
+    cheap quantile sketch — they only balance buckets, never affect the
+    answer). The tiny counts frame locates which bucket holds each
+    group's k-th and (k+1)-th order statistics. Phase 2 sorts ONLY the
+    target buckets (~1/32 of the data) and averages the two selected
+    values — DuckDB-median (a+b)/2 interpolation, exactly. This is the
+    shape that survives 100 TB where ``median() OVER (PARTITION BY
+    3-value-group)`` cannot.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    qs = [i / MEDIAN_BUCKETS for i in range(1, MEDIAN_BUCKETS)]
+    cuts = sorted(set(o.approxQuantile("o_totalprice", qs, 0.01)))
+    price = F.col("o_totalprice")
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (price > F.lit(c)).cast("int")
+    o = o.withColumn("bkt", bucket)
+
+    counts = o.groupBy("o_orderstatus", "bkt").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy("o_orderstatus")
+    offsets = counts.select(
+        "o_orderstatus",
+        "bkt",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_grp).alias("n"),
+    )
+    # k1/k2: the one (odd n) or two (even n) order statistics the median
+    # interpolates; keep only buckets containing either.
+    targets = (
+        offsets.withColumn("k1", F.expr("(n + 1) div 2"))
+        .withColumn("k2", F.expr("(n + 2) div 2"))
+        .filter(
+            ((F.col("k1") > F.col("off")) & (F.col("k1") <= F.col("off") + F.col("cnt")))
+            | ((F.col("k2") > F.col("off")) & (F.col("k2") <= F.col("off") + F.col("cnt")))
+        )
+        .select("o_orderstatus", "bkt", "off", "k1", "k2")
+    )
+    sel = o.join(F.broadcast(targets), ["o_orderstatus", "bkt"])
+    w_loc = Window.partitionBy("o_orderstatus", "bkt").orderBy("o_totalprice")
+    ranked = sel.withColumn("rank", F.row_number().over(w_loc) + F.col("off"))
+    picked = ranked.filter((F.col("rank") == F.col("k1")) | (F.col("rank") == F.col("k2")))
+    return picked.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("med_price")
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           n AS mode_count
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY COUNT(*) DESC, o_orderpriority ASC
+               ) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC tie-break
+    (count desc, then value asc) — ``mode()`` built-ins tie-break
+    arbitrarily, which a reproducible pipeline cannot accept.
+
+    Counts first (map-side combined — the shuffle carries one row per
+    (group, value)), then a rank-1 window over the tiny counts frame.
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
     )

@@ -35,6 +35,7 @@ def asof_join(
     payload_prefix: str = "asof_",
     direction: str = "backward",
     strict: bool = False,
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the payload of the nearest
     right row within ``by`` — the greatest ``right_ts <= left_ts``
@@ -46,8 +47,15 @@ def asof_join(
     (ts): inclusive puts right rows first so the running carry sees them,
     strict puts left rows first so it doesn't. Left rows with no match
     get NULL payload. Cost is direction-independent: one shuffle + sort.
+
+    ``tolerance`` (an interval Column, e.g. ``F.expr("INTERVAL 30
+    MINUTES")``) is the pandas ``merge_asof``-style max gap: a match
+    farther than the tolerance from the probe yields NULL payload. It is
+    a residual filter on the carried match timestamp — plan unchanged.
     """
-    pay_struct: Column = F.struct(*[F.col(c) for c in payload])
+    pay_struct: Column = F.struct(
+        F.col(right_ts).alias("__mts"), *[F.col(c) for c in payload]
+    )
     l_tag = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1)).withColumn(
         "__pay", F.lit(None).cast(right.select(pay_struct.alias("p")).schema["p"].dataType)
     )
@@ -82,9 +90,21 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__carry", F.last("__pay", ignorenulls=True).over(w))
+    keep = None
+    if tolerance is not None:
+        mts = F.col("__carry").getField("__mts")
+        gap = (
+            F.col("__ts") - mts if direction == "backward" else mts - F.col("__ts")
+        )
+        keep = mts.isNotNull() & (gap <= tolerance)
+
+    def field(c: str) -> Column:
+        v = F.col("__carry").getField(c)
+        return F.when(keep, v) if keep is not None else v
+
     out = carried.filter(F.col("__side") == 1).select(
         *left_cols,
-        *[F.col("__carry").getField(c).alias(f"{payload_prefix}{c}") for c in payload],
+        *[field(c).alias(f"{payload_prefix}{c}") for c in payload],
     )
     return out
 
@@ -218,4 +238,55 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_touch_type").alias("touch_type"),
         F.col("asof_touch_ts").alias("touch_ts"),
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CASE WHEN p_ts - m_ts <= INTERVAL 30 MINUTE THEN m_ts END
+               AS asof_click_ts,
+           CASE WHEN p_ts - m_ts <= INTERVAL 30 MINUTE THEN m_value END
+               AS asof_click_value
+    FROM (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               c.ts AS m_ts, c.value AS m_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute tolerance: a click older than
+    the tolerance does not count as the purchase's antecedent (pandas
+    ``merge_asof(tolerance=...)`` parity). Same one-shuffle union+window
+    plan as ``join_asof``; the tolerance is a residual null-out on the
+    carried match timestamp."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["click_ts", "click_value"],
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_ts"),
+        F.col("asof_click_value"),
     )

@@ -460,3 +460,45 @@ def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version",
         )
     )
+
+
+@query(
+    "keyed_table_merge",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def keyed_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE-upsert through the ``KeyedTable`` interface (keyed.py):
+    two change batches applied in order, the table converging to the
+    latest row per user.
+
+    The batch twin of ``stream_upsert_latest``: same interface, no
+    streaming harness — what a scheduled "apply today's changes" job
+    calls. Each upsert is one keyed window over (current ∪ batch); on a
+    lakehouse deployment the same call is a transactional MERGE INTO.
+    """
+    from dataengineeringutils_spark.keyed import KeyedTable
+    from dataengineeringutils_spark.paths import scratch_dir
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    cutoff = row["lo"] + (row["hi"] - row["lo"]) / 2
+    kt = KeyedTable(
+        spark,
+        scratch_dir("keyed_merge"),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+    )
+    kt.upsert(ev.filter(F.col("ts") <= F.lit(cutoff)))
+    kt.upsert(ev.filter(F.col("ts") > F.lit(cutoff)))
+    return kt.current().select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

@@ -510,3 +510,103 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@query(
+    "events_dau_rolling7",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day AS day,
+           COUNT(DISTINCT u.user_id) FILTER (u.day = d.day) AS dau,
+           COUNT(DISTINCT u.user_id) AS wau7
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_dau_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-7-day actives per day — the
+    engagement pair every product dashboard runs.
+
+    Rolling DISTINCT cannot ride an ordinary window frame (distinct is
+    not frame-subtractable), so: dedup events to (day, user) ONCE —
+    collapsing |events| to at most |days|x|users| — then range-join the
+    tiny day grid (broadcast) against the dedup'd frame and count
+    distinct per anchor day. The 7x fan-out applies to the COLLAPSED
+    frame, never to raw events; at 100 TB that is the difference between
+    a dashboard query and a cluster outage.
+    """
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("anchor")).distinct()
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") >= F.col("anchor") - F.expr("INTERVAL 6 DAYS")),
+    )
+    return (
+        joined.groupBy(F.col("anchor").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("anchor"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau7"),
+        )
+    )
+
+
+@query(
+    "events_session_metrics",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    ),
+    sessions AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           MAX(n_events) AS max_session_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization metrics via batch ``session_window`` (30-min
+    gap): session count, total events, busiest session.
+
+    The first aggregate shuffles on (user, session_window) — Spark merges
+    overlapping windows in-state; the second rolls sessions up to users
+    REUSING the user_id partitioning (zero extra exchanges). The oracle
+    derives identical sessions via gaps-and-islands SQL; equality cannot
+    wobble at µs precision (see stream_session).
+    """
+    ev = table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

@@ -631,3 +631,44 @@ def agg_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("approx_p50") <= F.col("hi"))
         ).alias("approx_in_bounds"),
     )
+
+
+@query(
+    "sample_hash_uniform",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           CAST(rn AS INT) AS sample_rank
+    FROM (
+        SELECT o_orderstatus, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 5
+    """,
+)
+def sample_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-per-group sample via hash ranking: order
+    each group by md5(key) — a uniform pseudo-random permutation both
+    engines compute identically — and keep the first 5.
+
+    The reproducible alternative to ``TABLESAMPLE``/``rand()`` sampling
+    (same rows on every run, every engine, any partitioning). Catalyst
+    plans the rn<=5 filter as WindowGroupLimit: each task keeps only its
+    local top-5 per group BEFORE the shuffle, so the exchange carries
+    k rows per (task, group), not the table.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )

@@ -100,13 +100,12 @@ def agg_sketch_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = o.groupBy("o_orderpriority", "shard").agg(
         F.kll_sketch_agg_double("o_totalprice").alias("sk")
     )
-    wide = partials.groupBy("o_orderpriority").pivot("shard", [0, 1]).agg(
-        F.first("sk")
-    )
-    est = wide.select(
-        "o_orderpriority",
+    # Second-level MERGE AGGREGATE over the shard partials — the actual
+    # distributed rollup shape (any shard count, no NULL-handling cliff),
+    # unlike a 2-column pivot that breaks if a shard is ever empty.
+    est = partials.groupBy("o_orderpriority").agg(
         F.kll_sketch_get_quantile_double(
-            F.kll_sketch_merge_double(F.col("0"), F.col("1")), F.lit(0.5)
+            F.kll_merge_agg_double("sk"), F.lit(0.5)
         ).alias("p50_est"),
     )
     exact = o.groupBy("o_orderpriority").agg(

@@ -407,3 +407,47 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 4).alias("med7"),
     )
+
+
+@query(
+    "win_pct_change",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               {o_money_sum('o_totalprice')} AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT month,
+           revenue,
+           ROUND(
+               CAST(revenue - LAG(revenue) OVER (ORDER BY month) AS DOUBLE)
+                   / CAST(LAG(revenue) OVER (ORDER BY month) AS DOUBLE),
+               6
+           ) AS pct_change
+    FROM monthly
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue percent change — lag arithmetic on the
+    AGGREGATED frame.
+
+    The ORDER BY month window is unpartitioned, which is exactly right
+    here: its input is |months| rows (the aggregate collapsed the fact
+    table first), so "global window" costs nothing at any scale. Revenue
+    sums stay exact DECIMAL; only the final displayed ratio goes through
+    double + round.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("pct_change"),
+    )

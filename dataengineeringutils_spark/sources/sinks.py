@@ -273,3 +273,56 @@ def sink_rebalanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "sink_zorder_locality",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_money_sum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) = 1997 AND o_custkey % 100 < 10
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered write: interleave the bits of two filter
+    dimensions (customer bucket, order year) into one z-value, range-
+    partition + sort the write on it, then answer a two-dimensional
+    filter from the read-back.
+
+    Why it matters at 100 TB: sorting by (a, b) prunes row groups only on
+    ``a``; the z-curve keeps BOTH dimensions locally clustered, so
+    min/max row-group stats prune on either predicate — the same layout
+    trick Delta/Iceberg ``OPTIMIZE ZORDER BY`` applies. Plain parquet +
+    an 8-position bit-interleave expression is enough to get the layout;
+    the oracle checks the round-trip answers the 2-D filter exactly.
+    """
+    out = scratch_dir("sink_zorder_orders")
+    o = table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey") % 100  # 0..99 -> 7 bits
+    yr = F.year("o_orderdate") - 1992  # small year offset -> 3 bits
+    z = F.lit(0).cast("long")
+    for i in range(8):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(ck, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(yr, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    (
+        o.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        (F.year("o_orderdate") == 1997) & (F.col("o_custkey") % 100 < 10)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice").alias("sum_price"),
+    )

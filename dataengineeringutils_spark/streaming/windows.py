@@ -27,6 +27,18 @@ from dataengineeringutils_spark.tables import table
 _sink_counter = itertools.count()
 
 
+def _ts_midpoint(ev: DataFrame):
+    """Deterministic batch-split instant: midpoint of the ts range.
+
+    The split only has to be deterministic and roughly balanced — it
+    defines micro-batch membership, never the answer — so one cheap
+    min/max aggregate (parquet footer stats away from being free) beats
+    a percentile_approx sketch pass.
+    """
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    return row["lo"] + (row["hi"] - row["lo"]) / 2
+
+
 @query(
     "stream_tumbling",
     oracle=f"""
@@ -242,9 +254,8 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     batches = [
-        ev.filter(F.col("event_id") % 3 == 0),
-        ev.filter(F.col("event_id") % 3 == 1),
-        ev.filter(F.col("event_id") % 3 == 2),
+        ev.filter(F.col("event_id") % 3 == i).select("ts", "event_type")
+        for i in range(3)
     ]
 
     def build(stream: DataFrame) -> DataFrame:
@@ -293,7 +304,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct keys, not history.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    cutoff = _ts_midpoint(ev)
     batches = [
         ev.filter(F.col("ts") <= F.lit(cutoff)).select("user_id", "event_id"),
         ev.filter(F.col("ts") > F.lit(cutoff)).select("user_id", "event_id"),
@@ -330,15 +341,22 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals the plain batch per-type counts — giving this stateful
     op a full DuckDB oracle.
     """
-    ev = table(spark, sf_dir, "events")
-    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    cutoff = _ts_midpoint(ev)
     early = ev.filter(F.col("ts") <= F.lit(cutoff))
     late = ev.filter(F.col("ts") > F.lit(cutoff))
-    batches = [early.unionByName(early), late.unionByName(late)]
+    batches = [early, late]
 
     def build(stream: DataFrame) -> DataFrame:
+        # Duplicate every event WITHIN its micro-batch stream-side (an
+        # explode over two copies) instead of writing the union to the
+        # batch files — halves the file-source volume, identical state
+        # contract: both copies hit the store in the same trigger.
+        doubled = stream.withColumn(
+            "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+        ).drop("copy")
         return (
-            stream.withWatermark("ts", "1 hour")
+            doubled.withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id"])
             .select("event_id", "event_type")
         )
@@ -368,7 +386,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_nationkey").alias("nationkey")
     )
-    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    cutoff = _ts_midpoint(ev)
     batches = [
         ev.filter(F.col("ts") <= F.lit(cutoff)).select("event_id", "user_id"),
         ev.filter(F.col("ts") > F.lit(cutoff)).select("event_id", "user_id"),
@@ -396,19 +414,15 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming upsert: ``foreachBatch`` MERGE keeping each user's latest
-    event — the canonical "stream into a keyed table" pattern (a Delta/
-    Iceberg MERGE stand-in on plain parquet with versioned swaps).
-
-    Each micro-batch reduces to its per-user latest row (window rank over
-    (ts, event_id) — deterministic under replay), then merges against the
-    current state version and writes state version N+1; the final version
-    is the answer. State lives in the TABLE, not executor memory — at
-    100 TB the merge is a key-partitioned join Spark shuffles normally,
-    and the format would be Delta/Iceberg MERGE INTO for transactional
-    swaps instead of path versioning.
+    event — the canonical "stream into a keyed table" pattern, expressed
+    through the ``KeyedTable`` interface (see keyed.py: path-versioned
+    parquet here, ``MERGE INTO`` on a Delta/Iceberg deployment — the
+    streaming code below is format-agnostic either way).
     """
+    from dataengineeringutils_spark.keyed import KeyedTable
+
     ev = table(spark, sf_dir, "events")
-    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)").alias("c")).collect()[0]["c"]
+    cutoff = _ts_midpoint(ev)
     cols = ["event_id", "ts", "user_id", "value"]
     batches = [
         ev.filter(F.col("ts") <= F.lit(cutoff)).select(*cols),
@@ -419,27 +433,9 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("overwrite").parquet(f"{base}/batch={i}")
 
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    kt = KeyedTable(
+        spark, f"{base}/table", keys=["user_id"], order_by=["ts", "event_id"]
     )
-    version = {"n": -1}
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if version["n"] >= 0:
-            prev = spark.read.parquet(f"{base}/state_v{version['n']}")
-            latest = (
-                prev.unionByName(latest)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-        version["n"] += 1
-        latest.write.mode("overwrite").parquet(f"{base}/state_v{version['n']}")
 
     stream = (
         spark.readStream.schema(batches[0].schema)
@@ -447,9 +443,13 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(f"{base}/batch=*")
     )
-    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _id: kt.upsert(b))
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
-    return spark.read.parquet(f"{base}/state_v{version['n']}").select(
+    return kt.current().select(
         "user_id",
         F.col("ts").alias("last_ts"),
         F.col("event_id").alias("last_event_id"),
