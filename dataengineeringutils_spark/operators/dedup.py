@@ -658,3 +658,55 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((not_ref & (F.col("rn") > 1)).cast("long")).alias("n_dup_within"),
         F.sum((not_ref & (F.col("rn") == 1)).cast("long")).alias("n_ingested"),
     )
+
+
+@query(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {NGRAM_ORACLE}
+    ),
+    edges(a, b) AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+        FROM reach GROUP BY a
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (l.doc_id IS NULL OR l.cluster = d.doc_id)
+               AS n_survivors
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the near-dup pipeline: one SURVIVOR per connected component
+    (the cluster's minimum doc_id), everything else dropped — per-language
+    before/after counts for the dedup report.
+
+    Composes ``dedup_connected_components`` (labels are tiny: only docs
+    appearing in a pair) with one broadcast left join against the corpus;
+    docs outside any pair survive by definition. This is the operator a
+    training-data pipeline actually ships: pairs → clusters → keep list.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = d.join(
+        F.broadcast(labels.withColumnRenamed("doc_id", "l_id")),
+        d.doc_id == F.col("l_id"),
+        "left",
+    )
+    survives = F.col("l_id").isNull() | (F.col("cluster") == F.col("doc_id"))
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(survives.cast("long")).alias("n_survivors"),
+    )

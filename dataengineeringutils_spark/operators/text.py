@@ -501,3 +501,138 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+CONTAM_N = 5  # n-gram length for decontamination overlap
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> held-out "benchmark" set
+
+
+@query(
+    "text_contamination_ngram",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               doc_id % {BENCH_MOD} = 0 AS is_bench,
+               UNNEST(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {CONTAM_N - 1}, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        )
+    ),
+    contaminated AS (
+        SELECT DISTINCT c.doc_id
+        FROM grams c
+        JOIN grams b ON c.g = b.g AND b.is_bench AND NOT c.is_bench
+    )
+    SELECT d.lang,
+           COUNT(*) FILTER (d.doc_id % {BENCH_MOD} <> 0) AS n_corpus,
+           COUNT(*) FILTER (x.doc_id IS NOT NULL) AS n_contaminated
+    FROM documents d
+    LEFT JOIN contaminated x ON d.doc_id = x.doc_id
+    GROUP BY d.lang
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check: flag corpus documents sharing any
+    5-gram with the held-out benchmark slice (doc_id % 97 == 0) — the
+    overlap audit every serious LLM data pipeline runs before training.
+
+    Same blocking shape as the dedup family: hashed n-grams ARE the join
+    key (benchmark side is tiny, so the gram join is broadcast); corpus
+    grams never shuffle. Counts roll up per language for the report.
+    """
+    from dataengineeringutils_spark.operators.dedup import docs_parallel
+
+    d = docs_parallel(spark, sf_dir)
+    toks = d.select("doc_id", F.posexplode(tokens_col()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, CONTAM_N)]
+    grams = (
+        toks.select("doc_id", "tok", *lead_cols)
+        .filter(F.col(f"t{CONTAM_N - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.xxhash64("tok", *[f"t{i}" for i in range(1, CONTAM_N)]).alias("g"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    contaminated = (
+        corpus.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    flagged = docs.join(
+        contaminated.withColumnRenamed("doc_id", "c_id"),
+        docs.doc_id == F.col("c_id"),
+        "left",
+    )
+    return flagged.groupBy("lang").agg(
+        F.sum((F.col("doc_id") % BENCH_MOD != 0).cast("long")).alias("n_corpus"),
+        F.sum(F.col("c_id").isNotNull().cast("long")).alias("n_contaminated"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ),
+    totals AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
+    per_doc AS (
+        SELECT t.doc_id,
+               ROUND(AVG(ln(f.c / (SELECT n FROM totals))), 4) AS lp
+        FROM tok t JOIN freq f ON t.tok = f.tok
+        GROUP BY t.doc_id
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(p.lp AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_logprob
+    FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language-model scoring: each document's mean
+    token log-probability under the corpus unigram distribution — the
+    cheap perplexity proxy used to quality-rank raw text before training.
+
+    One token explode feeds BOTH the frequency table and the per-doc
+    average (exchange reuse); per-doc scores round to 4 dp and roll up
+    as exact DECIMAL sums so the cross-engine hash cannot wobble on
+    float merge order.
+    """
+    from dataengineeringutils_spark.operators.dedup import docs_parallel
+
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("lp"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("lp").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_logprob"),
+        )
+    )

@@ -42,6 +42,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.operators.sketches",
     "dataengineeringutils_spark.functions.scalar",
     "dataengineeringutils_spark.operators.dedup",
+    "dataengineeringutils_spark.operators.graph",
     "dataengineeringutils_spark.operators.similarity",
     "dataengineeringutils_spark.operators.text",
     "dataengineeringutils_spark.operators.multimodal",
