@@ -503,7 +503,11 @@ def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     qs = [i / MEDIAN_BUCKETS for i in range(1, MEDIAN_BUCKETS)]
-    cuts = sorted(set(o.approxQuantile("o_totalprice", qs, 0.01)))
+    # Cuts only balance bucket sizes — never the answer — so estimate them
+    # from a seeded 10% sample at loose precision: ~10x cheaper pass.
+    cuts = sorted(
+        set(o.sample(0.1, seed=7).approxQuantile("o_totalprice", qs, 0.05))
+    )
     price = F.col("o_totalprice")
     bucket = F.lit(0)
     for c in cuts:

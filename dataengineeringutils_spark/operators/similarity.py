@@ -166,8 +166,8 @@ def hyperplane_bucket(emb: str | Column, planes: list[list[float]]) -> Column:
 def _lsh_signature_kernel(it):
     """mapInPandas kernel: one numpy matmul signs ALL 16 tables' planes
     per Arrow batch — (N, 64) @ (64, 96) — instead of 96 interpreted
-    higher-order-function dot products per vector. Emits (vec, table,
-    bucket) rows, embedding carried through for the re-rank join."""
+    higher-order-function dot products per vector. Emits compact
+    (vec_id, table, bucket) rows; vectors rejoin after candidate dedup."""
     import numpy as np
     import pandas as pd
 
@@ -186,7 +186,6 @@ def _lsh_signature_kernel(it):
         yield pd.DataFrame(
             {
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
-                "embedding": np.repeat(pdf["embedding"].to_numpy(), n_tables),
                 "t": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
                 "bucket": buckets.reshape(-1),
             }
@@ -210,26 +209,31 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     math touches only the candidate set.
     """
     e = table(spark, sf_dir, "embeddings")
-    sig = e.mapInPandas(
-        _lsh_signature_kernel,
-        schema="vec_id long, embedding array<float>, t int, bucket long",
+    sig = e.select("vec_id", "embedding").mapInPandas(
+        _lsh_signature_kernel, schema="vec_id long, t int, bucket long"
     )
     q = sig.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
         F.col("t").alias("q_t"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand = (
+    # Dedup candidates on (q_id, vec_id) IDS ONLY — a distinct over the
+    # 64-float embedding arrays would shuffle vectors 16x; the vectors
+    # rejoin once per SIDE after the dedup (both joins broadcast-small).
+    cand_ids = (
         sig.join(
             F.broadcast(q),
             (F.col("t") == F.col("q_t"))
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("q_id")),
         )
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "vec_id")
         .distinct()
     )
+    q_emb = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = e.join(F.broadcast(cand_ids), "vec_id").join(F.broadcast(q_emb), "q_id")
     scored = cand.select("q_id", "vec_id", cosine("embedding", "q_emb").alias("cos_sim"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (

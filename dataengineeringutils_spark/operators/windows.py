@@ -180,7 +180,11 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     qs = [i / DIST_BUCKETS for i in range(1, DIST_BUCKETS)]
-    cuts = sorted(set(o.approxQuantile("o_totalprice", qs, 0.001)))
+    # Cuts only balance bucket sizes — never the answer — so estimate them
+    # from a seeded 10% sample at loose precision: ~10x cheaper pass.
+    cuts = sorted(
+        set(o.sample(0.1, seed=7).approxQuantile("o_totalprice", qs, 0.01))
+    )
     price = F.col("o_totalprice")
     bucket = F.lit(0)
     for c in cuts:
