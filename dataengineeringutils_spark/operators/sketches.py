@@ -195,3 +195,68 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(F.sum("c").alias("n_customers"))
     )
+
+
+CMS_KEYS = [0, 1, 2, 3, 4]  # custkeys probed against the sketch
+CMS_EPS = 0.001  # over-estimate bound: eps * N with prob >= confidence
+CMS_CONF = 0.99
+
+
+@query(
+    "agg_count_min_sketch",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS exact_n,
+           TRUE AS no_underestimate,
+           TRUE AS within_eps_bound
+    FROM orders
+    WHERE o_custkey IN (0, 1, 2, 3, 4)
+    GROUP BY o_custkey
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, property-gated like the
+    other sketch ops: build ONE mergeable CMS over all order keys
+    executor-side (``F.count_min_sketch`` is a real aggregate — partials
+    merge in the shuffle), probe 5 keys driver-side, and assert the CMS
+    contract per key: estimate >= exact (CMS never underestimates) and
+    estimate <= exact + eps*N (w.p. confidence; seed pinned, so the
+    booleans are deterministic). The oracle expects TRUE/TRUE — a
+    broken sketch or merge fails the gate loudly.
+    """
+    o = table(spark, sf_dir, "orders")
+    sk_row = o.agg(
+        F.count_min_sketch(
+            "o_custkey", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(42)
+        ).alias("sk"),
+        F.count("*").alias("n_total"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_row["sk"]))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    import pandas as pd
+
+    estimates = pd.DataFrame(
+        {
+            "o_custkey": CMS_KEYS,
+            "est": [cms.estimateCount(k) for k in CMS_KEYS],
+        }
+    )
+    # pandas -> Arrow local relation (JVM-side; no Python-worker eval)
+    est = spark.createDataFrame(estimates).select(
+        F.col("o_custkey").cast("bigint"), F.col("est").cast("bigint")
+    )
+    exact = (
+        o.filter(F.col("o_custkey").isin(CMS_KEYS))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    bound = F.lit(float(CMS_EPS)) * F.lit(sk_row["n_total"])
+    return exact.join(F.broadcast(est), "o_custkey").select(
+        "o_custkey",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("no_underestimate"),
+        ((F.col("est") - F.col("exact_n")).cast("double") <= bound).alias(
+            "within_eps_bound"
+        ),
+    )

@@ -56,3 +56,118 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_schema_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: metadata-driven read — impose declared order + types (A4+A5)."""
     return conform(table(spark, sf_dir, "customer"), CUSTOMER_META)
+
+
+NATION_CSV_SCHEMA = "n_nationkey INT, n_name STRING, n_regionkey INT"
+N_MALFORMED = 3
+
+
+@query(
+    "scan_csv_malformed",
+    oracle=f"""
+    SELECT COUNT(*) + {N_MALFORMED} AS n_rows,
+           CAST({N_MALFORMED} AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_regionkey) AS BIGINT) AS sum_regionkey
+    FROM nation
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row handling on CSV ingest: PERMISSIVE mode with a
+    ``_corrupt_record`` column — bad rows surface as NULL-typed rows
+    carrying their raw text instead of failing the job or silently
+    vanishing (the reference's conformance layer raises; an ingest
+    pipeline at 100 TB needs the quarantine-and-count shape instead).
+
+    The fixture mixes the nation table with 3 deliberately broken lines
+    (wrong arity / non-numeric key); the op reports total, corrupt, and
+    the checksum over the VALID rows only.
+    """
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.paths import scratch_dir
+    from dataengineeringutils_spark.tables import table
+
+    out = scratch_dir("scan_csv_malformed")
+    good = table(spark, sf_dir, "nation").selectExpr(
+        "concat_ws(',', n_nationkey, n_name, n_regionkey) AS line"
+    )
+    import pandas as pd
+
+    # pandas -> Arrow local relation: evaluated JVM-side; a plain Python
+    # list would round-trip through a Python worker (~seconds cold)
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line": [
+                    "not_a_number,BROKENLAND,9",
+                    "42,MISSING_FIELD",
+                    ",,,,too,many,fields",
+                ]
+            }
+        )
+    )
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        NATION_CSV_SCHEMA + ", _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(out)
+    # cache the per-row corrupt flag before aggregating: Spark forbids
+    # filtering on the corrupt column alone from a lazy plan
+    back = back.cache()
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        # PERMISSIVE still parses the salvageable fields of a corrupt row;
+        # the checksum must cover fully-valid rows only
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_regionkey"))
+        ).cast("long").alias("sum_regionkey"),
+    )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT COUNT(*) AS n_files,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    WHERE doc_id < 10
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: opaque blobs land as (path, length, content)
+    rows — the ingestion front door for image/audio corpora (the
+    multimodal ops downstream consume exactly this shape).
+
+    Ten documents are materialized as raw UTF-8 files; the scan reads
+    them back as binary and the aggregate proves length/content survive
+    byte-exactly (strlen — byte length — on the DuckDB side). At 100 TB the same
+    one-liner scan handles millions of blobs with Spark's file-listing
+    parallelism; pair with ``pathGlobFilter``/``recursiveFileLookup``
+    for layout control.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.paths import scratch_dir
+    from dataengineeringutils_spark.tables import table
+
+    out = scratch_dir("scan_binary_docs")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in docs:
+        with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return back.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.length("content")).cast("long").alias("total_bytes"),
+        F.max(F.length("content")).cast("long").alias("max_bytes"),
+    )

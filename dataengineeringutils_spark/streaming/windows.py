@@ -543,3 +543,67 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+@query(
+    "stream_session_append",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    ),
+    sessions AS (
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_last,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events
+    FROM sessions
+    WHERE session_last <= (SELECT MAX(ts) FROM events) - INTERVAL 60 MINUTE
+    """,
+)
+def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINELY STREAMED sessionization: ``session_window`` under a
+    30-minute watermark in append mode — the production shape where
+    sessions live in the state store and emit exactly once, when the
+    watermark passes their end.
+
+    Emission contract (pinned by the oracle, like stream_watermark_late):
+    with availableNow over one batch, the final watermark is
+    max(ts) - 30min, and a session emits iff its end (last event + 30min
+    gap) ≤ that watermark — i.e. session_last ≤ max(ts) - 60min. Sessions
+    still "open" near the stream head stay in state, exactly as they
+    would on a live stream. µs-grain timestamps make boundary ties
+    unobservable. State is bounded by OPEN sessions only — the watermark
+    is what makes infinite-stream sessionization runnable.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    return run_streaming(spark, [ev], "stream_sess_append", build)
