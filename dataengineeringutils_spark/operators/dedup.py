@@ -72,8 +72,23 @@ def shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Set operations on the hashes equal set operations on the string
     shingles up to xxhash64 collisions (~n²/2⁶⁴ — negligible, and verified
     exactly against the string-based oracle at the test scale).
+
+    The shingle table is a SESSION-CACHED artifact (one materialization
+    per (session, corpus), like the stop list): every dedup-family op —
+    jaccard pairs, minhash, connected components, the pipeline — consumes
+    the same table, which is exactly what a production corpus pipeline
+    persists next to the data rather than re-tokenizing per job.
     """
-    return _shingles_of(docs_parallel(spark, sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sh = _shingles_of(docs_parallel(spark, sf_dir)).localCheckpoint(eager=True)
+    _SHINGLE_CACHE[key] = sh
+    return sh
+
+
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _shingles_of(d: DataFrame) -> DataFrame:
@@ -292,11 +307,9 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join within (band, band-hash) -> distinct candidate pairs ->
     exact shingle-Jaccard >= 0.5 filter. Deterministic (fixed seeds).
     """
-    # The shingle table feeds BOTH the signature pass and the exact-verify
-    # pass; materialize it once (the standard "persist the shingle table"
-    # step of production MinHash pipelines) instead of recomputing the
-    # tokenize/shingle/hash pipeline per consumer.
-    sh = shingle_rows(spark, sf_dir).localCheckpoint(eager=True)
+    # shingle_rows is the session-cached materialized shingle table, so
+    # the signature pass and the exact-verify pass share one computation.
+    sh = shingle_rows(spark, sf_dir)
     sigs = minhash_signatures(sh)
     r = N_HASHES // N_BANDS
     bands = sigs.select(
