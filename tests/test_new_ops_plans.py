@@ -234,3 +234,37 @@ def test_win_distribution_two_pass_no_status_window(spark, sf_dir):
     # offsets frame joins back broadcast — the fact table is exchanged at
     # most once (by (status, bucket)) on the way to its window.
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    plan = _plan(queries()["tpch_q6_shape"](spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, tree  # pure scan-filter-aggregate
+
+
+def test_q8_star_broadcasts_dims(spark, sf_dir):
+    tree = _plan(queries()["tpch_q8_shape"](spark, sf_dir)).split("\n\n")[0]
+    # every dimension hop is broadcast; the only shuffle join is the
+    # lineitem⋈orders fact join
+    assert tree.count("BroadcastHashJoin") >= 5, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+def test_contamination_bench_side_broadcast(spark, sf_dir):
+    tree = _plan(queries()["text_contamination_ngram"](spark, sf_dir)).split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_median_twophase_no_global_window(spark, sf_dir):
+    plan = _plan(queries()["agg_median_twophase"](spark, sf_dir))
+    assert "median" not in plan.lower().replace("med_price", ""), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_lsh_signatures_are_arrow_batched(spark, sf_dir):
+    plan = _plan(queries()["sim_ann_lsh"](spark, sf_dir))
+    # the signature kernel must be a vectorized Arrow mapInPandas, not a
+    # per-row Python UDF
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
