@@ -842,3 +842,53 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(brand_bytes).alias("brand_md5"),
     )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    SELECT o_orderkey,
+           concat(
+               substr(h, 1, 8), '-', substr(h, 9, 4), '-',
+               substr(h, 13, 4), '-', substr(h, 17, 4), '-',
+               substr(h, 21, 12)
+           ) AS row_uuid
+    FROM (
+        SELECT o_orderkey,
+               md5(concat('orders', '|', CAST(o_orderkey AS VARCHAR), '|',
+                          CAST(o_custkey AS VARCHAR))) AS h
+        FROM orders
+    )
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (UUIDv5-style) row identifiers: md5 over a namespace
+    + natural-key tuple, formatted 8-4-4-4-12.
+
+    ``F.uuid()``/``rand()`` ids change on every run and every retry — a
+    replayed task would mint DIFFERENT ids, corrupting downstream joins.
+    Content-derived ids are the reproducible-pipeline answer, identical
+    across engines (md5 is md5) and across task retries at any scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|", F.lit("orders"), F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string")
+        )
+    )
+    uuid = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return (
+        o.select("o_orderkey", uuid.alias("row_uuid"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )

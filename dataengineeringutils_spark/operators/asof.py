@@ -36,6 +36,7 @@ def asof_join(
     direction: str = "backward",
     strict: bool = False,
     tolerance: Column | None = None,
+    carry: str = "last",
 ) -> DataFrame:
     """As-of join: for each left row, attach the payload of the nearest
     right row within ``by`` — the greatest ``right_ts <= left_ts``
@@ -52,6 +53,9 @@ def asof_join(
     MINUTES")``) is the pandas ``merge_asof``-style max gap: a match
     farther than the tolerance from the probe yields NULL payload. It is
     a residual filter on the carried match timestamp — plan unchanged.
+
+    ``carry="first"`` attaches the EARLIEST in-range right row instead of
+    the nearest (first-touch semantics): same window, ``first`` carry.
     """
     pay_struct: Column = F.struct(
         F.col(right_ts).alias("__mts"), *[F.col(c) for c in payload]
@@ -89,7 +93,10 @@ def asof_join(
         .orderBy(ts_ord, side_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn("__carry", F.last("__pay", ignorenulls=True).over(w))
+    agg_fn = F.last if carry == "last" else F.first
+    carried = unioned.withColumn(
+        "__carry", agg_fn("__pay", ignorenulls=True).over(w)
+    )
     keep = None
     if tolerance is not None:
         mts = F.col("__carry").getField("__mts")
@@ -289,4 +296,59 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("asof_click_ts"),
         F.col("asof_click_value"),
+    )
+
+
+@query(
+    "events_first_touch",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, event_type AS touch_type, ts AS touch_ts
+        FROM events
+        WHERE event_type <> 'purchase'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) = 1
+    )
+    SELECT p.event_id,
+           p.user_id,
+           CASE WHEN f.touch_ts <= p.ts THEN f.touch_type END AS touch_type,
+           CASE WHEN f.touch_ts <= p.ts THEN f.touch_ts END AS touch_ts
+    FROM events p
+    LEFT JOIN firsts f ON p.user_id = f.user_id
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST non-purchase event at or before it — the acquisition-side
+    twin of ``events_attribution`` (last-touch).
+
+    Identical one-shuffle union+window plan; the only change is the
+    carry aggregate (``first`` instead of ``last``), which is exactly why
+    the as-of machinery is a reusable operator, not a one-off query.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=["touch_type", "touch_ts"],
+        carry="first",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_touch_type").alias("touch_type"),
+        F.col("asof_touch_ts").alias("touch_ts"),
     )

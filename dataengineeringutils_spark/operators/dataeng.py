@@ -502,3 +502,61 @@ def keyed_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+INCR_CUTOFF = "1998-01-01"
+_PARTIALS_CACHE: set = set()
+
+
+@query(
+    "incr_agg_merge",
+    oracle=f"""
+    SELECT o_orderstatus,
+           year(o_orderdate) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+)
+def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: yesterday's PERSISTED partial
+    aggregates merged with today's delta — the pattern that keeps a
+    100 TB rollup current by scanning only new data.
+
+    The historical slice (< {INCR_CUTOFF}) is aggregated once per
+    session and persisted as the "materialized partial" (counts + exact
+    DECIMAL sums — both re-mergeable by construction); the delta slice
+    re-aggregates fresh each run; the merge is a second-level SUM over
+    (partials ∪ delta-partials). The oracle is the full-history
+    aggregate, proving merge(partials, delta) == recompute(all).
+    """
+    from dataengineeringutils_spark.paths import scratch_dir
+
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    o = table(spark, sf_dir, "orders")
+    grp = [F.col("o_orderstatus"), F.year("o_orderdate").alias("o_year")]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*grp).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("sum_price_dec"),
+        )
+
+    base = scratch_dir("incr_partials_" + str(abs(hash(sf_dir)) % 10**8))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARTIALS_CACHE:
+        partial(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
+            "overwrite"
+        ).parquet(base)
+        _PARTIALS_CACHE.add(key)
+    historical = spark.read.parquet(base)
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = historical.unionByName(delta).groupBy(
+        "o_orderstatus", "o_year"
+    ).agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("sum_price_dec").cast(_DEC).cast("double").alias("sum_price"),
+    )
+    return merged

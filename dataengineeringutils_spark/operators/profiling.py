@@ -100,3 +100,77 @@ def profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'totalprice_positive' AS rule,
+           COUNT(*) FILTER (NOT (o_totalprice > 0)) AS n_violations,
+           COUNT(*) FILTER (NOT (o_totalprice > 0)) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           COUNT(*) FILTER (o_custkey IS NULL),
+           COUNT(*) FILTER (o_custkey IS NULL) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_in_range',
+           COUNT(*) FILTER (NOT (o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+                                 AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')),
+           COUNT(*) FILTER (NOT (o_orderdate >= TIMESTAMP '1992-01-01 00:00:00'
+                                 AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'priority_in_set',
+           COUNT(*) FILTER (o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')),
+           COUNT(*) FILTER (o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           COUNT(*) - COUNT(DISTINCT o_orderkey),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the validate-before-publish job
+    (Great-Expectations-style) the reference's conformance layer implies:
+    range, null, domain, and uniqueness rules evaluated in ONE pass.
+
+    Row-level rules become violation-flag sums inside a single wide
+    aggregate; the uniqueness rule rides the same aggregate as
+    count - countDistinct. One scan, one shuffle of a single partial-agg
+    row per task — at 100 TB the suite costs the same as one COUNT(*).
+    The per-rule report is a 1-row explode of that aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    ok_range = (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    allowed = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    row = o.agg(
+        F.sum((~(F.col("o_totalprice") > 0)).cast("long")).alias("v_price"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("v_null"),
+        F.sum((~ok_range).cast("long")).alias("v_range"),
+        F.sum((~F.col("o_orderpriority").isin(allowed)).cast("long")).alias("v_dom"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_uniq"),
+    )
+    rules = [
+        ("totalprice_positive", "v_price"),
+        ("custkey_not_null", "v_null"),
+        ("orderdate_in_range", "v_range"),
+        ("priority_in_set", "v_dom"),
+        ("orderkey_unique", "v_uniq"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(col).alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        for name, col in rules
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
