@@ -610,3 +610,52 @@ def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@query(
+    "events_churned_users",
+    oracle="""
+    WITH bounds AS (
+        SELECT MAX(ts) - INTERVAL 7 DAY AS recent_start,
+               MAX(ts) - INTERVAL 14 DAY AS prior_start
+        FROM events
+    ),
+    prior AS (
+        SELECT DISTINCT user_id FROM events, bounds
+        WHERE ts >= prior_start AND ts < recent_start
+    ),
+    recent AS (
+        SELECT DISTINCT user_id FROM events, bounds
+        WHERE ts >= recent_start
+    )
+    SELECT p.user_id, r.user_id IS NULL AS churned
+    FROM prior p LEFT JOIN recent r ON p.user_id = r.user_id
+    """,
+)
+def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: users active in the PRIOR 7-day window
+    flagged by whether they vanished from the most recent one — the
+    retention question every growth dashboard asks.
+
+    Both activity sets collapse to DISTINCT user frames before any join
+    (|users|, not |events|); the churn flag is a left join between the
+    two collapsed sets. Window bounds are anchored to max(ts), so the op
+    is deterministic for a fixed fixture with no wall-clock dependency.
+    """
+    ev = table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+    recent_start = F.lit(hi) - F.expr("INTERVAL 7 DAYS")
+    prior_start = F.lit(hi) - F.expr("INTERVAL 14 DAYS")
+    prior = (
+        ev.filter((F.col("ts") >= prior_start) & (F.col("ts") < recent_start))
+        .select("user_id")
+        .distinct()
+    )
+    recent = (
+        ev.filter(F.col("ts") >= recent_start)
+        .select(F.col("user_id").alias("r_user"))
+        .distinct()
+    )
+    return prior.join(recent, prior.user_id == F.col("r_user"), "left").select(
+        "user_id", F.col("r_user").isNull().alias("churned")
+    )

@@ -672,3 +672,42 @@ def sample_hash_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= 5)
     )
+
+
+@query(
+    "topn_with_other",
+    oracle="""
+    WITH counts AS (
+        SELECT p_brand, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, p_brand ASC) AS rnk
+        FROM part
+        GROUP BY p_brand
+    )
+    SELECT CASE WHEN rnk <= 3 THEN p_brand ELSE 'OTHER' END AS brand_group,
+           CAST(SUM(n) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_brands
+    FROM counts
+    GROUP BY 1
+    """,
+)
+def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N categories with an OTHER rollup — the reporting pattern that
+    keeps dashboards readable when the long tail has thousands of values.
+
+    The expensive aggregate (per-category counts) happens once on the
+    fact scan; ranking and the OTHER relabel run on the tiny counts
+    frame, so the second aggregate is |categories| rows. Deterministic
+    tie-break (count desc, name asc) keeps the N-th/(N+1)-th boundary
+    stable across runs.
+    """
+    p = table(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("p_brand").asc())
+    labeled = counts.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "brand_group",
+        F.when(F.col("rnk") <= 3, F.col("p_brand")).otherwise(F.lit("OTHER")),
+    )
+    return labeled.groupBy("brand_group").agg(
+        F.sum("n").alias("n_parts"),
+        F.count("*").alias("n_brands"),
+    )
