@@ -589,3 +589,42 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_corr_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'price_qty' AS pair,
+               ROUND(CORR(l_extendedprice, l_quantity), 4) AS r
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_disc', ROUND(CORR(l_extendedprice, l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'qty_disc', ROUND(CORR(l_quantity, l_discount), 4)
+        FROM lineitem
+    )
+    SELECT pair, r FROM pairs
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over the fact table's numeric columns
+    in ONE scan — the oracle's three scans collapse to one wide aggregate
+    (each corr is a moments aggregate with map-side partials).
+
+    4-dp rounding absorbs merge-order float drift, same contract as
+    ``agg_stats``. At 100 TB the n-column matrix is n(n-1)/2 aggregates
+    in the SAME single pass — never n² scans.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("price_disc"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("qty_disc"),
+    )
+    structs = [
+        F.struct(F.lit(n).alias("pair"), F.col(n).alias("r"))
+        for n in ("price_qty", "price_disc", "qty_disc")
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
