@@ -723,3 +723,52 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(survives.cast("long")).alias("n_survivors"),
     )
+
+
+@query(
+    "dedup_minhash_estimate_quality",
+    oracle=f"""
+    WITH pairs AS (
+        {NGRAM_ORACLE}
+    )
+    SELECT doc_a, doc_b, jaccard, TRUE AS within_bound
+    FROM pairs
+    """,
+)
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality gate for MinHash: on every TRUE near-dup pair, the
+    signature-agreement estimate (matching positions / 64) must land
+    within 0.3 of the exact Jaccard — ~5x the binomial standard error of
+    a 64-hash signature, so a correct implementation never trips it but
+    a broken hash family / band indexing does, loudly.
+
+    The exact pair set and jaccard values are fully oracle-checked; the
+    estimate column is Spark-side only (hash-family-specific) and
+    surfaces through the asserted bound — same contract style as the
+    HLL/KLL/CMS gates.
+    """
+    pairs = ngram_jaccard_pairs(shingle_rows(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    sigs = minhash_signatures(shingle_rows(spark, sf_dir))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(N_HASHES)
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= 0.3).alias("within_bound"),
+        )
+    )

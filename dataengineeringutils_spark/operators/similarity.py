@@ -770,3 +770,42 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").alias("cluster_id"), "n_members", "avg_dist")
         .orderBy("cluster_id")
     )
+
+
+PAIR_OFFSET = 250  # deterministic sampled-pair stride for the histogram
+
+
+@query(
+    "sim_pair_cosine_histogram",
+    oracle=f"""
+    SELECT FLOOR(({o_cosine('a.embedding', 'b.embedding')}) * 10) / 10
+               AS cos_bucket,
+           COUNT(*) AS n_pairs
+    FROM embeddings a
+    JOIN embeddings b ON b.vec_id = a.vec_id + {PAIR_OFFSET}
+    GROUP BY 1
+    """,
+)
+def sim_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diagnostics: the distribution of pairwise cosine
+    over a deterministic LINEAR pair sample (vec i paired with i+250) —
+    the sanity histogram run before trusting any similarity threshold
+    (collapsed embeddings show up as a spike at 1.0, random ones center
+    near 0).
+
+    A stride-paired equi-join keeps the sample linear in corpus size
+    where all-pairs would be quadratic; cosine is the exact-order
+    float→double math shared with the rest of the family, so the bucket
+    edges hash-match the oracle bit-for-bit.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", F.col("embedding").alias("emb_a"))
+    b = e.select(
+        (F.col("vec_id") - PAIR_OFFSET).alias("vec_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "vec_id")
+    bucket = F.floor(cosine("emb_a", "emb_b") * 10) / 10
+    return pairs.groupBy(bucket.alias("cos_bucket")).agg(
+        F.count("*").alias("n_pairs")
+    )
