@@ -722,3 +722,54 @@ def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT spend,
+               ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS i,
+               COUNT(*) OVER () AS n
+        FROM per_cust
+    )
+    SELECT ROUND(
+               CAST(2 * SUM(i * spend) AS DOUBLE)
+                   / (ANY_VALUE(n) * CAST(SUM(spend) AS DOUBLE))
+               - CAST(ANY_VALUE(n) + 1 AS DOUBLE) / ANY_VALUE(n),
+               6
+           ) AS gini
+    FROM ranked
+    """,
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over customers — the
+    inequality metric behind "do 20% of customers drive 80% of revenue".
+
+    Gini = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend ranked ascending. The
+    expensive reduction (per-customer spend) collapses the fact table
+    first; the rank window then runs over |customers| rows. Rank products
+    accumulate in exact decimal so only the final two divisions touch
+    floats (6 dp rounding absorbs them).
+    """
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked = per_cust.select(
+        "spend", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.round(
+            (F.lit(2) * F.sum(F.col("i") * F.col("spend"))).cast("double")
+            / (F.count("*") * F.sum("spend").cast("double"))
+            - (F.count("*") + 1).cast("double") / F.count("*"),
+            6,
+        ).alias("gini")
+    )

@@ -659,3 +659,67 @@ def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prior.join(recent, prior.user_id == F.col("r_user"), "left").select(
         "user_id", F.col("r_user").isNull().alias("churned")
     )
+
+
+BOT_MIN_EVENTS = 50
+BOT_CV_THRESHOLD = 0.6  # coefficient of variation of inter-event gaps
+
+
+@query(
+    "events_bot_detection",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS gap_us
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               COUNT(*) + 1 AS n_events,
+               AVG(gap_us) AS mean_gap,
+               STDDEV_SAMP(gap_us) AS sd_gap
+        FROM gaps
+        WHERE gap_us IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           n_events,
+           ROUND(sd_gap / mean_gap, 4) AS gap_cv,
+           n_events >= {BOT_MIN_EVENTS}
+               AND sd_gap / mean_gap < {BOT_CV_THRESHOLD} AS bot_suspect
+    FROM stats
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation heuristics per user: high event volume + suspiciously
+    REGULAR timing (low coefficient of variation of inter-event gaps) —
+    the abuse-filtering signal a training-data pipeline applies before
+    user-generated text enters a corpus.
+
+    Gaps come from one lag window (exact integer µs); the per-user stats
+    are one aggregate over it. Flag semantics are explicit thresholds, so
+    the whole scorecard is oracle-exact (CV rounded 4 dp; the threshold
+    comparisons happen on the raw values identically in both engines).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    micros = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (micros - F.lag(micros).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        (F.count("*") + 1).alias("n_events"),
+        F.avg("gap_us").alias("mean_gap"),
+        F.stddev_samp("gap_us").alias("sd_gap"),
+    )
+    cv = F.col("sd_gap") / F.col("mean_gap")
+    return stats.select(
+        "user_id",
+        "n_events",
+        F.round(cv, 4).alias("gap_cv"),
+        ((F.col("n_events") >= BOT_MIN_EVENTS) & (cv < BOT_CV_THRESHOLD)).alias(
+            "bot_suspect"
+        ),
+    )
