@@ -212,12 +212,14 @@ def test_mad_median_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in tree, tree
 
 
-def test_basket_pairs_shuffles_on_basket_key(spark, sf_dir):
+def test_basket_pairs_generate_in_basket_no_join(spark, sf_dir):
     df = queries()["basket_pair_counts"](spark, sf_dir)
     tree = _plan(df).split("\n\n")[0]
-    # self-join on l_orderkey must be a real equi-join (hash or sort-merge),
-    # never a nested-loop over the < residual.
-    assert "Join" in tree and "BroadcastNestedLoopJoin" not in tree, tree
+    # pairs are generated INSIDE each basket's distinct-part array: one
+    # shuffle to build baskets, a Generate (explode) for the pairs, and
+    # NO join anywhere — line-level duplicates can't multiply pairs.
+    assert "Join" not in tree, tree
+    assert "Generate" in tree, tree
     assert "TakeOrderedAndProject" in tree
 
 
