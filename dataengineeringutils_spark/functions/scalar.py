@@ -892,3 +892,45 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+    SELECT strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS ny_wall,
+           strftime(timezone('Asia/Tokyo', ts::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+           CAST(EXTRACT(hour FROM timezone('America/New_York',
+                                           ts::TIMESTAMPTZ)) AS INT) AS ny_hour,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS utc_hour
+    FROM events
+    ORDER BY event_id
+    LIMIT 200
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B213: timezone rendering family — UTC instants to zone-local wall
+    clocks (`from_utc_timestamp`), DST-aware (the NY offset flips
+    -05:00/-04:00 across the fixture's March DST boundary, exercising the
+    tz database, not a fixed offset).
+
+    The engine stores instants (UTC); zone conversion is a RENDERING
+    concern applied at the edge. Pure per-row codegen expressions — no
+    shuffle; the LIMIT is a driver-side take over the pushed scan.
+    """
+    e = table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tokyo = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return (
+        e.select(
+            "event_id",
+            F.date_format(ny, "yyyy-MM-dd HH:mm:ss").alias("ny_wall"),
+            F.date_format(tokyo, "yyyy-MM-dd HH:mm:ss").alias("tokyo_wall"),
+            F.hour(ny).cast("int").alias("ny_hour"),
+            F.hour("ts").cast("int").alias("utc_hour"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+        .drop("event_id")
+    )

@@ -723,3 +723,51 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bot_suspect"
         ),
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bar_day,
+               value,
+               ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('day', ts)
+                                  ORDER BY ts ASC, event_id ASC)  AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bar_day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+           ROUND(MAX(value), 2)                             AS high,
+           ROUND(MIN(value), 2)                             AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+           COUNT(*)                                         AS volume
+    FROM t GROUP BY bar_day ORDER BY bar_day
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B212: daily OHLC candlestick bars over purchase values.
+
+    The financial-resampling shape: open/close are the values at the
+    temporal extremes of each bar, high/low the extremes of the value
+    itself. ``min_by``/``max_by`` with a (ts, event_id) struct key turn
+    "value at earliest/latest row" into ORDINARY one-pass aggregates —
+    no window, no second scan; the struct tie-break makes duplicate
+    timestamps deterministic. One partial-aggregated shuffle on bar_day
+    regardless of scale; at 100 TB the map-side combine reduces each
+    partition to |days| rows before the exchange.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("bar_day"))
+        .agg(
+            F.round(F.min_by("value", ordkey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordkey), 2).alias("close"),
+            F.count("*").alias("volume"),
+        )
+        .orderBy("bar_day")
+    )

@@ -79,3 +79,83 @@ def hierarchy_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.groupBy(F.col("d").cast("int").alias("depth"))
         .agg(F.count("*").alias("n_nodes"))
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS a, b.p AS b
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    nodes AS (SELECT a AS n FROM edges UNION SELECT b FROM edges)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes)  AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges)  AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B216: triangle count over the part co-purchase graph (edge = two
+    parts appearing together in ≥ 2 distinct orders) — the clustering/
+    community-density primitive.
+
+    Scale shape: the classic hub problem is that wedge generation around
+    a degree-d node emits d² candidates; ORIENTING every edge from its
+    lower-(degree, id) endpoint to the higher one caps every out-degree
+    at O(√m), so the wedge self-join is skew-proof — the standard
+    MapReduce/GraphX triangle algorithm, expressed as three DataFrame
+    equi-joins Catalyst can reorder/broadcast. Orientation changes
+    nothing semantically (each triangle has exactly one source node in
+    the orientation order), so the a<b<c oracle counts the same set.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.alias("x")
+    b = li.alias("y")
+    edges = (
+        a.join(b, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("a", "b")
+    )
+    # Degree-ordered orientation: direct every edge toward the endpoint
+    # with the larger (degree, id) key. localCheckpoint: edges feed four
+    # self-joins below; cutting lineage avoids recomputing the pair agg.
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    keyed = edges.join(da, "a").join(db, "b")
+    fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = oriented.alias("w1")
+    w2 = oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.dst") < F.col("w2.dst")),
+    ).select(
+        F.least("w1.dst", "w2.dst").alias("a"),
+        F.greatest("w1.dst", "w2.dst").alias("b"),
+    )
+    closed = wedges.join(edges, ["a", "b"])
+    nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    n_tri = closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return nodes.crossJoin(n_edges).crossJoin(n_tri)

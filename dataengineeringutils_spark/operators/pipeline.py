@@ -124,3 +124,101 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(keep_final.cast("long")).alias("n_final"),
     )
+
+
+# Corpus-mixing targets in permille of the TOTAL corpus token count:
+# en-heavy 24 %, 9 % for each other language = a 60 % global token budget.
+MIX_PERMILLE = {"en": 240, "fr": 90, "es": 90, "de": 90, "zh": 90}
+
+
+@query(
+    "corpus_mixing_sample",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    budget AS (
+        SELECT lang,
+               (SELECT SUM(tok) FROM toks)
+                   * CASE lang WHEN 'en' THEN 240 ELSE 90 END // 1000 AS b
+        FROM (SELECT DISTINCT lang FROM toks)
+    ),
+    running AS (
+        SELECT t.lang, t.tok, b.b,
+               SUM(t.tok) OVER (PARTITION BY t.lang ORDER BY t.h)
+                   AS run_tok
+        FROM toks t JOIN budget b ON t.lang = b.lang
+    )
+    SELECT lang,
+           CAST(b AS BIGINT) AS token_budget,
+           CAST(COUNT(CASE WHEN run_tok <= b THEN 1 END) AS BIGINT)
+               AS docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN run_tok <= b THEN tok END), 0)
+               AS BIGINT) AS tokens_kept
+    FROM running GROUP BY lang, b ORDER BY lang
+    """,
+)
+def corpus_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B215: language-mixing downsample to target token shares — the
+    "data mixture" step before LLM pretraining: each language gets a
+    token budget (permille of the whole corpus), filled by a
+    DETERMINISTIC greedy prefix in md5(doc_id) order, so every engine
+    and every rerun keeps the identical document set.
+
+    Scale shape (the repo's two-phase cut pattern): the running-token
+    prefix is NOT one window over all docs of a language (that would put
+    an entire language's corpus in one task at 100 TB). Docs hash into
+    256 buckets keyed by their md5 PREFIX — bucket order therefore
+    refines md5 order — per-bucket token sums make a 256-row frame where
+    the cheap running sum finds each bucket's starting offset; the
+    per-doc window then runs per (lang, bucket) partition, 1/256th of a
+    language each, and a doc is kept iff bucket_offset + within-bucket
+    running ≤ budget. Identical keep-set to the single-window oracle.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("tok"),
+    )
+    permille = F.when(F.col("lang") == "en", F.lit(240)).otherwise(F.lit(90))
+    total = toks.agg(F.sum("tok").alias("grand"))
+    toks = (
+        toks.crossJoin(F.broadcast(total))
+        .withColumn("b", F.col("grand") * permille)
+        .withColumn("b", F.expr("b div 1000"))
+        .drop("grand")
+    )
+    bucketed = toks.withColumn("bkt", F.substring("h", 1, 2))
+    bkt_sums = bucketed.groupBy("lang", "bkt").agg(F.sum("tok").alias("bt"))
+    w_b = Window.partitionBy("lang").orderBy("bkt")
+    offsets = bkt_sums.withColumn(
+        "off", F.coalesce(F.sum("bt").over(w_b) - F.col("bt"), F.lit(0))
+    ).select("lang", "bkt", "off")
+    w_doc = Window.partitionBy("lang", "bkt").orderBy("h")
+    run = (
+        bucketed.join(F.broadcast(offsets), ["lang", "bkt"])
+        .withColumn("run_tok", F.col("off") + F.sum("tok").over(w_doc))
+    )
+    keep = F.col("run_tok") <= F.col("b")
+    return (
+        run.groupBy("lang", "b")
+        .agg(
+            F.sum(keep.cast("long")).cast("bigint").alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("tok"))), F.lit(0)
+            ).cast("bigint").alias("tokens_kept"),
+        )
+        .select(
+            "lang",
+            F.col("b").cast("bigint").alias("token_budget"),
+            "docs_kept",
+            "tokens_kept",
+        )
+        .orderBy("lang")
+    )

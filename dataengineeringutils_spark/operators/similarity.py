@@ -809,3 +809,100 @@ def sim_pair_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(bucket.alias("cos_bucket")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+BLOCK_TOPK_STRIDE = 25  # queries = every 25th vector (bounded query set)
+BLOCK_TOPK_PER_BLOCK = 10  # per-block candidate depth (≥ final k ⇒ exact)
+
+
+@query(
+    "sim_block_matmul_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id % {BLOCK_TOPK_STRIDE} = 0
+    )
+    SELECT q_id, neighbor_id, cos_sim
+    FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               {o_cosine('e.embedding', 'q.q_emb')} AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY {o_cosine('e.embedding', 'q.q_emb')} DESC,
+                            e.vec_id ASC
+               ) AS rn
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    )
+    WHERE rn <= 3
+    """,
+)
+def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B217: exact top-3 neighbors via BLOCK-PARTITIONED GEMM — brute
+    force done the 100 TB way. The corpus never shuffles: each Arrow
+    batch of corpus vectors is one matmul block; a numpy
+    queries×block GEMM (BLAS, vectorized) emits only the per-block
+    top-{BLOCK_TOPK_PER_BLOCK} candidate IDS per query, so the data
+    crossing out of Python is O(queries · blocks · 10) rows, not the
+    full score matrix. Winners are re-ranked with the engine's
+    sequential-order double cosine, making the FINAL scores (and the
+    hash) bit-identical to the oracle — the numpy pass only nominates.
+
+    Per-block depth 10 ≥ final k=3 makes the result exact, not approx:
+    any global top-3 neighbor is by definition within its own block's
+    top-3. The bounded query panel is a broadcast closure (20×64
+    floats); at real scale the same kernel takes the query matrix from
+    a broadcast variable of any fan-out that fits executor memory.
+    """
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    qpdf = (
+        e.filter(F.col("vec_id") % BLOCK_TOPK_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    q_ids = np.asarray(qpdf["vec_id"], dtype=np.int64)
+    q_mat = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def nominate(batches):
+        for pdf in batches:
+            ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = q_mat @ mat.T  # |q| × |block|
+            depth = min(BLOCK_TOPK_PER_BLOCK + 1, scores.shape[1])
+            top = np.argpartition(-scores, depth - 1, axis=1)[:, :depth]
+            n_q = len(q_ids)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, depth),
+                    "neighbor_id": ids[top].reshape(n_q * depth),
+                }
+            )
+
+    cands = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(nominate, "q_id long, neighbor_id long")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .distinct()
+    )
+    nb = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    qs = e.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    ).filter(F.col("q_id") % BLOCK_TOPK_STRIDE == 0)
+    scored = (
+        cands.join(nb, "neighbor_id")
+        .join(F.broadcast(qs), "q_id")
+        .select("q_id", "neighbor_id", cosine("n_emb", "q_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id", "cos_sim")
+    )

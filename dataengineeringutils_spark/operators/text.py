@@ -636,3 +636,53 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_logprob"),
         )
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (
+        SELECT t, COUNT(*) AS f FROM tok WHERE t <> '' GROUP BY t
+    ),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t ASC) AS r FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(f) AS BIGINT) AS total_tokens,
+           ROUND(regr_slope(ln(f), ln(r)), 6) AS zipf_slope
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B214: Zipf's-law fit over the corpus token distribution — the
+    slope of ln(frequency) vs ln(rank) via least squares. Natural text
+    sits near -1; a corpus that drifts far from its expected slope after
+    filtering/dedup signals a broken pipeline stage (boilerplate
+    explosion, vocabulary collapse), so this is a standard corpus-health
+    diagnostic.
+
+    One explode -> one hash agg collapses the corpus to |vocab| rows;
+    the rank window and the regr_slope aggregate then run on that tiny
+    frame (vocab ≪ corpus — Heaps' law), so the unpartitioned window is
+    entity-bounded, not data-bounded. regr_slope is a single mergeable
+    moment aggregate in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("t").asc())),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("f").cast("bigint").alias("total_tokens"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+    )
