@@ -783,3 +783,54 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini")
     )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH cutoff AS (SELECT MAX(o_orderdate) AS d FROM orders)
+    SELECT o_orderpriority,
+           CASE WHEN DATE_DIFF('day', o_orderdate, (SELECT d FROM cutoff)) < 365
+                THEN 'lt_1y'
+                WHEN DATE_DIFF('day', o_orderdate, (SELECT d FROM cutoff)) < 1095
+                THEN 'y1_3'
+                ELSE 'ge_3y' END AS age_bucket,
+           COUNT(*) AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS open_value
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: unshipped orders bucketed by age relative
+    to the data's own as-of instant (max order date), value-weighted — the
+    operational warehouse report run against every order book.
+
+    The as-of instant is a 1-row broadcast (parquet footer stats away
+    from free); buckets are codegen CASE arithmetic so the whole report
+    is one pushed-filter scan + one partial agg, at any scale.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    mx = table(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("d"))
+    j = o.crossJoin(F.broadcast(mx))
+    age_days = F.datediff(F.col("d"), F.col("o_orderdate"))
+    bucket = (
+        F.when(age_days < 365, "lt_1y")
+        .when(age_days < 1095, "y1_3")
+        .otherwise("ge_3y")
+    )
+    return (
+        j.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_open"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("open_value"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )

@@ -260,3 +260,65 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_eps_bound"
         ),
     )
+
+
+HLL_IX_TOL = 0.15  # inclusion-exclusion compounds 3 sketch errors; ~9σ slack
+
+
+@query(
+    "agg_hll_intersection",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection,
+           TRUE AS within_tolerance
+    FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B219-family: set-intersection estimate by HLL inclusion–exclusion —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union comes from a
+    SKETCH MERGE, never from re-reading the data.
+
+    This is the audience-overlap query at 100 TB: per-segment HLL
+    partials are tiny (1.5 KB at lgK=12), mergeable across any grouping,
+    and the intersection needs no joint pass over both segments. HLL
+    (unlike theta) has no exact mode, so the result is genuinely
+    approximate at every scale — the contract gates the estimate within
+    ±15 % of exact (3 compounded ~1.6 % sketches ≪ the window) and the
+    oracle pins the exact count computed engine-side.
+    """
+    e = table(spark, sf_dir, "events")
+    seg = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type", "user_id"
+    )
+    sketches = seg.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    # one row: both per-segment estimates + the merged-union estimate
+    est = sketches.agg(
+        F.sum(F.when(F.col("event_type") == "view",
+                     F.hll_sketch_estimate("sk"))).alias("est_view"),
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     F.hll_sketch_estimate("sk"))).alias("est_purchase"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    exact = (
+        seg.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .intersect(
+            seg.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    est_ix = F.col("est_view") + F.col("est_purchase") - F.col("est_union")
+    return exact.crossJoin(est).select(
+        "exact_intersection",
+        (
+            F.abs(est_ix - F.col("exact_intersection"))
+            <= F.col("exact_intersection") * HLL_IX_TOL
+        ).alias("within_tolerance"),
+    )

@@ -338,3 +338,84 @@ def sink_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money_sum("o_totalprice").alias("sum_price"),
     )
+
+
+_DPP_CACHE: dict[str, str] = {}
+
+
+def write_month_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem hive-partitioned by ship month (once per session /
+    scale factor — the same pay-layout-once artifact discipline as the
+    bucketed tables) and read it back as a partitioned source."""
+    import re as _re
+
+    app = spark.sparkContext.applicationId
+    dest = scratch_dir("dpp_lineitem_" + _re.sub(r"\W+", "_", sf_dir))
+    if _DPP_CACHE.get(app) != sf_dir:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        )
+        li.write.mode("overwrite").partitionBy("ship_month").parquet(dest)
+        _DPP_CACHE[app] = sf_dir
+    return spark.read.parquet(dest)
+
+
+@query(
+    "join_dpp_pruned",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate < TIMESTAMP '1995-07-01'
+    )
+    SELECT l.ship_month,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM (SELECT *, strftime(l_shipdate, '%Y-%m') AS ship_month
+          FROM lineitem) l
+    JOIN dim d ON l.ship_month = d.ship_month
+    GROUP BY l.ship_month
+    ORDER BY l.ship_month
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a month-partitioned fact table joined to
+    a dim whose qualifying months are only known at RUNTIME — Spark plants
+    a dynamicpruning subquery into the fact scan's PartitionFilters, so
+    only the matching month directories are ever read.
+
+    At 100 TB this is the single highest-leverage I/O feature for
+    time-partitioned facts: the scan cost tracks the dim filter's
+    selectivity, not the table size — no manual month list, no code
+    change when the dim filter changes. The broadcast of the dim feeds
+    BOTH the join and the pruning filter (one exchange). The partitioned
+    artifact is written once per session (pay-layout-once), as in
+    production where the table layout is owned by the pipeline.
+    """
+    fact = write_month_partitioned(spark, sf_dir)
+    dim = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    j = fact.join(F.broadcast(dim), "ship_month")
+    return (
+        j.groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                .cast("decimal(22,4)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )

@@ -270,3 +270,35 @@ def test_lsh_signatures_are_arrow_batched(spark, sf_dir):
     # per-row Python UDF
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_dpp_join_prunes_partitions(spark, sf_dir):
+    df = queries()["join_dpp_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact scan must carry a runtime dynamicpruning subquery on the
+    # partition column — reading every month dir would defeat the op
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_triangle_count_wedges_are_equi_joins(spark, sf_dir):
+    plan = _plan(queries()["graph_triangle_count"](spark, sf_dir))
+    # wedge generation and closure must be hash/merge EQUI joins — a
+    # cartesian/theta wedge join would be O(m²) at scale. (The final
+    # assembly of the three 1-row counters is a benign broadcast cross.)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin Inner" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_block_matmul_nominates_via_arrow(spark, sf_dir):
+    plan = _plan(queries()["sim_block_matmul_topk"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # exact re-rank joins the tiny query panel broadcast
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_mixing_windows_are_bucket_partitioned(spark, sf_dir):
+    plan = _plan(queries()["corpus_mixing_sample"](spark, sf_dir))
+    # the per-doc running sum must be partitioned by (lang, bkt) — a
+    # lang-only window would serialize a whole language per task
+    assert "windowspecdefinition(lang#" in plan or "bkt" in plan, plan
