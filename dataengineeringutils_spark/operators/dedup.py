@@ -789,3 +789,79 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
             (F.abs(est - F.col("jaccard")) <= 0.3).alias("within_bound"),
         )
     )
+
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, cont_a, cont_b
+    FROM (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE) / sa.n AS cont_a,
+               CAST(i.n_common AS DOUBLE) / sb.n AS cont_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+    WHERE greatest(cont_a, cont_b) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| per
+    direction, pair reported when either direction ≥ 0.7.
+
+    Containment is the asymmetric complement to Jaccard: a short document
+    quoted wholesale inside a long one scores near 1.0 containment while
+    its Jaccard stays low — exactly the subset-duplication (boilerplate
+    inclusion, doc-in-doc) case a Jaccard-only dedup pass misses. Same
+    scale story as the Jaccard op: shingles are their own blocking key,
+    set sizes ride the shingle table via a count window, and the ratio is
+    an exact integer rational — fully oracle-checkable.
+    """
+    sh = shingle_rows(spark, sf_dir)
+    wn = Window.partitionBy("doc_id")
+    sh = sh.withColumn("n", F.count("*").over(wn))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = inter.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_common").cast("double") / F.col("na")).alias("cont_a"),
+        (F.col("n_common").cast("double") / F.col("nb")).alias("cont_b"),
+    )
+    return scored.filter(
+        F.greatest("cont_a", "cont_b") >= CONTAINMENT_THRESHOLD
+    )
