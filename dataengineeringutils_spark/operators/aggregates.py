@@ -628,3 +628,45 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for n in ("price_qty", "price_disc", "qty_disc")
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+@query(
+    "agg_grouping_id_labels",
+    oracle="""
+    SELECT COALESCE(status_key, '(null-data)') AS status_key,
+           COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+           CAST(GROUPING(status_key) * 2 + GROUPING(o_orderpriority)
+                AS INT) AS gid,
+           GROUPING(status_key) = 1 AS is_status_total,
+           COUNT(*) AS n
+    FROM (SELECT NULLIF(o_orderstatus, 'P') AS status_key, o_orderpriority
+          FROM orders)
+    GROUP BY ROLLUP (status_key, o_orderpriority)
+    ORDER BY gid, status_key, o_orderpriority
+    """,
+)
+def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id disambiguation on a rollup whose key column
+    genuinely CONTAINS NULLs (status 'P' nulled out): without the
+    grouping flags a NULL key row is indistinguishable from a subtotal
+    row — the classic rollup-report correctness trap.
+
+    The flags are metadata of the grouping-set expansion (free — no extra
+    pass); one partial-aggregated shuffle covers all rollup levels.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_key"),
+        "o_orderpriority",
+    )
+    g = o.rollup("status_key", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+        (F.grouping("status_key") == 1).alias("is_status_total"),
+    )
+    return g.select(
+        F.coalesce("status_key", F.lit("(null-data)")).alias("status_key"),
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("o_orderpriority"),
+        "gid",
+        "is_status_total",
+        "n",
+    ).orderBy("gid", "status_key", "o_orderpriority")

@@ -15,6 +15,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dataengineeringutils_spark.operators.similarity import l2_norm, o_norm
 from dataengineeringutils_spark.registry import query
@@ -296,3 +297,70 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+SHARD_BYTES = 16384  # target shard payload size (WebDataset-style packing)
+SHARD_BUCKET = 64  # docs per offset bucket in the two-phase running sum
+
+
+@query(
+    "multimodal_shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_bytes,
+               (SUM(n_bytes) OVER (ORDER BY doc_id) - n_bytes)
+                   // {SHARD_BYTES} AS shard_id
+        FROM sized
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest builder: greedy sequential packing of blob payloads
+    into ~{SHARD_BYTES}-byte shards in ingest (doc_id) order — the
+    WebDataset/tar-shard layout step every multimodal training pipeline
+    runs before data loading; the manifest (shard → members, sizes,
+    id range) is what the loader consumes.
+
+    The exclusive running byte total assigns each blob a shard in ONE
+    pass, via the repo's two-phase cut: per-bucket byte sums (bucket =
+    doc_id div {SHARD_BUCKET}, order-preserving) make a tiny offsets
+    frame; the per-doc window then runs per bucket with the broadcast
+    offset added — no single-task global window at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    d = d.withColumn("bkt", F.expr(f"doc_id div {SHARD_BUCKET}"))
+    bkt = d.groupBy("bkt").agg(F.sum("n_bytes").alias("bt"))
+    w_b = Window.orderBy("bkt")
+    offsets = bkt.withColumn(
+        "off", F.coalesce(F.sum("bt").over(w_b) - F.col("bt"), F.lit(0))
+    ).select("bkt", "off")
+    w_doc = Window.partitionBy("bkt").orderBy("doc_id")
+    packed = (
+        d.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "cum_before",
+            F.col("off") + F.sum("n_bytes").over(w_doc) - F.col("n_bytes"),
+        )
+        .withColumn("shard_id", F.expr(f"cum_before div {SHARD_BYTES}"))
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )

@@ -455,3 +455,63 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
         ).alias("pct_change"),
     )
+
+
+TRAIL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@query(
+    "win_time_range_frame",
+    oracle=f"""
+    SELECT user_id,
+           event_id,
+           CAST(n_hour AS BIGINT) AS n_hour,
+           CAST(sum_hour AS DOUBLE) AS sum_hour
+    FROM (
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_hour,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sum_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY epoch_us(ts)
+            RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW
+        )
+    )
+    WHERE user_id < 40
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame: per user, count + value sum of all events
+    in the trailing hour of each event — the sliding-lookback feature
+    (velocity checks, rate features) where a ROWS frame is wrong because
+    event density varies.
+
+    The frame bound is expressed on the microsecond epoch so the range
+    arithmetic is exact integer comparison on both engines (timestamp
+    RANGE frames desugar to exactly this); value sums accumulate in
+    DECIMAL so frame-internal ordering can't flip a bit. Partitioned by
+    user_id — high cardinality, no skew; one shuffle, sorted once, both
+    window aggregates share the frame.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_hour"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("s"),
+        )
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("n_hour").cast("bigint").alias("n_hour"),
+            F.col("s").cast("double").alias("sum_hour"),
+        )
+    )
