@@ -670,3 +670,70 @@ def agg_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_status_total",
         "n",
     ).orderBy("gid", "status_key", "o_orderpriority")
+
+
+@query(
+    "agg_variance_mergeable",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               o_orderkey % 4 AS shard,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    partials AS (
+        SELECT o_orderpriority, shard,
+               COUNT(*) AS n,
+               SUM(c) AS s,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS ss
+        FROM cents GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT o_orderpriority,
+               SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss
+        FROM partials GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(ss * n - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                 / n / (n - 1) / 10000.0, 4) AS var_merged
+    FROM merged ORDER BY o_orderpriority
+    """,
+)
+def agg_variance_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-mergeable variance: per-shard (n, Σx, Σx²) moment partials
+    merged to exact group variance — the rollup-maintenance shape where
+    daily partials combine into monthly/yearly stats WITHOUT re-reading
+    history (Welford per partition, moment merge across; here the
+    moments are EXACT decimals so the merge is associative and
+    order-independent, sidestepping Welford's float drift entirely).
+
+    The 4-way shard stands in for per-day/executor partials. Prices are
+    lifted to INTEGER CENTS so (n, Σc, Σc²) are exact integers (Σc²
+    summed as DECIMAL(38,0) — 64-bit would overflow); merged variance
+    stays an exact rational until one final double division, and the
+    identical exact path runs on both engines (no decimal-division
+    scale-rule divergence).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    partials = o.select(
+        "o_orderpriority", (F.col("o_orderkey") % 4).alias("shard"), c.alias("c")
+    ).groupBy("o_orderpriority", "shard").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("ss"),
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("ss").alias("ss")
+    )
+    num = (
+        F.col("ss") * F.col("n")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).cast("double")
+    var = num / F.col("n") / (F.col("n") - 1) / F.lit(10000.0)
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(var, 4).alias("var_merged"),
+    ).orderBy("o_orderpriority")

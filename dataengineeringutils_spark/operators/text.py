@@ -686,3 +686,57 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f").cast("bigint").alias("total_tokens"),
         F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_char_diversity",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, UNNEST(string_split_regex(text, '')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c))
+               AS char_gini_impurity
+    FROM counts GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: per-doc Gini impurity of the
+    character distribution (1 − Σp²) plus distinct-char count — the
+    cheap screen for degenerate documents (single-char floods, binary
+    junk, encoding loops) that every corpus-ingest pipeline runs before
+    anything tokenizes.
+
+    Impurity over ENTROPY deliberately: Σp² is an exact integer rational
+    (Σc² / (Σc)²) — bit-identical on every engine with a single final
+    double division — where entropy's per-term log2 rides each libm's
+    last-ulp behavior. Plan: explode → per-(doc,char) count → per-doc
+    agg; both shuffles hash on doc_id (high cardinality, even).
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars_total"),
+            F.count("*").cast("bigint").alias("n_distinct_chars"),
+            (
+                F.lit(1.0)
+                - F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c"))
+            ).alias("char_gini_impurity"),
+        )
+        .orderBy("doc_id")
+    )

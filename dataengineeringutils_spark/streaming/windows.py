@@ -635,3 +635,113 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_streaming(spark, [ev], "stream_sess_append", build, cache_key=sf_dir)
+
+
+@query(
+    "stream_outer_join_watermark",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, ts AS p_ts, user_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, ts AS c_ts, user_id AS c_user_id
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.p_ts, c.click_id
+        FROM p LEFT JOIN c
+          ON p.user_id = c.c_user_id
+         AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+         AND c.c_ts <= p.p_ts
+    )
+    SELECT CAST(DATE_TRUNC('day', p_ts) AS TIMESTAMP) AS d,
+           COUNT(*) FILTER (click_id IS NOT NULL) AS n_matched,
+           COUNT(*) FILTER (click_id IS NULL) AS n_unmatched
+    FROM j
+    WHERE p_ts < (SELECT MAX(ts) FROM events) - INTERVAL 4 HOUR
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join under watermarks: matched pairs
+    emit immediately; an UNMATCHED purchase emits with NULL click only
+    once the watermark proves no qualifying click can still arrive —
+    the state-eviction mechanism that makes outer stream joins runnable
+    forever (inner-join variant: ``stream_stream_join``).
+
+    Determinism contract: null emission at the watermark FRONTIER rides
+    an internal state-cleanup schedule (measured: rows up to ~30 min
+    inside the final watermark may not have emitted yet), so the op
+    compares only the SETTLED region — purchases > 4 h (2 h watermark
+    delay + 2 h slack) behind max event time, where emission is
+    guaranteed complete and exactly equals the batch left join. The
+    streaming machinery (two watermarked sources, interval state
+    eviction, null synthesis) runs for the full data regardless.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = scratch_dir("stream_ssoj_" + re.sub(r"\W+", "_", sf_dir))
+    cols = ["event_id", "ts", "user_id"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(*cols)
+    clicks = ev.filter(F.col("event_type") == "click").select(*cols)
+    batch_key = f"{spark.sparkContext.applicationId}:ssoj:{sf_dir}"
+    if batch_key not in _BATCH_FILE_CACHE:
+        purchases.coalesce(1).write.mode("overwrite").parquet(f"{base}/p")
+        clicks.coalesce(1).write.mode("overwrite").parquet(f"{base}/c")
+        _BATCH_FILE_CACHE.add(batch_key)
+    p_stream = (
+        spark.readStream.schema(purchases.schema)
+        .parquet(f"{base}/p")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+        )
+    )
+    c_stream = (
+        spark.readStream.schema(clicks.schema)
+        .parquet(f"{base}/c")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user_id"),
+        )
+    )
+    joined = p_stream.join(
+        c_stream,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    name = f"stream_sink_{next(_sink_counter)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.select("purchase_id", "p_ts", "click_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    settled = table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("cut")
+    )
+    out = spark.table(name).crossJoin(F.broadcast(settled)).filter(
+        F.col("p_ts") < F.col("cut")
+    )
+    return (
+        out.groupBy(F.date_trunc("day", "p_ts").alias("d"))
+        .agg(
+            F.count("click_id").alias("n_matched"),
+            F.sum(F.col("click_id").isNull().cast("long")).alias("n_unmatched"),
+        )
+        .orderBy("d")
+    )
