@@ -352,3 +352,88 @@ def events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_touch_type").alias("touch_type"),
         F.col("asof_touch_ts").alias("touch_ts"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+    back AS (
+        SELECT p.event_id, p.user_id, p.ts AS p_ts,
+               c.ts AS b_ts, c.value AS b_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    fwd AS (
+        SELECT p.event_id, c.ts AS f_ts, c.value AS f_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN f_ts IS NULL THEN b_ts
+                WHEN b_ts IS NULL THEN f_ts
+                WHEN (p_ts - b_ts) <= (f_ts - p_ts) THEN b_ts
+                ELSE f_ts END AS nearest_ts,
+           CASE WHEN f_ts IS NULL THEN b_value
+                WHEN b_ts IS NULL THEN f_value
+                WHEN (p_ts - b_ts) <= (f_ts - p_ts) THEN b_value
+                ELSE f_value END AS nearest_value
+    FROM back b JOIN fwd f ON b.event_id = f.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')`` parity): each purchase takes whichever click — last
+    before or first after — is closer in absolute time; exact ties
+    prefer backward (the pandas rule). Completes the as-of family
+    (backward B16 / forward B112 / strict / tolerance B177 / first-touch
+    B201).
+
+    Two one-shuffle union+window passes (one per direction) on the same
+    keys — the second pass re-uses the first's co-partitioning — then a
+    per-row gap comparison; no extra join against the right side.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    back = asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        payload=["click_ts", "click_value"], payload_prefix="b_",
+    ).select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"),
+        F.col("b_click_ts"), F.col("b_click_value"),
+    )
+    fwd = asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="ts",
+        payload=["click_ts", "click_value"], payload_prefix="f_",
+        direction="forward",
+    ).select("event_id", F.col("f_click_ts"), F.col("f_click_value"))
+    j = back.join(fwd, "event_id")
+    take_back = (
+        F.col("f_click_ts").isNull()
+        | (
+            F.col("b_click_ts").isNotNull()
+            & (
+                (F.unix_micros("p_ts") - F.unix_micros("b_click_ts"))
+                <= (F.unix_micros("f_click_ts") - F.unix_micros("p_ts"))
+            )
+        )
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("b_click_ts"))
+        .otherwise(F.col("f_click_ts"))
+        .alias("nearest_ts"),
+        F.when(take_back, F.col("b_click_value"))
+        .otherwise(F.col("f_click_value"))
+        .alias("nearest_value"),
+    )

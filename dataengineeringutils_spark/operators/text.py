@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataengineeringutils_spark.operators.dedup import tokens_col
+from dataengineeringutils_spark.operators.dedup import shingle_rows, tokens_col
 from dataengineeringutils_spark.registry import query
 from dataengineeringutils_spark.tables import table
 
@@ -737,6 +737,63 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.sum(F.col("c") * F.col("c")).cast("double")
                 / (F.sum("c") * F.sum("c"))
             ).alias("char_gini_impurity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        )
+    ),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(CASE WHEN df.df = 1 THEN 1 END) AS BIGINT)
+               AS n_unique_to_doc,
+           CAST(COUNT(CASE WHEN df.df = 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+               AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share of a doc's distinct
+    3-gram shingles that appear in NO other document — high novelty
+    marks original content, low novelty marks boilerplate/template text;
+    the ranking signal used to pick survivors and weight repeated text
+    down in a training mix (complements dedup: novelty grades docs the
+    near-dup pass keeps).
+
+    Rides the session-cached shingle table: document frequency is one
+    hash agg over it, joined back on the shingle hash (the join key IS
+    the blocking key — both sides partition identically, one exchange
+    each); per-doc rollup is an exact integer rational.
+    """
+    sh = shingle_rows(spark, sf_dir)
+    df_tbl = sh.groupBy("s").agg(F.count("*").alias("df"))
+    j = sh.join(df_tbl, "s")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).cast("bigint").alias(
+                "n_unique_to_doc"
+            ),
+            (
+                F.sum((F.col("df") == 1).cast("long")).cast("double")
+                / F.count("*")
+            ).alias("novelty"),
         )
         .orderBy("doc_id")
     )
