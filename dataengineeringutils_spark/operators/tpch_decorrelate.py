@@ -492,6 +492,10 @@ def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("total_revenue")
     )
+    # The view feeds both the scalar MAX (a broadcast subquery, which
+    # AQE does NOT exchange-reuse across) and the equality filter:
+    # materialize it once — |suppliers| rows — so lineitem scans once.
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

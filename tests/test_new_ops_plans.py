@@ -302,3 +302,37 @@ def test_corpus_mixing_windows_are_bucket_partitioned(spark, sf_dir):
     # the per-doc running sum must be partitioned by (lang, bkt) — a
     # lang-only window would serialize a whole language per task
     assert "windowspecdefinition(lang#" in plan or "bkt" in plan, plan
+
+
+def test_q7_double_dim_chain_broadcasts(spark, sf_dir):
+    tree = _plan(queries()["tpch_q7_shape"](spark, sf_dir)).split("\n\n")[0]
+    # supplier, customer, and both nation hops broadcast; the only
+    # shuffle join is lineitem⋈orders
+    assert tree.count("BroadcastHashJoin") >= 4, tree
+    assert "PushedFilters" in _plan(queries()["tpch_q7_shape"](spark, sf_dir))
+
+
+def test_q9_part_filter_broadcast_prunes_fact(spark, sf_dir):
+    plan = _plan(queries()["tpch_q9_shape"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+    # the LIKE predicate must sit on the part scan, not post-join
+    assert "p_name" in plan and "PushedFilters" in plan, plan
+
+
+def test_q15_revenue_view_feeds_max_and_filter(spark, sf_dir):
+    plan = _plan(queries()["tpch_q15_shape"](spark, sf_dir))
+    # the revenue view is checkpointed (|suppliers| rows) so BOTH the
+    # scalar max and the equality filter read the materialized frame —
+    # lineitem is scanned exactly once (inside the checkpoint build),
+    # never by this plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan.split("\n\n")[0].replace(
+        "supplier", ""
+    ) or plan.split("\n\n")[0].count("Scan parquet") <= 1, plan
+
+
+def test_q20_semi_join_chain(spark, sf_dir):
+    tree = _plan(queries()["tpch_q20_shape"](spark, sf_dir)).split("\n\n")[0]
+    assert "LeftSemi" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
