@@ -934,3 +934,54 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .drop("event_id")
     )
+
+
+@query(
+    "fn_datetime_make",
+    oracle="""
+    SELECT event_id,
+           CAST(make_date(CAST(EXTRACT(year FROM ts) AS INT),
+                     CAST(EXTRACT(month FROM ts) AS INT), 1)
+                AS TIMESTAMP) AS month_start,
+           make_timestamp(CAST(EXTRACT(year FROM ts) AS INT),
+                          CAST(EXTRACT(month FROM ts) AS INT),
+                          CAST(EXTRACT(day FROM ts) AS INT),
+                          CAST(EXTRACT(hour FROM ts) AS INT), 0, 0)
+               AS hour_floor,
+           epoch_us(ts) - epoch_us(make_timestamp(
+                          CAST(EXTRACT(year FROM ts) AS INT),
+                          CAST(EXTRACT(month FROM ts) AS INT),
+                          CAST(EXTRACT(day FROM ts) AS INT),
+                          CAST(EXTRACT(hour FROM ts) AS INT), 0, 0))
+               AS into_hour_us
+    FROM events
+    ORDER BY event_id
+    LIMIT 100
+    """,
+)
+def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime CONSTRUCTION family: `make_date` / `make_timestamp` from
+    extracted fields — the inverse of EXTRACT, used to rebuild clean
+    period boundaries (month starts, hour floors) and the intra-period
+    remainder. Pure per-row codegen; the remainder compares as exact
+    integer microseconds (interval types render differently per engine).
+    """
+    e = table(spark, sf_dir, "events")
+    y = F.year("ts")
+    mo = F.month("ts")
+    d = F.dayofmonth("ts")
+    h = F.hour("ts")
+    hour_floor = F.make_timestamp(y, mo, d, h, F.lit(0), F.lit(0))
+    into_hour = F.col("ts") - hour_floor
+    return (
+        e.select(
+            "event_id",
+            F.make_date(y, mo, F.lit(1)).cast("timestamp").alias("month_start"),
+            hour_floor.alias("hour_floor"),
+            (F.unix_micros("ts") - F.unix_micros(hour_floor)).alias(
+                "into_hour_us"
+            ),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )

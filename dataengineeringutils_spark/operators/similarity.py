@@ -1048,3 +1048,117 @@ def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "dim_i bigint, loading double, eigenvalue_est double"
     )
+
+
+MMR_POOL = 20  # candidate pool (exact top-20 by relevance)
+MMR_K = 5  # final diversified picks
+MMR_LAMBDA = 0.7  # relevance weight; 1-λ penalizes similarity to picks
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as CTEs: candidates → pairwise sims → K
+    selection steps, each picking argmax(λ·rel − (1−λ)·max-sim-to-
+    selected) with id tie-break. Generated by a loop so K/λ stay single
+    constants shared with the engine path."""
+    head = f"""
+    WITH qv AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding,
+               {o_cosine('e.embedding', 'qv.qe')} AS rel
+        FROM embeddings e, qv WHERE e.vec_id <> 0
+        ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+    ),
+    pairsim AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               {o_cosine('a.embedding', 'b.embedding')} AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS (
+        SELECT vec_id, rel, 1 AS pick
+        FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    )"""
+    parts = [head]
+    for k in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, k)
+        )
+        parts.append(f"""
+    , sel{k} AS (
+        SELECT c.vec_id, c.rel, {k} AS pick
+        FROM cand c
+        WHERE c.vec_id NOT IN ({" UNION ALL ".join(f"SELECT vec_id FROM sel{j}" for j in range(1, k))})
+        ORDER BY {MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 10)} * (
+            SELECT MAX(p.sim) FROM pairsim p
+            WHERE p.ia = c.vec_id
+              AND p.ib IN ({prev})
+        ) DESC, c.vec_id ASC
+        LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT pick, vec_id, ROUND(rel, 6) AS relevance FROM sel{j}"
+        for j in range(1, MMR_K + 1)
+    )
+    parts.append(f"""
+    SELECT * FROM ({union}) ORDER BY pick""")
+    return "".join(parts)
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversification pass
+    vector search runs AFTER top-k retrieval: greedily pick {MMR_K} of
+    the top-{MMR_POOL} candidates maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked.
+
+    Split that keeps it scale-honest AND bit-exact: the DISTRIBUTED part
+    is retrieval — exact top-{MMR_POOL} by sequential-double cosine
+    (TakeOrdered over the corpus scan, no shuffle) plus the pool's
+    pairwise sim matrix ({MMR_POOL}²−{MMR_POOL} rows, broadcast
+    self-join). The greedy loop is O(K·pool²) on a ~400-row frame —
+    driver-side by design (like every re-ranker), consuming ONLY
+    JVM-computed doubles; its comparisons and the λ-arithmetic are
+    deterministic IEEE ops, so the pick sequence is digit-identical to
+    the oracle's unrolled-CTE greedy.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "embedding", cosine("embedding", "q").alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cosine("ea", "eb").alias("sim"))
+        .collect()
+    )
+    rels = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in pairs}
+    picked: list[int] = []
+    while len(picked) < MMR_K and len(picked) < len(rels):
+        best = None
+        for v, rel in rels.items():
+            if v in picked:
+                continue
+            if picked:
+                penalty = max(sim[(v, p)] for p in picked)
+                score = MMR_LAMBDA * rel - round(1 - MMR_LAMBDA, 10) * penalty
+            else:
+                score = rel  # sel1 ranks by raw relevance
+            if best is None or score > best[0] or (score == best[0] and v < best[1]):
+                best = (score, v)
+        picked.append(best[1])
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = [
+        (i + 1, v, float(Decimal(repr(rels[v])).quantize(Decimal("1e-6"), ROUND_HALF_UP)))
+        for i, v in enumerate(picked)
+    ]
+    return spark.createDataFrame(out, "pick int, vec_id bigint, relevance double")
