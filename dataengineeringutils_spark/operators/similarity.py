@@ -1027,14 +1027,15 @@ def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "pu": u_fix}
                 )
 
-        rows = (
-            e.mapInPandas(partials, "i int, pu long")
-            .groupBy("i")
-            .agg(F.sum("pu").alias("u_fix"))
-            .collect()
-        )
-        u_by_i = {r["i"]: r["u_fix"] for r in rows}
-        us = [u_by_i[j] / 1e12 for j in range(1, PI_DIM + 1)]
+        # collect the per-batch partials directly (batches × 64 tiny
+        # rows) and merge in the driver: int64 addition is exact and
+        # order-independent, and skipping the 64-row groupBy exchange
+        # saves a full shuffle stage per round
+        rows = e.mapInPandas(partials, "i int, pu long").collect()
+        u_fix = [0] * (PI_DIM + 1)
+        for r in rows:
+            u_fix[r["i"]] += r["pu"]
+        us = [u_fix[j] / 1e12 for j in range(1, PI_DIM + 1)]
         nrm = math.sqrt(float(sum(dec(u * u, q12) for u in us)))
         v = [float(dec(u / nrm, q9)) for u in us]
     loadings = sorted(
