@@ -560,3 +560,86 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_price_dec").cast(_DEC).cast("double").alias("sum_price"),
     )
     return merged
+
+
+@query(
+    "orders_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_lines,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+                   AS li_net
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+        SELECT o.o_orderstatus,
+               li.l_orderkey IS NULL AS no_lines,
+               CASE WHEN li.l_orderkey IS NULL THEN NULL
+                    WHEN ABS(CAST(o.o_totalprice AS DECIMAL(22,4)) - li.li_net)
+                         <= CAST(o.o_totalprice AS DECIMAL(22,4)) * 0.25
+                    THEN TRUE ELSE FALSE END AS within_band
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) FILTER (no_lines) AS BIGINT) AS n_no_lines,
+           CAST(COUNT(*) FILTER (within_band = FALSE) AS BIGINT)
+               AS n_out_of_band,
+           CAST(COUNT(*) FILTER (within_band) AS BIGINT) AS n_reconciled
+    FROM recon GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dataset reconciliation: every order's header total checked
+    against the sum of its line-item net amounts — the finance-pipeline
+    control report (headers with no detail rows, totals outside the
+    tolerance band, reconciled counts) that runs after every load.
+
+    The detail side collapses FIRST (one agg on its natural key), so the
+    reconciliation join moves |orders| + |orders| rows, never raw line
+    items; the tolerance compare is cross-multiplied exact decimal (no
+    division). Both sides shuffle once on orderkey — co-partitioned at
+    any scale.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(22,4)")
+            ).alias("li_net"),
+        )
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    tp = F.col("o_totalprice").cast("decimal(22,4)")
+    within = (
+        F.when(F.col("l_orderkey").isNull(), F.lit(None).cast("boolean"))
+        .when(F.abs(tp - F.col("li_net")) <= tp * F.lit(0.25), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    rec = j.select(
+        "o_orderstatus",
+        F.col("l_orderkey").isNull().alias("no_lines"),
+        within.alias("within_band"),
+    )
+    return (
+        rec.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("no_lines").cast("long")).cast("bigint").alias("n_no_lines"),
+            F.sum((F.col("within_band") == False).cast("long")).cast("bigint").alias(  # noqa: E712
+                "n_out_of_band"
+            ),
+            F.sum(F.col("within_band").cast("long")).cast("bigint").alias(
+                "n_reconciled"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -797,3 +797,151 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               greatest(len(tk) - 2, 0) AS n_total,
+               len(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 2, 0) + 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                   AS n_distinct
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(n_total AS BIGINT) AS n_trigrams,
+           CAST(n_total - n_distinct AS BIGINT) AS n_repeated,
+           CASE WHEN n_total > 0
+                THEN CAST(n_total - n_distinct AS DOUBLE) / n_total
+                ELSE 0.0 END AS repetition
+    FROM tri ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition: the share of a doc's trigram slots
+    occupied by a trigram already seen in the SAME doc — the
+    Gopher-style "repeated n-gram" degeneracy filter that catches
+    looping generations and copy-pasted boilerplate before training.
+
+    Entirely per-row array arithmetic (no explode, no shuffle): total
+    trigram slots from token count, distinct trigrams via an in-array
+    transform+distinct. Lambdas evaluate interpreted, but only over one
+    doc's tokens at a time — the measured rule is lambdas on SMALL
+    arrays are fine; corpora scale by adding rows, not array length.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    n_total = F.greatest(F.size(tk) - 2, F.lit(0))
+    tri = F.array_distinct(
+        F.transform(
+            F.slice(tk, 1, n_total),
+            lambda _, i: F.concat_ws(
+                " ",
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+            ),
+        )
+    )
+    n_distinct = F.size(tri)
+    rep = F.when(
+        n_total > 0,
+        (n_total - n_distinct).cast("double") / n_total,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_total.cast("bigint").alias("n_trigrams"),
+        (n_total - n_distinct).cast("bigint").alias("n_repeated"),
+        rep.alias("repetition"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH feats AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_words,
+               CAST(list_sum(list_transform(
+                   list_filter(string_split(text, ' '), t -> t <> ''),
+                   t -> length(t))) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS mean_wlen,
+               CAST(length(text)
+                    - length(replace(replace(text, ' ', ''), 'e', ''))
+                    AS DOUBLE) / length(text) AS common_char_ratio
+        FROM documents
+    ),
+    flags AS (
+        SELECT lang,
+               n_words BETWEEN 50 AND 100000 AS ok_words,
+               mean_wlen BETWEEN 3 AND 10 AS ok_wlen,
+               common_char_ratio >= 0.2 AS ok_chars
+        FROM feats
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (ok_words) AS BIGINT) AS pass_words,
+           CAST(COUNT(*) FILTER (ok_wlen) AS BIGINT) AS pass_wlen,
+           CAST(COUNT(*) FILTER (ok_chars) AS BIGINT) AS pass_chars,
+           CAST(COUNT(*) FILTER (ok_words AND ok_wlen AND ok_chars)
+                AS BIGINT) AS pass_all
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule bundle (Rae et al. 2021 heuristics,
+    adapted to the fixture's punctuation-free vocabulary): word-count
+    window [50, 100k], mean word length [3, 10], and a
+    common-character-coverage floor, reported as per-language pass
+    counts per rule AND for the conjunction — the pass-rate dashboard a
+    filtering pipeline publishes before committing a corpus rev.
+
+    One scan; every feature is per-row array arithmetic (exact integer
+    rationals); the rollup is a single conditional aggregate. At 100 TB
+    the rule evaluation is embarrassingly parallel and the report is
+    |langs| rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    n_words = F.size(tk)
+    len_sum = F.aggregate(
+        F.transform(tk, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wlen = len_sum.cast("double") / n_words
+    stripped = F.replace(
+        F.replace(F.col("text"), F.lit(" "), F.lit("")), F.lit("e"), F.lit("")
+    )
+    common_ratio = (
+        F.length("text") - F.length(stripped)
+    ).cast("double") / F.length("text")
+    feats = d.select(
+        "lang",
+        n_words.between(50, 100000).alias("ok_words"),
+        mean_wlen.between(3, 10).alias("ok_wlen"),
+        (common_ratio >= 0.2).alias("ok_chars"),
+    )
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ok_words").cast("long")).cast("bigint").alias("pass_words"),
+            F.sum(F.col("ok_wlen").cast("long")).cast("bigint").alias("pass_wlen"),
+            F.sum(F.col("ok_chars").cast("long")).cast("bigint").alias("pass_chars"),
+            F.sum(
+                (F.col("ok_words") & F.col("ok_wlen") & F.col("ok_chars")).cast("long")
+            ).cast("bigint").alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
