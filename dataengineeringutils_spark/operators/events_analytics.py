@@ -771,3 +771,56 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bar_day")
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS d0
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT DISTINCT CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP) AS d,
+               e.user_id, f.d0
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT d,
+           CAST(COUNT(CASE WHEN d = d0 THEN 1 END) AS BIGINT) AS new_users,
+           CAST(COUNT(CASE WHEN d <> d0 THEN 1 END) AS BIGINT)
+               AS returning_users
+    FROM daily GROUP BY d ORDER BY d
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily NEW vs RETURNING active users — the growth-accounting split
+    every product dashboard leads with: a user is "new" only on their
+    first-ever active day.
+
+    (day, user) pairs collapse to distinct FIRST (the same dedup-early
+    discipline as the churn/DAU ops), first-seen day is a per-user MIN
+    re-joined on user_id — both frames hash-partition on user_id so the
+    join adds no exchange beyond the two aggregations; the daily rollup
+    is |days × active users| rows in, |days| out.
+    """
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0")
+    )
+    daily = (
+        e.select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+        .join(first_seen, "user_id")
+    )
+    return (
+        daily.groupBy("d")
+        .agg(
+            F.sum((F.col("d") == F.col("d0")).cast("long")).cast("bigint").alias(
+                "new_users"
+            ),
+            F.sum((F.col("d") != F.col("d0")).cast("long")).cast("bigint").alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("d")
+    )

@@ -255,3 +255,57 @@ def udf_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInArrow(
         kernel, "vec_id long, sum_q long, mse_ppm double"
     )
+
+
+def _median_kernel(v: pd.Series) -> float:
+    """GROUPED_AGG kernel: exact order-statistic median via numpy
+    selection — no float accumulation, so the result is the identical
+    double the oracle's PERCENTILE_CONT(0.5) returns (odd counts pick
+    one element; even counts average the same two doubles)."""
+    import numpy as np
+
+    return float(np.median(v.to_numpy(dtype="float64")))
+
+
+def _count_kernel(v: pd.Series) -> int:
+    return int(len(v))
+
+
+@query(
+    "udaf_pandas_grouped_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+               AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the fourth Python-exchange mode (scalar
+    pandas_udf / applyInPandas / mapInPandas being the others): a
+    vectorized aggregate whose kernel sees each group's column as one
+    numpy array. Plans as an Aggregate with an AggregateInPandas
+    exchange: partials DON'T combine map-side (the kernel isn't
+    decomposable), so at 100 TB this mode is for aggregates that
+    genuinely need the whole group (exact medians, model fits) — and
+    the group-by key must be high-cardinality enough to spread.
+    """
+    from dataengineeringutils_spark.tables import table as _t
+
+    med = pandas_udf(_median_kernel, "double")
+    cnt = pandas_udf(_count_kernel, "long")
+    o = _t(spark, sf_dir, "orders")
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one Aggregate (INVALID_PANDAS_UDF_PLACEMENT) — both aggregates
+    # here are pandas kernels sharing one exchange.
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            cnt("o_totalprice").alias("n"),
+            med("o_totalprice").alias("median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
