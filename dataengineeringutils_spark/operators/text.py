@@ -837,20 +837,20 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's tokens at a time — the measured rule is lambdas on SMALL
     arrays are fine; corpora scale by adding rows, not array length.
     """
-    d = table(spark, sf_dir, "documents")
-    tk = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
-    n_total = F.greatest(F.size(tk) - 2, F.lit(0))
-    tri = F.array_distinct(
-        F.transform(
-            F.slice(tk, 1, n_total),
-            lambda _, i: F.concat_ws(
-                " ",
-                F.element_at(tk, i + 1),
-                F.element_at(tk, i + 2),
-                F.element_at(tk, i + 3),
-            ),
-        )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("tk")
     )
+    tk = F.col("tk")
+    n_total = F.greatest(F.size(tk) - 2, F.lit(0))
+    # O(n) trigram build: zip the token array with its 1- and 2-shifted
+    # slices (an indexed-lambda element_at formulation re-walks the
+    # array per element — measured 21 s vs <1 s at sf0.1). The zip pads
+    # the tail with nulls; slicing to n_total drops those entries.
+    s2 = F.slice(tk, 2, F.size(tk))
+    s3 = F.slice(tk, 3, F.size(tk))
+    pair = F.zip_with(tk, s2, lambda x, y: F.concat_ws(" ", x, y))
+    tri_all = F.zip_with(pair, s3, lambda p, z: F.concat_ws(" ", p, z))
+    tri = F.array_distinct(F.slice(tri_all, 1, n_total))
     n_distinct = F.size(tri)
     rep = F.when(
         n_total > 0,
