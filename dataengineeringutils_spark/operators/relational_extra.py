@@ -711,3 +711,53 @@ def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_parts"),
         F.count("*").alias("n_brands"),
     )
+
+
+WSAMPLE_K = 25  # weighted sample size
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT c_custkey, c_acctbal,
+               -LN(
+                   (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))
+                         AS UBIGINT) + 1.0) / 4503599627370497.0
+               ) / GREATEST(c_acctbal, 1.0) AS exp_key
+        FROM customer
+    )
+    SELECT c_custkey, c_acctbal
+    FROM keyed
+    ORDER BY exp_key ASC, c_custkey ASC
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample without replacement (Efraimidis–
+    Spirakis via exponential race): each row draws a reproducible
+    uniform from the md5 of its key, its exponential arrival time is
+    −ln(u)/weight, and the k smallest arrivals ARE a weighted sample —
+    balance-proportional here. One TakeOrdered over the scan: no
+    shuffle, no global sort, identical rows on every engine and rerun
+    (the md5-derived uniform replaces `rand()`, whose seed semantics
+    don't survive engine boundaries or repartitioning).
+
+    The 52-bit hash prefix maps to u ∈ (0, 1] via (h+1)/2⁵²⁺¹-ish
+    denominator so ln never sees 0. Cross-engine float note: ln() rides
+    each libm's last ulp, but a rank flip needs two arrival times
+    within ~1e-16 of each other — P ≈ n²·ulp, negligible, and the
+    id tie-break makes equal keys deterministic anyway.
+    """
+    c = table(spark, sf_dir, "customer")
+    h = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4503599627370497.0)
+    exp_key = -F.log(u) / F.greatest(F.col("c_acctbal"), F.lit(1.0))
+    return (
+        c.select("c_custkey", "c_acctbal", exp_key.alias("exp_key"))
+        .orderBy(F.col("exp_key").asc(), F.col("c_custkey").asc())
+        .limit(WSAMPLE_K)
+        .select("c_custkey", "c_acctbal")
+    )

@@ -515,3 +515,50 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double").alias("sum_hour"),
         )
     )
+
+
+@query(
+    "win_running_drawdown",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(run_peak AS DOUBLE) AS run_peak,
+           CAST(run_peak - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS drawdown
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(MAX(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(18,2)) AS run_peak
+        FROM orders
+    )
+    WHERE o_custkey < 100
+    """,
+)
+def win_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown: each order's gap below its customer's
+    all-time-high order value to date — the peak-tracking window shape
+    (finance drawdowns, high-water-mark billing, record-so-far
+    monitoring). A running MAX frame with deterministic (date, key)
+    ordering; the subtraction happens in exact decimal. One shuffle on
+    the entity key; the frame is computed streaming per partition.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak = F.max("o_totalprice").over(w).cast("decimal(18,2)")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            peak.cast("double").alias("run_peak"),
+            (peak - F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("drawdown"),
+        )
+        .filter(F.col("o_custkey") < 100)
+    )

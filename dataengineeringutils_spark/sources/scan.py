@@ -171,3 +171,76 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("content")).cast("long").alias("total_bytes"),
         F.max(F.length("content")).cast("long").alias("max_bytes"),
     )
+
+
+@query(
+    "scan_nested_pruned",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderkey < 5000
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def scan_json_nested_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct source with NESTED-SCHEMA PRUNING: orders are
+    written as parquet documents with a nested struct
+    (`order.header.{priority, price}`, `order.lines` array); the query
+    touches only two leaf fields, and Catalyst prunes the read schema
+    to exactly those leaves (`nestedSchemaPruning`, pinned by plan
+    test) — the untouched lines array is never decoded OR read off
+    disk (parquet stores each leaf as its own column chunk).
+
+    At 100 TB of document-shaped data this is the difference between
+    materializing whole documents and reading two columns. (JSON/CSV
+    sources don't participate in SchemaPruning — that asymmetry is
+    exactly why document pipelines convert to parquet first.) The
+    artifact is written once per (session, sf) like the other source
+    fixtures.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.paths import scratch_dir
+
+    out = scratch_dir(
+        "scan_nested_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    key = f"{spark.sparkContext.applicationId}:nested:{sf_dir}"
+    if key not in _JSON_NESTED_CACHE:
+        o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+        nested = o.select(
+            F.struct(
+                F.struct(
+                    F.col("o_orderpriority").alias("priority"),
+                    F.col("o_totalprice").alias("price"),
+                ).alias("header"),
+                F.array(
+                    F.struct(
+                        F.col("o_orderkey").alias("k"),
+                        F.col("o_custkey").alias("c"),
+                    )
+                ).alias("lines"),
+            ).alias("order")
+        )
+        nested.coalesce(2).write.mode("overwrite").parquet(out)
+        _JSON_NESTED_CACHE.add(key)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("order.header.priority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("order.header.price").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+_JSON_NESTED_CACHE: set[str] = set()

@@ -336,3 +336,12 @@ def test_q20_semi_join_chain(spark, sf_dir):
     tree = _plan(queries()["tpch_q20_shape"](spark, sf_dir)).split("\n\n")[0]
     assert "LeftSemi" in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_nested_scan_prunes_untouched_leaves(spark, sf_dir):
+    plan = _plan(queries()["scan_nested_pruned"](spark, sf_dir))
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    # the untouched lines array must be pruned out of the read schema
+    assert "lines" not in m[0], m[0]
+    assert "priority" in m[0] and "price" in m[0], m[0]
