@@ -824,3 +824,53 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+DEBOUNCE_MIN = 30  # suppression window, minutes
+
+
+@query(
+    "events_alert_debounce",
+    oracle=f"""
+    WITH errs AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(COUNT(CASE WHEN prev_ts IS NULL
+                           OR ts - prev_ts > INTERVAL {DEBOUNCE_MIN} MINUTE
+                      THEN 1 END) AS BIGINT) AS n_alerts
+    FROM errs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert DEBOUNCE: an error fires an alert only if the same user's
+    previous error is more than {DEBOUNCE_MIN} minutes old — the
+    storm-collapse rule every paging pipeline applies between detection
+    and notification (N raw errors → few actionable alerts).
+
+    One lag window per user (exact µs comparison), one rollup — both on
+    the user_id shuffle. Streaming deployment is the same logic in
+    ``applyInPandasWithState`` (kept batch-side here so the alert set
+    is exactly oracle-checkable).
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    fires = F.lag("ts").over(w).isNull() | (
+        gap_us > DEBOUNCE_MIN * 60 * 1_000_000
+    )
+    errs = e.select("user_id", fires.alias("fires"))
+    return (
+        errs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_errors"),
+            F.sum(F.col("fires").cast("long")).cast("bigint").alias("n_alerts"),
+        )
+        .orderBy("user_id")
+    )

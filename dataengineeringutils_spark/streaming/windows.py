@@ -758,3 +758,87 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@query(
+    "stream_incremental_checkpoint",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resumed INCREMENTAL processing — the exactly-once
+    micro-batch ETL pattern that replaces hand-rolled watermark tables:
+    run 1 processes the initial files and commits its offsets to the
+    checkpoint; new files land; run 2 is a NEW streaming query on the
+    same checkpoint that processes ONLY the delta (pinned by the
+    progress metrics: run 2's input rows = batch-2 rows, not the
+    total). Output goes to an append file sink whose exactly-once log
+    survives both runs; the final table equals the batch aggregate of
+    ALL data.
+
+    Complete-mode aggregation can't target a file sink, so each run
+    appends its micro-batch's per-type partial counts (update-less
+    append via per-batch foreachBatch write) and the read-back merges
+    partials — the same re-mergeable (count, decimal-sum) partials the
+    incremental-rollup op uses.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = scratch_dir("stream_incr_" + re.sub(r"\W+", "_", sf_dir))
+    fs_src = f"{base}/src"
+    ck = f"{base}/ck"
+    sink = f"{base}/sink"
+    # fresh dirs every call: this op's contract IS the two-run resume
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    b0.coalesce(1).write.mode("overwrite").parquet(f"{fs_src}/batch=0")
+
+    delta_rows = []
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(f"{fs_src}/batch=*")
+
+        def write_partials(batch_df, batch_id):
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count("*").alias("pn"),
+                    F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+                )
+                .write.mode("append")
+                .parquet(sink)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_partials)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = q.lastProgress
+        delta_rows.append(
+            prog["numInputRows"] if prog else 0
+        )
+
+    run_once()  # processes batch 0, commits offsets
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{fs_src}/batch=1")
+    run_once()  # RESUMES from the checkpoint: sees only batch 1
+    n0, n1 = b0.count(), b1.count()
+    assert delta_rows[1] <= n1, (delta_rows, n0, n1)
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
