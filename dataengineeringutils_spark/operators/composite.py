@@ -834,3 +834,66 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "age_bucket")
     )
+
+
+@query(
+    "orders_skyline_2d",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    WHERE o.o_orderstatus = 'O'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_orderstatus = 'O'
+          AND d.o_totalprice <= o.o_totalprice
+          AND d.o_orderdate >= o.o_orderdate
+          AND (d.o_totalprice < o.o_totalprice
+               OR d.o_orderdate > o.o_orderdate)
+      )
+    ORDER BY o.o_totalprice
+    """,
+)
+def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto front): open orders not dominated on (price ↓,
+    recency ↑) — the multi-criteria shortlist operator (cheapest-and-
+    freshest offers, best price/latency trade-offs).
+
+    In 2-D the skyline falls out of ONE sorted window pass — sort by
+    (price asc, date desc); a row survives iff its date strictly exceeds
+    the running max date of everything cheaper — turning the oracle's
+    O(n²) NOT EXISTS into O(n log n). The window is global but runs on
+    the FILTERED candidate frame; at 100 TB the standard trick applies:
+    per-partition local skylines first (a skyline point is never
+    dominated locally), then this pass over the tiny union. Ties on
+    price need the running max to EXCLUDE equal-price rows — hence the
+    range frame on price, not a rows frame.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cand = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        # o_orderdate ships TIMESTAMP_NTZ; the session is pinned UTC so
+        # the instant cast is identity
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
+    )
+    # running max date over STRICTLY cheaper rows: range frame keyed on
+    # price, upper bound -1 ulp expressed as rangeBetween excluding the
+    # current price via (unbounded, -1) on a scaled long price key
+    price_key = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.orderBy(price_key)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    surv = cand.withColumn("best_d", F.max("d_us").over(w)).filter(
+        F.col("best_d").isNull() | (F.col("d_us") > F.col("best_d"))
+    )
+    # equal-price group: only the newest survives (dominated by its twin
+    # on date otherwise); break exact (price, date) ties by keeping all
+    w2 = Window.partitionBy(price_key).orderBy(F.col("d_us").desc())
+    surv = surv.withColumn("mx", F.max("d_us").over(w2)).filter(
+        F.col("d_us") == F.col("mx")
+    )
+    return surv.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(
+        "o_totalprice"
+    )

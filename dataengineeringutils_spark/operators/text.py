@@ -945,3 +945,64 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+BP_MIN_DF = 3  # boilerplate phrase floor: appears in >= 3 documents
+
+
+@query(
+    "text_boilerplate_phrases",
+    oracle=f"""
+    WITH five AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 4, 0) + 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                        || tk[i+3] || ' ' || tk[i+4]))) AS phrase
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        )
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM five
+    GROUP BY phrase
+    HAVING COUNT(*) >= {BP_MIN_DF}
+    ORDER BY doc_freq DESC, phrase ASC
+    LIMIT 20
+    """,
+)
+def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate PHRASE mining: the 5-gram phrases shared by ≥
+    {BP_MIN_DF} documents, ranked by document frequency — the
+    C4/RefinedWeb-style step that surfaces navigation chrome, license
+    headers and template text for line-level stripping (complement of
+    doc-level dedup: these phrases live inside otherwise-unique docs).
+
+    Same O(n) shifted-slice zip build as the repetition op (lambdas on
+    small arrays only), distinct-per-doc before the count so a phrase
+    looping inside one doc can't fake corpus-level boilerplate; one
+    hash agg + TakeOrdered. At 100 TB the HAVING floor prunes the
+    singleton long tail before anything sorts.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("tk"),
+    )
+    tk = F.col("tk")
+    n = F.greatest(F.size(tk) - 4, F.lit(0))
+    shifted = [F.slice(tk, i, F.size(tk)) for i in range(2, 6)]
+    phrases = tk
+    for sh in shifted:
+        phrases = F.zip_with(phrases, sh, lambda p, z: F.concat_ws(" ", p, z))
+    five = F.array_distinct(F.slice(phrases, 1, n))
+    return (
+        d.select(F.explode(five).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= BP_MIN_DF)
+        .orderBy(F.col("doc_freq").desc(), F.col("phrase").asc())
+        .limit(20)
+    )
