@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dataengineeringutils_spark.exprs import money_sum, o_money_sum
 from dataengineeringutils_spark.registry import query
@@ -445,4 +446,105 @@ def join_existence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.count(F.when(F.col("has_order"), 1)).alias("n_with_orders"),
         F.count(F.when(~F.col("has_order"), 1)).alias("n_without_orders"),
+    )
+
+
+@query(
+    "join_fuzzy_entity_match",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 3000
+    ),
+    dirty AS (
+        SELECT c_custkey AS d_key,
+               CASE WHEN c_custkey % 2 = 0
+                    THEN substr(c_name, 1, 17) || 'X'
+                    ELSE substr(c_name, 1, 14) || 'Z' || substr(c_name, 16)
+               END AS d_name
+        FROM cust
+    ),
+    scored AS (
+        SELECT d.d_key, d.d_name, c.c_custkey, c.c_name,
+               levenshtein(d.d_name, c.c_name) AS lev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.d_key
+                   ORDER BY levenshtein(d.d_name, c.c_name) ASC,
+                            c.c_custkey ASC
+               ) AS rn
+        FROM dirty d JOIN cust c
+          ON levenshtein(d.d_name, c.c_name) <= 1
+    )
+    SELECT d_key, d_name, c_custkey AS matched_key, lev
+    FROM scored WHERE rn = 1 ORDER BY d_key
+    """,
+)
+def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution FUZZY JOIN with blocking: deterministically
+    corrupted customer names (one substituted character) matched back to
+    the clean registry at Levenshtein ≤ 1, best match per dirty row
+    (min distance, then min key — ambiguity resolved deterministically,
+    e.g. a trailing 'X' legitimately matches ten registry rows).
+
+    Blocking is the whole story at scale: candidates are generated only
+    for rows sharing EITHER of two 2-digit key blocks cut from the
+    value-bearing tail of the name — an equal-length lev-1 pair differs
+    at exactly one site, which can touch at most one block, so the
+    two-block union is provably COMPLETE for this threshold (the same
+    pigeonhole that makes the SimHash bands exact) while the oracle's
+    all-pairs O(n²) edit-distance join never materializes: candidate
+    volume is n·(n/10⁴)·2. Distance evaluates only on candidates.
+    """
+    # bounded registry slice (the blocking math, not the volume, is the
+    # demonstration; at sf0.1 the unbounded version pays 3.7M lev calls)
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3000)
+        .select("c_custkey", "c_name")
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.substring("c_name", 1, 17), F.lit("X")),
+        )
+        .otherwise(
+            F.concat(
+                F.substring("c_name", 1, 14),
+                F.lit("Z"),
+                F.substring("c_name", 16, 3),
+            )
+        )
+        .alias("d_name"),
+    )
+
+    def blocks(name):
+        return (
+            F.substring(name, 15, 2).alias("hA"),
+            F.substring(name, 17, 2).alias("hB"),
+        )
+
+    d_b = dirty.select("d_key", "d_name", *blocks(F.col("d_name")))
+    c_b = c.select("c_custkey", "c_name", *blocks(F.col("c_name")))
+    cand = (
+        d_b.join(c_b.withColumnRenamed("hA", "hA2"), F.col("hA") == F.col("hA2"))
+        .select("d_key", "d_name", "c_custkey", "c_name")
+        .unionAll(
+            d_b.join(
+                c_b.withColumnRenamed("hB", "hB2"), F.col("hB") == F.col("hB2")
+            ).select("d_key", "d_name", "c_custkey", "c_name")
+        )
+        .distinct()
+    )
+    lev = F.levenshtein("d_name", "c_name")
+    scored = cand.select(
+        "d_key", "d_name", "c_custkey", lev.alias("lev")
+    ).filter(F.col("lev") <= 1)
+    w = Window.partitionBy("d_key").orderBy(
+        F.col("lev").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("d_key", "d_name", F.col("c_custkey").alias("matched_key"), "lev")
+        .orderBy("d_key")
     )
