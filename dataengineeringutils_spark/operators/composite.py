@@ -897,3 +897,67 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(
         "o_totalprice"
     )
+
+
+@query(
+    "orders_priority_sla_breach",
+    oracle="""
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS ship0
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    sla AS (
+        SELECT o.o_orderpriority,
+               DATE_DIFF('day', o.o_orderdate, f.ship0) AS lead_days,
+               CASE o.o_orderpriority
+                    WHEN '1-URGENT' THEN 30 WHEN '2-HIGH' THEN 60
+                    ELSE 90 END AS sla_days
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN lead_days > sla_days THEN 1 END) AS BIGINT)
+               AS n_breaches,
+           MAX(lead_days) AS worst_lead_days
+    FROM sla GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def orders_priority_sla_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-tiered SLA breach report: each order's first shipment
+    lead time checked against its priority's promise (urgent 30 d /
+    high 60 d / rest 90 d) — the fulfilment-operations control query.
+
+    The detail side collapses to first-ship-per-order BEFORE the join
+    (agg on its natural key, same discipline as the reconciliation op);
+    lead-time arithmetic and the CASE SLA are codegen; one co-partitioned
+    join + one tiny rollup.
+    """
+    first_ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("ship0"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    sla_days = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 30)
+        .when(F.col("o_orderpriority") == "2-HIGH", 60)
+        .otherwise(90)
+    )
+    j = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff("ship0", "o_orderdate").alias("lead_days"),
+        sla_days.alias("sla_days"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum((F.col("lead_days") > F.col("sla_days")).cast("long"))
+            .cast("bigint")
+            .alias("n_breaches"),
+            F.max("lead_days").alias("worst_lead_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1163,3 +1163,62 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, v in enumerate(picked)
     ]
     return spark.createDataFrame(out, "pick int, vec_id bigint, relevance double")
+
+
+@query(
+    "sim_norm_outliers",
+    oracle=f"""
+    WITH norms AS (
+        SELECT vec_id, {o_norm('embedding')} AS nrm FROM embeddings
+    ),
+    stats AS (
+        SELECT CAST(SUM(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               COUNT(*) AS n
+        FROM norms
+    )
+    SELECT CAST(s.n AS BIGINT) AS n_vectors,
+           ROUND(s.mu, 6) AS mean_norm,
+           CAST(COUNT(CASE WHEN no.nrm < s.mu * 0.5 THEN 1 END) AS BIGINT)
+               AS n_collapsed,
+           CAST(COUNT(CASE WHEN no.nrm > s.mu * 1.5 THEN 1 END) AS BIGINT)
+               AS n_inflated
+    FROM norms no, stats s
+    GROUP BY s.n, s.mu
+    """,
+)
+def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: norm-outlier screen — vectors whose L2 norm
+    sits below 0.5× or above 1.5× the corpus mean are flagged as
+    collapsed (near-zero output of a broken encoder batch) or inflated.
+    The cheap integrity check run on every embedding delivery before
+    anything consumes it.
+
+    Norms are the engine's sequential-double kernel; the mean
+    accumulates in DECIMAL(28,12) so it is order-independent; the 1-row
+    stats frame broadcasts back over the norms scan (one pass + one
+    broadcast — no second norm computation).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    norms = e.select("vec_id", l2_norm("embedding").alias("nrm"))
+    stats = norms.agg(
+        (
+            F.sum(F.col("nrm").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.count("*").alias("n"),
+    )
+    j = norms.crossJoin(F.broadcast(stats))
+    return j.groupBy("n", "mu").agg(
+        F.sum((F.col("nrm") < F.col("mu") * 0.5).cast("long"))
+        .cast("bigint")
+        .alias("n_collapsed"),
+        F.sum((F.col("nrm") > F.col("mu") * 1.5).cast("long"))
+        .cast("bigint")
+        .alias("n_inflated"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round("mu", 6).alias("mean_norm"),
+        "n_collapsed",
+        "n_inflated",
+    )

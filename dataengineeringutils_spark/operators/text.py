@@ -1006,3 +1006,64 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), F.col("phrase").asc())
         .limit(20)
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','fast','key'], t))) AS s_en,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['table','scan','merge'], t))) AS s_de,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['order','sort','value'], t))) AS s_fr
+        FROM documents
+    )
+    SELECT lang AS actual,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CONFUSION MATRIX for the language-ID heuristic:
+    (actual, predicted) cell counts — the evaluation artifact you
+    publish with any filtering classifier before trusting it to route a
+    corpus (the per-predicted rollup in ``text_langid`` shows accuracy;
+    the matrix shows WHERE the mass confuses).
+
+    Same one-scan scoring; the matrix is a two-key hash agg on
+    |langs|² cells.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+
+    def score(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "lang",
+        score(("the", "fast", "key")).alias("s_en"),
+        score(("table", "scan", "merge")).alias("s_de"),
+        score(("order", "sort", "value")).alias("s_fr"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.select(F.col("lang").alias("actual"), predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
