@@ -874,3 +874,64 @@ def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_conversion_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT epoch_us(p.t_buy) - epoch_us(v.t_view) AS us
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p50_us,
+           CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY us) AS BIGINT)
+               AS p90_us,
+           MAX(us) AS max_us
+    FROM lat
+    """,
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion LATENCY distribution: first view → first subsequent
+    purchase per user, summarized as discrete percentiles — the
+    time-to-convert health metric behind every funnel (the funnel op
+    counts WHO converts; this measures HOW LONG it takes).
+
+    Latencies are exact integer microseconds; PERCENTILE_DISC picks
+    order statistics (no interpolation → no float divergence). Two
+    user_id-aligned aggregates reuse one partitioning; the final
+    summary collapses |converted users| rows to one.
+    """
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.unix_micros("t_buy") - F.unix_micros("t_view")).alias("us")
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.percentile_approx("us", 0.5, 2147483647).cast("bigint").alias("p50_us"),
+        F.percentile_approx("us", 0.9, 2147483647).cast("bigint").alias("p90_us"),
+        F.max("us").alias("max_us"),
+    )

@@ -364,3 +364,49 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "multimodal_coverage_report",
+    oracle="""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_embedding,
+           CAST(COUNT(CASE WHEN d.n_chars >= 100 THEN 1 END) AS BIGINT)
+               AS n_with_payload,
+           CAST(COUNT(CASE WHEN e.vec_id IS NOT NULL
+                            AND d.n_chars >= 100 THEN 1 END) AS BIGINT)
+               AS n_complete
+    FROM documents d
+    LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def multimodal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality COVERAGE report: per language, how many documents carry
+    each modality (text payload above the minimum size, aligned
+    embedding) and how many are COMPLETE across all of them — the
+    sample-completeness audit a multimodal training pipeline runs
+    before batch assembly (incomplete samples either route to
+    single-modality training or block the delivery).
+
+    One left join on the shared identity key (both sides hash-partition
+    on it) + conditional rollup; adding a third modality is one more
+    LEFT JOIN + flag, same single pass over the primary table.
+    """
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "left")
+    has_payload = F.col("n_chars") >= 100
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("vec_id").cast("bigint").alias("n_with_embedding"),
+            F.sum(has_payload.cast("long")).cast("bigint").alias("n_with_payload"),
+            F.sum((F.col("vec_id").isNotNull() & has_payload).cast("long"))
+            .cast("bigint")
+            .alias("n_complete"),
+        )
+        .orderBy("lang")
+    )

@@ -222,3 +222,49 @@ def corpus_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dataset_split_holdout",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS UBIGINT) % 100 AS b
+            FROM documents
+        )
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def dataset_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10): each document's
+    split comes from a hash of its IDENTITY (md5 of doc_id, bucket mod
+    100), so membership is stable across reruns, engines, repartitions
+    and corpus growth — an appended doc never moves existing docs
+    between splits, the property `rand()`-based splits silently lack
+    (and the reason eval contamination creeps into retrained models).
+
+    Pure per-row codegen + one rollup; the same hash gate applied at
+    read time filters any downstream job to its split with zero stored
+    split column.
+    """
+    d = table(spark, sf_dir, "documents")
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
