@@ -71,3 +71,14 @@ class KeyedTable:
         if self._version < 0:
             raise ValueError("KeyedTable has no committed version yet")
         return self.spark.read.parquet(f"{self.base_path}/state_v{self._version}")
+
+    def at_version(self, version: int) -> DataFrame:
+        """TIME TRAVEL: read a committed historical version (0-based).
+        Every upsert commits an immutable snapshot, so any past state
+        remains queryable — the path-versioned analog of a lakehouse
+        `VERSION AS OF`."""
+        if not 0 <= version <= self._version:
+            raise ValueError(
+                f"version {version} not in [0, {self._version}]"
+            )
+        return self.spark.read.parquet(f"{self.base_path}/state_v{version}")

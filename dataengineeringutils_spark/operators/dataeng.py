@@ -643,3 +643,133 @@ def orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "keyed_table_time_travel",
+    oracle="""
+    WITH b0 AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'view'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC) = 1
+    ),
+    b1 AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC) = 1
+    ),
+    v1 AS (
+        SELECT user_id, ts, value
+        FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC) = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM b0) AS BIGINT) AS v0_rows,
+           CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS v1_rows,
+           CAST((SELECT COUNT(*) FROM v1 LEFT JOIN b0 USING (user_id)
+                 WHERE b0.user_id IS NULL) AS BIGINT) AS keys_added,
+           CAST((SELECT COUNT(*) FROM v1 JOIN b0 USING (user_id)
+                 WHERE v1.ts <> b0.ts) AS BIGINT) AS keys_updated
+    """,
+)
+def keyed_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the KeyedTable's immutable version history: two
+    upserts commit snapshots v0/v1; the op reads BOTH versions back and
+    diffs them — keys added, keys whose winning row changed — the
+    audit/debug query a lakehouse answers with `VERSION AS OF`, here
+    against the path-versioned implementation (same interface either
+    way).
+
+    Each version read is an independent scan of its snapshot; the diff
+    is one key-aligned join. Snapshots share nothing on disk here —
+    a transactional format dedupes unchanged files, the interface and
+    this query are unchanged.
+    """
+    import re as _re
+
+    from dataengineeringutils_spark.keyed import KeyedTable
+    from dataengineeringutils_spark.paths import scratch_dir
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+
+    def latest(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", "ts", "value")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    base = scratch_dir("keyed_tt_" + _re.sub(r"\W+", "_", sf_dir))
+    kt = KeyedTable(spark, base, keys=["user_id"], order_by=["ts"])
+    kt.upsert(latest("view"))       # v0
+    kt.upsert(latest("purchase"))   # v1
+    v0 = kt.at_version(0)
+    v1 = kt.at_version(1)
+    added = v1.join(v0.select("user_id"), "user_id", "left_anti")
+    updated = v1.alias("n").join(
+        v0.alias("o"), "user_id"
+    ).filter(F.col("n.ts") != F.col("o.ts"))
+    return (
+        v0.agg(F.count("*").cast("bigint").alias("v0_rows"))
+        .crossJoin(v1.agg(F.count("*").cast("bigint").alias("v1_rows")))
+        .crossJoin(added.agg(F.count("*").cast("bigint").alias("keys_added")))
+        .crossJoin(
+            updated.agg(F.count("*").cast("bigint").alias("keys_updated"))
+        )
+    )
+
+
+@query(
+    "dq_schema_conformance",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id IS NOT NULL
+                          AND TRY_CAST(doc_id AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS doc_id_cast_failures,
+           CAST(SUM(CASE WHEN n_chars IS NOT NULL
+                          AND TRY_CAST(n_chars AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chars_cast_failures,
+           CAST(SUM(CASE WHEN source IS NOT NULL
+                          AND TRY_CAST(source AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS source_cast_failures
+    FROM documents
+    """,
+)
+def dq_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-surface conformance machinery as a QUERY: a declared target
+    schema (doc_id INT, n_chars INT, source DOUBLE — the last
+    deliberately wrong) validated with ``meta.conformance_report``:
+    per-column counts of values the declared cast would DESTROY
+    (non-null → null under try_cast) — the reference's row-level pandas
+    validation re-expressed as one aggregate pass ([R]
+    dataengineeringutils/meta: impose_metadata_types; SURVEY §2.A5-A6).
+
+    Numeric ids/sizes fit their declared types (0 failures); every
+    'srcN' string fails the DOUBLE cast — the report pinpoints the bad
+    column and how much data it would lose, BEFORE a write commits it.
+    """
+    from dataengineeringutils_spark.meta import TableMeta, conformance_report
+
+    meta = TableMeta.from_dict(
+        {
+            "name": "documents_contract",
+            "columns": [
+                {"name": "doc_id", "type": "int"},
+                {"name": "n_chars", "type": "int"},
+                {"name": "source", "type": "double"},
+            ],
+        }
+    )
+    d = table(spark, sf_dir, "documents")
+    return conformance_report(d, meta).select(
+        F.col("doc_id_cast_failures").cast("bigint").alias("doc_id_cast_failures"),
+        F.col("n_chars_cast_failures").cast("bigint").alias("n_chars_cast_failures"),
+        F.col("source_cast_failures").cast("bigint").alias("source_cast_failures"),
+    )
