@@ -935,3 +935,142 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("us", 0.9, 2147483647).cast("bigint").alias("p90_us"),
         F.max("us").alias("max_us"),
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_w
+        FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT f.cohort_w,
+               DATE_DIFF('day', f.cohort_w,
+                         CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP)) // 7
+                   AS week_n,
+               SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT cohort_w, COUNT(*) AS cohort_users FROM first_seen GROUP BY 1
+    )
+    SELECT m.cohort_w, m.week_n,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(SUM(m.rev) OVER (PARTITION BY m.cohort_w ORDER BY m.week_n)
+                AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(SUM(m.rev) OVER (PARTITION BY m.cohort_w
+                                       ORDER BY m.week_n) AS DOUBLE)
+                 / s.cohort_users, 4) AS ltv_per_user
+    FROM weekly m JOIN sized s ON m.cohort_w = s.cohort_w
+    ORDER BY m.cohort_w, m.week_n
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves: cumulative purchase revenue per
+    signup-week cohort, normalized per cohort member — the
+    revenue-weighted twin of the retention matrix (retention counts who
+    comes back; LTV prices it), and the payback-period input for
+    acquisition spend.
+
+    Revenue collapses to the |cohorts × months| frame FIRST (exact
+    decimal sums), so the cumulative window and the per-user division
+    run on a tiny frame; cohort sizes broadcast in. Divisions happen
+    once per output row on already-exact sums, rounded 4 dp.
+    """
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    weekly = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_w",
+            F.expr(
+                "datediff(date_trunc('week', ts), cohort_w) div 7"
+            ).cast("bigint").alias("week_n"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    sized = first_seen.groupBy("cohort_w").agg(
+        F.count("*").alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_w").orderBy("week_n")
+    cum = F.sum("rev").over(w).cast("double")
+    return (
+        weekly.join(F.broadcast(sized), "cohort_w")
+        .select(
+            "cohort_w",
+            "week_n",
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            cum.alias("cum_revenue"),
+            F.round(cum / F.col("cohort_users"), 4).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_w", "week_n")
+    )
+
+
+@query(
+    "events_stickiness_ratio",
+    oracle="""
+    WITH dau AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    wau AS (
+        SELECT CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS w,
+               COUNT(DISTINCT user_id) AS wau
+        FROM events GROUP BY 1
+    )
+    SELECT w.w AS week_start,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_sum,
+           ROUND(CAST(SUM(d.dau) AS DOUBLE)
+                 / COUNT(*) / w.wau, 4) AS stickiness
+    FROM dau d
+    JOIN wau w ON CAST(DATE_TRUNC('week', d.d) AS TIMESTAMP) = w.w
+    GROUP BY w.w, w.wau ORDER BY w.w
+    """,
+)
+def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STICKINESS (avg DAU / WAU) per week — the engagement-frequency
+    ratio product teams track next to raw actives: 1.0 means every
+    weekly user shows up daily, ~0.14 means once a week.
+
+    Two distinct-collapse aggregates (day grain, week grain) on the
+    same scan; the join aligns |days| rows to |weeks| rows, so every
+    post-collapse step is metric-frame-sized. The ratio divides two
+    exact integers once per output row, rounded 4 dp.
+    """
+    e = table(spark, sf_dir, "events")
+    dau = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = e.groupBy(F.date_trunc("week", "ts").alias("w")).agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    j = dau.join(
+        F.broadcast(wau), F.date_trunc("week", F.col("d")) == F.col("w")
+    )
+    return (
+        j.groupBy("w", "wau")
+        .agg(
+            F.sum("dau").cast("bigint").alias("dau_sum"),
+            F.count("*").alias("n_days"),
+        )
+        .select(
+            F.col("w").alias("week_start"),
+            F.col("wau").cast("bigint").alias("wau"),
+            "dau_sum",
+            F.round(
+                F.col("dau_sum").cast("double") / F.col("n_days") / F.col("wau"),
+                4,
+            ).alias("stickiness"),
+        )
+        .orderBy("week_start")
+    )
