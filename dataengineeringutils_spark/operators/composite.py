@@ -961,3 +961,66 @@ def orders_priority_sla_breach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH cents AS (
+        SELECT p.p_type, l.l_suppkey,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (
+        SELECT p_type,
+               COUNT(*) AS n_suppliers,
+               SUM(c) AS s,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS sq
+        FROM cents GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(CAST(sq AS DOUBLE)
+                 / CAST(CAST(s AS DECIMAL(38,0)) * s AS DOUBLE) * 10000, 2)
+               AS hhi
+    FROM tot ORDER BY p_type
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per part category: Σ of
+    squared supplier revenue shares ×10 000 — the antitrust/supply-risk
+    metric (10 000 = monopoly; < 1 500 reads unconcentrated). The
+    complement of the Gini op: Gini ranks inequality across ALL
+    entities, HHI flags dependence on a few.
+
+    Exactness discipline: revenue lifts to integer cents, so Σc² / (Σc)²
+    is an exact rational (DECIMAL(38,0) products, same as the mergeable-
+    variance op) with ONE double division at the end. Two hash aggs —
+    (type, supplier) then type — both map-side combined; the part dim
+    broadcasts into the fact scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cents = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_type", "l_suppkey", c.alias("c"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("c").alias("c"))
+    )
+    tot = cents.groupBy("p_type").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sq"),
+    )
+    hhi = (
+        F.col("sq").cast("double")
+        / (F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
+        * 10000
+    )
+    return tot.select(
+        "p_type",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.round(hhi, 2).alias("hhi"),
+    ).orderBy("p_type")

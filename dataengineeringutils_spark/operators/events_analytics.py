@@ -1074,3 +1074,54 @@ def events_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "orders_forecast_naive_eval",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT m, rev,
+               LAG(rev, 12) OVER (ORDER BY m) AS forecast
+        FROM monthly
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval_months,
+           CAST(SUM(ABS(rev - forecast)) AS DOUBLE) AS mae_total,
+           ROUND(CAST(SUM(ABS(rev - forecast)) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 4) AS wape
+    FROM scored WHERE forecast IS NOT NULL
+    """,
+)
+def orders_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive FORECAST BACKTEST: predict each month's revenue
+    with the same month last year (lag 12 on the monthly frame) and
+    score MAE + WAPE over every evaluable month — the baseline any
+    forecasting pipeline must beat, and the op that defines the
+    backtest harness shape (point-in-time-correct features via lag,
+    error rollup).
+
+    The fact table collapses to |months| rows first; the lag window and
+    scoring run on that frame. Errors are exact decimal differences;
+    WAPE (not MAPE) keeps the denominator a single exact sum — one
+    division in the whole op, rounded 4 dp.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("m")
+    scored = monthly.withColumn("forecast", F.lag("rev", 12).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    abs_err = F.abs(F.col("rev") - F.col("forecast"))
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_eval_months"),
+        F.sum(abs_err).cast("double").alias("mae_total"),
+        F.round(
+            F.sum(abs_err).cast("double") / F.sum("rev").cast("double"), 4
+        ).alias("wape"),
+    )
