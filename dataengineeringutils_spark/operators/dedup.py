@@ -865,3 +865,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.greatest("cont_a", "cont_b") >= CONTAINMENT_THRESHOLD
     )
+
+
+PREFIX_TOKENS = 30  # opening-window size for prefix duplication
+
+
+@query(
+    "dedup_prefix_groups",
+    oracle=f"""
+    WITH pre AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), t -> t <> ''),
+                   1, {PREFIX_TOKENS}), ' ')) AS pfx
+        FROM documents
+    ),
+    grp AS (
+        SELECT pfx, COUNT(*) AS n FROM pre GROUP BY pfx HAVING COUNT(*) >= 2
+    )
+    SELECT p.lang,
+           CAST(COUNT(DISTINCT g.pfx) AS BIGINT) AS n_prefix_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in_groups
+    FROM pre p JOIN grp g ON p.pfx = g.pfx
+    GROUP BY p.lang ORDER BY p.lang
+    """,
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-duplication screen: documents sharing an identical opening
+    window ({PREFIX_TOKENS} tokens, md5-keyed) — catches the template/
+    truncation duplication class (same boilerplate opener, diverging
+    tails) that whole-document hashing misses and shingle Jaccard only
+    scores fractionally.
+
+    The md5 prefix key is 16 bytes regardless of document size — group
+    detection is a hash agg on the key, never a text shuffle; the
+    join-back to label languages reuses the same key partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    pfx = F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_TOKENS)))
+    pre = d.select("doc_id", "lang", pfx.alias("pfx"))
+    grp = (
+        pre.groupBy("pfx")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pfx")
+    )
+    return (
+        pre.join(grp, "pfx")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("pfx").cast("bigint").alias("n_prefix_groups"),
+            F.count("*").cast("bigint").alias("n_docs_in_groups"),
+        )
+        .orderBy("lang")
+    )

@@ -1125,3 +1125,58 @@ def orders_forecast_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(abs_err).cast("double") / F.sum("rev").cast("double"), 4
         ).alias("wape"),
     )
+
+
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    flagged AS (
+        SELECT d, n,
+               LAG(n) OVER (ORDER BY d) AS prev_n,
+               LEAD(n) OVER (ORDER BY d) AS next_n
+        FROM daily
+    )
+    SELECT d, CAST(n AS BIGINT) AS n_events
+    FROM flagged
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    ORDER BY d
+    """,
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum PEAK detection on the daily event series: days
+    strictly busier than both neighbors (endpoints excluded) — the
+    signal primitive under spike alerts and campaign-impact eyeballing;
+    thresholded variants (prominence, z-score) bolt onto the same
+    lag/lead frame (the z-score one is ``events_zscore_anomaly``).
+
+    The fact table collapses to |days| first; lag/lead run on the tiny
+    metric frame (unpartitioned window over |days| rows — entity-
+    bounded, the documented exception class).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        flagged.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .select("d", F.col("n").cast("bigint").alias("n_events"))
+        .orderBy("d")
+    )

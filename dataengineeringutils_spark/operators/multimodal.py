@@ -410,3 +410,69 @@ def multimodal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+VLM_TILE = 64  # stub tile edge; tokens = tiles x TOKENS_PER_TILE + text
+TOKENS_PER_TILE = 16
+CONTEXT_BUDGET = 512
+
+
+@query(
+    "multimodal_token_budget",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, lang,
+               CAST(16 + length(text) % 320 AS INT) AS w,
+               CAST(16 + (length(text) * 7) % 240 AS INT) AS h,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS text_tokens
+        FROM documents
+    ),
+    budgeted AS (
+        SELECT lang,
+               text_tokens
+               + CAST(CEIL(CAST(w AS DOUBLE) / {VLM_TILE}) AS BIGINT)
+                 * CAST(CEIL(CAST(h AS DOUBLE) / {VLM_TILE}) AS BIGINT)
+                 * {TOKENS_PER_TILE} AS seq_tokens
+        FROM dims
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(CASE WHEN seq_tokens > {CONTEXT_BUDGET} THEN 1 END)
+                AS BIGINT) AS n_over_budget
+    FROM budgeted GROUP BY lang ORDER BY lang
+    """,
+)
+def multimodal_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VLM sequence-budget accounting: each sample's token cost = text
+    tokens + image tiles × tokens-per-tile (the ViT-style patch/tile
+    arithmetic every vision-language pipeline runs to size batches),
+    rolled up per language with an over-context-budget count — the
+    input to packing/truncation policy BEFORE any GPU sees a batch.
+
+    Image dims come from the documented stub decode (the real kernel
+    swaps in PIL; the tile arithmetic downstream is the production
+    formula). Pure per-row integer/ceil arithmetic + one rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = (16 + F.length("text") % 320).cast("int")
+    h = (16 + (F.length("text") * 7) % 240).cast("int")
+    text_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+    tiles = (
+        F.ceil(w.cast("double") / VLM_TILE).cast("bigint")
+        * F.ceil(h.cast("double") / VLM_TILE).cast("bigint")
+    )
+    seq = text_tokens.cast("bigint") + tiles * TOKENS_PER_TILE
+    return (
+        d.select("lang", seq.alias("seq_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("seq_tokens") > CONTEXT_BUDGET).cast("long"))
+            .cast("bigint")
+            .alias("n_over_budget"),
+        )
+        .orderBy("lang")
+    )
