@@ -1024,3 +1024,35 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
         F.round(hhi, 2).alias("hhi"),
     ).orderBy("p_type")
+
+
+@query(
+    "orders_basket_size_dist",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM sizes GROUP BY n_lines ORDER BY n_lines
+    """,
+)
+def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size DISTRIBUTION: how many orders have k line items — the
+    recurring "distribution of group sizes" shape (basket sizes, session
+    lengths, degree distributions) behind capacity planning and skew
+    diagnosis; it is also the profile you check BEFORE choosing a join
+    strategy (a heavy tail here is tomorrow's skewed join).
+
+    Two-level aggregate: per-key count (map-side combined), then a count
+    of counts over the collapsed |orders| frame — the second level's
+    key space is tiny by construction.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    return (
+        sizes.groupBy("n_lines")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("n_lines")
+    )

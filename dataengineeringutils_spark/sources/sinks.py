@@ -419,3 +419,64 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@query(
+    "sink_csv_quoted_multiline",
+    oracle="""
+    WITH adorned AS (
+        SELECT doc_id,
+               'prefix "' || substr(text, 1, 40) || '", line2' || chr(10)
+                   || 'tail,end' AS payload
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(payload)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN contains(payload, chr(10)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_multiline
+    FROM adorned
+    """,
+)
+def sink_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with the fields that break naive parsers: embedded
+    COMMAS, embedded DOUBLE QUOTES, and embedded NEWLINES in one value.
+    The writer must quote+escape; the reader must run in ``multiLine``
+    mode (a newline inside quotes is data, not a record boundary — and
+    at scale multiLine CSV is NOT splittable within a file, which is
+    the documented price of this format; columnar formats make the
+    whole class vanish).
+
+    The oracle recomputes the adorned payloads from the source table, so
+    any quoting/escaping/parsing loss in the round-trip breaks counts,
+    char totals, or the multiline flag.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    payload = F.concat(
+        F.lit('prefix "'),
+        F.substring("text", 1, 40),
+        F.lit('", line2\n'),
+        F.lit("tail,end"),
+    )
+    adorned = d.select("doc_id", payload.alias("payload"))
+    out = scratch_dir("sink_csv_multiline")
+    (
+        adorned.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
+        F.sum(F.col("payload").contains("\n").cast("long"))
+        .cast("bigint")
+        .alias("n_multiline"),
+    )
