@@ -1248,3 +1248,111 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("users_clicked_in_window")))
         .crossJoin(s3.agg(F.count("*").alias("users_purchased_in_window")))
     )
+
+
+@query(
+    "events_behavior_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    mix AS (
+        SELECT user_id,
+               SUM(c) AS n_events,
+               COUNT(*) AS n_types,
+               1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c))
+                   AS mix_impurity
+        FROM counts GROUP BY user_id
+    )
+    SELECT n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(mix_impurity), 4) AS avg_impurity
+    FROM mix GROUP BY n_types ORDER BY n_types
+    """,
+)
+def events_behavior_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-mix diversity: per-user Gini impurity of the event-type
+    distribution (0 = does one thing, →1 = spread across all types),
+    rolled up by how many distinct types a user touches — the behavioral
+    segmentation input (single-action bots sit at impurity 0 with high
+    volume; engaged users spread).
+
+    Same exact-rational impurity discipline as ``text_char_diversity``
+    (Σc²/(Σc)² on integers, one double division per user). Two
+    user_id-hashed aggregates; the final rollup is |type-counts| rows.
+    The AVG over per-user doubles is the one float accumulation — over
+    ≤ 5-value impurities per group, absorbed by the 4 dp round.
+    """
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    mix = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c"))
+        ).alias("mix_impurity"),
+    )
+    return (
+        mix.groupBy("n_types")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg("mix_impurity"), 4).alias("avg_impurity"),
+        )
+        .orderBy("n_types")
+    )
+
+
+@query(
+    "orders_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               DATE_DIFF('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM gaps
+    WHERE o_custkey < 80
+    GROUP BY o_custkey
+    HAVING COUNT(gap_days) > 0
+    ORDER BY o_custkey
+    """,
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order INTER-ARRIVAL profile per customer: count/total/max of the
+    day gaps between consecutive orders — the purchase-cadence feature
+    set behind replenishment prediction and churn risk (a gap far above
+    a customer's own max is the classic churn trigger; cf. the
+    population-level week view in ``events_churned_users``).
+
+    One lag window per customer (deterministic (date, key) ordering),
+    one rollup — both riding a single custkey shuffle; exact integer
+    day arithmetic end to end.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    ).filter(F.col("o_custkey") < 80)
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").cast("bigint").alias("n_gaps"),
+            F.sum("gap_days").cast("bigint").alias("total_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .orderBy("o_custkey")
+    )
