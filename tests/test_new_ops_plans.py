@@ -345,3 +345,42 @@ def test_nested_scan_prunes_untouched_leaves(spark, sf_dir):
     # the untouched lines array must be pruned out of the read schema
     assert "lines" not in m[0], m[0]
     assert "priority" in m[0] and "price" in m[0], m[0]
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    tree = _plan(queries()["sample_weighted_topk"](spark, sf_dir)).split("\n\n")[0]
+    # the k smallest exponential arrivals come from a heap-merge
+    # TakeOrdered over the scan — no global sort, no shuffle exchange
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange" not in tree.replace("rangepartitioning", ""), tree
+
+
+def test_shard_manifest_windows_are_bucket_partitioned(spark, sf_dir):
+    plan = _plan(queries()["multimodal_shard_manifest"](spark, sf_dir))
+    # the per-doc running sum must partition by the doc_id-range bucket;
+    # a single global window would serialize the corpus on one task
+    assert "windowspecdefinition(bkt#" in plan or "partitionBy" not in plan, plan
+
+
+def test_alert_debounce_single_user_shuffle(spark, sf_dir):
+    plan = _plan(queries()["events_alert_debounce"](spark, sf_dir))
+    # lag window and rollup share ONE user_id hash exchange (the second
+    # exchange in the tree is the presentation orderBy's range partition)
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_skyline_has_no_nested_loop(spark, sf_dir):
+    plan = _plan(queries()["orders_skyline_2d"](spark, sf_dir))
+    # the O(n²) NOT-EXISTS formulation must never survive into the plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_fuzzy_match_joins_are_blocked_equi(spark, sf_dir):
+    tree = _plan(queries()["join_fuzzy_entity_match"](spark, sf_dir)).split("\n\n")[0]
+    # candidate generation must be hash/merge equi joins on the block
+    # keys; an edit-distance theta join would plan as nested-loop
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
