@@ -1356,3 +1356,82 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") > 0)
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "events_session_type_pairs",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    baskets AS (
+        SELECT user_id, sid, list_sort(list_distinct(list(event_type))) AS types
+        FROM sess GROUP BY user_id, sid
+    ),
+    pairs AS (
+        SELECT UNNEST(flatten(list_transform(types,
+                   (x, i) -> list_transform(types[i+1:],
+                       y -> {'a': x, 'b': y})))) AS p
+        FROM baskets
+    )
+    SELECT p.a AS type_a, p.b AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM pairs GROUP BY 1, 2 ORDER BY n_sessions DESC, type_a, type_b
+    """,
+)
+def events_session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type CO-OCCURRENCE within sessions: for each 30-minute-gap
+    session, which behavior pairs happen together — the association
+    signal behind "users who search also purchase" product analysis
+    (market-basket machinery applied to sessions instead of orders).
+
+    Sessionization is the gaps-islands labeling (one user_id shuffle
+    shared by the lag window, the running sum, and the session
+    collapse); pairs generate INSIDE each session's sorted distinct
+    type array — no self-join, so event volume per session never
+    quadratically multiplies (max pairs/session = C(|types|,2) ≤ 10).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = (
+        F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000)
+    ).cast("long")
+    sess = e.select("user_id", "ts", "event_type", new_s.alias("new_s"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = sess.withColumn("sid", F.sum("new_s").over(w_run))
+    baskets = sess.groupBy("user_id", "sid").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    ids = F.col("types")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "type_a", "type_b")
+    )

@@ -476,3 +476,39 @@ def multimodal_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "multimodal_length_norm_corr",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(CAST(d.n_chars AS DOUBLE),
+                      {o_norm('e.embedding')}), 6) AS len_norm_corr,
+           ROUND(regr_slope({o_norm('e.embedding')},
+                            CAST(d.n_chars AS DOUBLE)), 8) AS slope
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_length_norm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal DRIFT diagnostic: correlation (and regression slope)
+    between document length and embedding norm. A healthy encoder is
+    near-uncorrelated; a strong correlation means the embedding space
+    leaks raw length — retrieval then ranks long docs, not relevant
+    ones — so this number is checked on every encoder/data refresh.
+
+    One identity-key join + a single moment-aggregate pass (corr and
+    regr_slope share the same mergeable moments); norms are the
+    engine's sequential-double kernel, and the moment sums round at
+    6/8 dp (the same contract `agg_regression`/`text_zipf_slope` pin).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        F.col("n_chars").cast("double").alias("len_d"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.corr("len_d", "nrm"), 6).alias("len_norm_corr"),
+        F.round(F.regr_slope(F.col("nrm"), F.col("len_d")), 8).alias("slope"),
+    )
