@@ -913,9 +913,11 @@ PI_DIM = 64
 
 
 def _power_iteration_oracle(iters: int = PI_ITERS) -> str:
-    """Unrolled-CTE replica of the power iteration below. Generated by a
-    loop so the iteration count stays a single constant shared with the
-    Spark path."""
+    """Unrolled-CTE replica of the Gram-matrix power iteration below.
+    Generated by a loop so the iteration count stays a single constant
+    shared with the Spark path. The Gram matrix G = XᵀX is built once
+    (fixed-point int64 sums, order-independent); each iteration is then
+    u ← Gv over the 64×64 CTE — exactly what the engine does driver-side."""
     parts = [
         f"""
     WITH dims AS (
@@ -923,21 +925,23 @@ def _power_iteration_oracle(iters: int = PI_ITERS) -> str:
         FROM embeddings
         CROSS JOIN (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i)
     ),
+    g AS (
+        SELECT d1.i AS i, d2.i AS j,
+               CAST(SUM(CAST(FLOOR(d1.x * d2.x * 1e12) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS g
+        FROM dims d1 JOIN dims d2 USING (vec_id)
+        GROUP BY 1, 2
+    ),
     v0 AS (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i,
                   CAST(0.125 AS DOUBLE) AS v)"""
     ]
     for k in range(1, iters + 1):
         parts.append(f"""
-    , s{k} AS (
-        SELECT d.vec_id,
-               CAST(SUM(CAST(FLOOR(d.x * v.v * 1e12) AS BIGINT)) AS DOUBLE)
-                   / 1e12 AS s
-        FROM dims d JOIN v{k - 1} v USING (i) GROUP BY d.vec_id)
     , u{k} AS (
-        SELECT d.i,
-               CAST(SUM(CAST(FLOOR(d.x * s.s * 1e12) AS BIGINT)) AS DOUBLE)
+        SELECT g.i,
+               CAST(SUM(CAST(FLOOR(g.g * v.v * 1e12) AS BIGINT)) AS DOUBLE)
                    / 1e12 AS u
-        FROM dims d JOIN s{k} s USING (vec_id) GROUP BY d.i)
+        FROM g JOIN v{k - 1} v ON g.j = v.i GROUP BY g.i)
     , n{k} AS (
         SELECT SQRT(CAST(SUM(CAST(u.u * u.u AS DECIMAL(30,12))) AS DOUBLE))
             AS nrm FROM u{k} u)
@@ -956,32 +960,40 @@ def _power_iteration_oracle(iters: int = PI_ITERS) -> str:
 @query("embeddings_power_iteration", oracle=_power_iteration_oracle())
 def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal component of the embedding matrix by POWER
-    ITERATION — iterative distributed linear algebra in pure DataFrame
-    ops: v ← normalize(Xᵀ(Xv)), 3 fixed rounds.
+    ITERATION over the GRAM MATRIX: G = XᵀX in ONE distributed pass,
+    then v ← normalize(Gv), 3 fixed rounds driver-side.
 
-    The iteration shape is the MLlib/GraphX one: the MODEL STATE (v —
-    64 doubles, half a kilobyte) is collected to the driver each round
-    and re-broadcast into the next round's kernel; the DATA never
-    leaves the executors. Each round is ONE Arrow-batched numpy pass
-    over the embedding table (`mapInPandas`): the kernel computes Xv
-    and the per-batch Xᵀ(Xv) partials in two vectorized GEMV-like
-    steps and emits just 64 longs per batch, merged by a tiny grouped
-    sum. At 100 TB that is 3 scans with map-side-combined 64-row
-    partials — optimal. (Measured 5.1 s → 0.6 s at sf0.1 vs the
-    join/agg formulation: decimal agg buffers and interpreted
-    higher-order folds were the cost, not the scan.)
+    Since Xᵀ(Xv) = (XᵀX)v, the iterative part needs only G — 64×64
+    doubles, 32 KB — so the DATA is scanned exactly once regardless of
+    iteration count. One Arrow-batched numpy pass (`mapInPandas`) emits
+    per-batch int64 Gram partials (4096 longs per batch, merged in the
+    driver: int64 addition is exact and order-independent, and skipping
+    the groupBy exchange saves a shuffle stage); every subsequent
+    iteration is driver-local arithmetic on half a page of state. At
+    100 TB that is 1 scan with map-side-combined partials vs the 3
+    scans of the v-recursion form — and adding iterations for tighter
+    convergence costs nothing. (Measured 2.6 s → 0.65 s at sf0.1 vs the
+    per-iteration mapInPandas form; the old join/agg form was 5.1 s.)
 
-    Cross-engine exactness WITHOUT decimal: every product is
+    Cross-engine exactness WITHOUT decimal: every Gram product is
     floor-quantized at 10⁻¹² and accumulated as int64 — integer sums
     are order-independent across batches/partitions, and FLOOR of an
     identical IEEE double is bit-identical on every engine (no
     round-half-mode ambiguity, unlike double→decimal casts). The
-    driver-side normalize mirrors Spark's cast/round semantics digit
-    for digit (shortest-repr decimal, HALF_UP — `Decimal(repr(x))` ≡
-    Scala `BigDecimal.decimal`), and v is re-rounded to 9 dp each round
-    so the next round's inputs are identical representations on both
-    engines. Output: top-3 loading dimensions + the Rayleigh eigenvalue
-    estimate (‖Xᵀ(Xv)‖ at the final unit-norm v).
+    driver-side iterations mirror the oracle's CTE arithmetic digit
+    for digit: float(int) ≡ CAST(BIGINT AS DOUBLE) (both round to
+    nearest), `math.floor(g*v*1e12)` ≡ `FLOOR(g*v*1e12)` (same
+    left-associated IEEE ops), and the normalize uses shortest-repr
+    HALF_UP decimals (`Decimal(repr(x))` ≡ engine double→decimal
+    casts), with v re-rounded to 9 dp each round so both engines hold
+    identical representations. Output: top-3 loading dimensions + the
+    Rayleigh eigenvalue estimate (‖Gv‖ at the final unit-norm v).
+
+    Quantization headroom: |G_ij| ≤ n for unit-ish rows, so int64
+    partials at 10⁻¹² are safe to ~10⁶ rows per batch and the merged
+    G to ~10⁶ total mass per entry; at larger corpora widen the
+    quantum (1e9) or two-level the merge — a knob, not a semantics
+    change.
     """
     import math
     from decimal import ROUND_HALF_UP, Decimal
@@ -990,52 +1002,52 @@ def embeddings_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     q9 = Decimal("1e-9")
 
     def dec(x: float, q: Decimal) -> Decimal:
-        # Spark Cast(double -> decimal) goes through the shortest decimal
-        # representation (BigDecimal.decimal); repr(float) is the same
-        # shortest round-trip string, so this is digit-identical.
+        # Spark/DuckDB cast(double -> decimal) go through the shortest
+        # decimal representation; repr(float) is the same shortest
+        # round-trip string, so this is digit-identical.
         return Decimal(repr(x)).quantize(q, ROUND_HALF_UP)
 
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        idx = np.arange(PI_DIM, dtype=np.int32)
+        ii = np.repeat(idx, PI_DIM) + 1
+        jj = np.tile(idx, PI_DIM) + 1
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((PI_DIM, PI_DIM), dtype=np.int64)
+            # chunked so the (rows × 64 × 64) product tensor stays tens
+            # of MB regardless of Arrow batch size
+            for c0 in range(0, mat.shape[0], 512):
+                chunk = mat[c0 : c0 + 512]
+                prod = chunk[:, :, None] * chunk[:, None, :]
+                acc += np.floor(prod * 1e12).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame({"i": ii, "j": jj, "pg": acc.reshape(-1)})
+
+    rows = e.mapInPandas(gram_partials, "i int, j int, pg long").collect()
+    g_fix = [[0] * (PI_DIM + 1) for _ in range(PI_DIM + 1)]
+    for r in rows:
+        g_fix[r["i"]][r["j"]] += r["pg"]
+    # float(int) rounds to nearest double exactly like CAST(BIGINT AS
+    # DOUBLE); the division by 1e12 is then the same IEEE op on both sides
+    g = [
+        [float(g_fix[i][j]) / 1e12 for j in range(PI_DIM + 1)]
+        for i in range(PI_DIM + 1)
+    ]
+
     v = [0.125] * PI_DIM
-    us: list[float] = []
+    nrm = 0.0
     for _ in range(PI_ITERS):
-        v_np = np.asarray(v, dtype=np.float64)
-
-        # Vectorized per-batch kernel, FIXED-POINT exact: every product
-        # is floor-quantized at 10⁻¹² and summed as int64 — integer
-        # addition is order-independent, and FLOOR of an identical IEEE
-        # double is identical on every engine (no round-half ambiguity),
-        # so batch/partition boundaries can't change a single bit of the
-        # result. |x·s| ≲ 10², so per-batch partials stay < 2⁶³ up to
-        # ~10⁶ rows; at larger corpora widen to a two-level merge — a
-        # quantization knob, not a semantics change.
-        def partials(batches, v_np=v_np):
-            for pdf in batches:
-                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                s_fix = (
-                    np.floor((mat * v_np) * 1e12).astype(np.int64).sum(axis=1)
-                )
-                s_col = (s_fix.astype(np.float64) / 1e12)[:, None]
-                u_fix = np.floor((mat * s_col) * 1e12).astype(np.int64).sum(
-                    axis=0
-                )
-                yield pd.DataFrame(
-                    {"i": np.arange(1, PI_DIM + 1, dtype=np.int32),
-                     "pu": u_fix}
-                )
-
-        # collect the per-batch partials directly (batches × 64 tiny
-        # rows) and merge in the driver: int64 addition is exact and
-        # order-independent, and skipping the 64-row groupBy exchange
-        # saves a full shuffle stage per round
-        rows = e.mapInPandas(partials, "i int, pu long").collect()
-        u_fix = [0] * (PI_DIM + 1)
-        for r in rows:
-            u_fix[r["i"]] += r["pu"]
-        us = [u_fix[j] / 1e12 for j in range(1, PI_DIM + 1)]
+        u_fix = [
+            sum(
+                math.floor(g[i][j + 1] * v[j] * 1e12) for j in range(PI_DIM)
+            )
+            for i in range(1, PI_DIM + 1)
+        ]
+        us = [float(uf) / 1e12 for uf in u_fix]
         nrm = math.sqrt(float(sum(dec(u * u, q12) for u in us)))
         v = [float(dec(u / nrm, q9)) for u in us]
     loadings = sorted(
