@@ -301,24 +301,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — MinHash over (doc_id, shingle) rows.
+    """(doc_id, sig: array<bigint>) — ONE-PERMUTATION MinHash over
+    (doc_id, shingle) rows.
 
-    Each shingle hash is re-hashed with xxhash64(s, seed_i) for n_hashes
-    seeds; the signature is the per-seed minimum. 64 codegen'd
-    min-aggregates over the shingle rows: measured far faster than a
-    "zero-shuffle" per-row array-expression formulation, because
-    higher-order-function lambdas evaluate interpreted while min-agg
-    stays in whole-stage codegen (partial aggregation makes the shuffle
-    one row per (task, doc)).
+    Classic k-hash MinHash evaluates k hash functions per shingle —
+    O(k·D) hashing that dominates signature cost at corpus scale. One-
+    permutation hashing (Li/Owen/Zhang, NIPS 2012) gets the same
+    estimator quality from the ONE hash we already have: the hash space
+    is split into k bins (``pmod(s, k)``) and the signature entry for
+    bin b is the min shingle hash landing in b. Per row that is k
+    codegen'd conditional-min aggregates — comparisons, not hash rounds
+    (measured 1.24 s → 0.6 s for the signature pass at sf0.1, and the
+    win grows with corpus size since hashing is the O(D) term).
+
+    Empty bins (a ~100-shingle doc leaves ~20% of 64 bins empty) are
+    densified deterministically in the spirit of Shrivastava/Li (ICML
+    2014): empty bin b borrows the value of filled bin (b mod m) in the
+    filled-bin subsequence. That is ONE shallow array expression on the
+    doc-level frame (|docs| rows) — a rotation-by-doubling formulation
+    was measured to double the expression tree per round (2⁶ copies of
+    the 64-slot array) and went 30× slower, so shallow beats clever
+    here. A doc with ≥ 1 shingle always fills every slot.
+
+    The conditional-min aggregate runs in the doc_id partitioning the
+    shingle table already has — zero additional exchange.
     """
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
+    state = _oph_doc_state(sh, n_hashes)
+    sig = F.array(*[_oph_slot(k, n_hashes) for k in range(n_hashes)])
+    return state.select("doc_id", sig.alias("sig"))
+
+
+def _oph_doc_state(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mp: map<bin → min-hash>, nn: array of filled-bin mins,
+    sorted by bin). O(1) work per shingle row (one pmod), two map-side-
+    combined aggregates. mp/nn are AGGREGATE OUTPUT ATTRIBUTES on
+    purpose: CollapseProject inlines Project-computed columns into every
+    downstream reference (a 64-slot signature array referenced 64× by
+    the band extractor re-evaluated its whole builder per reference —
+    measured 2.8 s → 4.6 s regression before this split), but it cannot
+    inline across an Aggregate, so consumers referencing mp/nn pay each
+    slot expression exactly once."""
+    bin_mins = sh.groupBy(
+        "doc_id", F.pmod(F.col("s"), F.lit(n_hashes)).alias("b")
+    ).agg(F.min("s").alias("m"))
+    sorted_entries = F.array_sort(F.collect_list(F.struct("b", "m")))
+    return bin_mins.groupBy("doc_id").agg(
+        F.map_from_entries(sorted_entries).alias("mp"),
+        F.transform(sorted_entries, lambda x: x["m"]).alias("nn"),
     )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+
+
+def _oph_slot(k: int, n_hashes: int = N_HASHES):
+    """Slot k of the densified OPH signature, from mp/nn attributes."""
+    return F.coalesce(
+        F.element_at("mp", F.lit(k).cast("bigint")),
+        F.element_at("nn", F.lit(k % n_hashes) % F.size("nn") + 1),
     )
 
 
@@ -333,18 +370,20 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle_rows is the session-cached materialized shingle table, so
     # the signature pass and the exact-verify pass share one computation.
     sh = shingle_rows(spark, sf_dir)
-    sigs = minhash_signatures(sh)
     r = N_HASHES // N_BANDS
-    bands = sigs.select(
+    # band hashes straight off the OPH doc state: each signature slot is
+    # evaluated exactly once (see _oph_doc_state on why not via the sig
+    # array)
+    bands = _oph_doc_state(sh).select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.element_at("sig", b * r + j + 1) for j in range(r)]).alias(
-                            "bucket"
-                        ),
+                        F.xxhash64(
+                            *[_oph_slot(b * r + j) for j in range(r)]
+                        ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -756,10 +795,15 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality gate for MinHash: on every TRUE near-dup pair, the
-    signature-agreement estimate (matching positions / 64) must land
-    within 0.3 of the exact Jaccard — ~5x the binomial standard error of
-    a 64-hash signature, so a correct implementation never trips it but
-    a broken hash family / band indexing does, loudly.
+    one-permutation estimate must land within 0.3 of the exact Jaccard
+    — ~5x the binomial standard error at 64 bins, so a correct
+    implementation never trips it but a broken hash family / band
+    indexing does, loudly.
+
+    The OPH estimator (Li/Owen/Zhang 2012) counts agreement over bins
+    FILLED IN BOTH documents — densified (borrowed) slots are excluded,
+    since a borrowed value reflects a different bin's min and would bias
+    the estimate down on sparse docs.
 
     The exact pair set and jaccard values are fully oracle-checked; the
     estimate column is Spark-side only (hash-family-specific) and
@@ -767,18 +811,19 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     HLL/KLL/CMS gates.
     """
     pairs = near_dup_pairs(spark, sf_dir)
-    sigs = minhash_signatures(shingle_rows(spark, sf_dir))
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.lit(N_HASHES)
+    state = _oph_doc_state(shingle_rows(spark, sf_dir))
+    sa = state.select(F.col("doc_id").alias("doc_a"), F.col("mp").alias("mp_a"))
+    sb = state.select(F.col("doc_id").alias("doc_b"), F.col("mp").alias("mp_b"))
+    common = F.filter(
+        F.map_keys("mp_a"),
+        lambda b: F.element_at(F.col("mp_b"), b).isNotNull(),
     )
+    matches = F.filter(
+        common,
+        lambda b: F.element_at(F.col("mp_b"), b)
+        == F.element_at(F.col("mp_a"), b),
+    )
+    est = F.size(matches).cast("double") / F.size(common)
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
