@@ -737,3 +737,78 @@ def agg_variance_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(var, 4).alias("var_merged"),
     ).orderBy("o_orderpriority")
+
+
+# agg_skew_kurtosis: the mean / central-moment formulas are single
+# strings so Spark and the DuckDB oracle parse THE SAME TEXT — identical
+# IEEE op order on top of exact integer power sums.
+_MOM_MEAN = "CAST(s1 AS DOUBLE) / n"
+_MOM_M2 = f"CAST(s2 AS DOUBLE) / n - ({_MOM_MEAN}) * ({_MOM_MEAN})"
+_MOM_M3 = (
+    f"CAST(s3 AS DOUBLE) / n"
+    f" - 3 * ({_MOM_MEAN}) * (CAST(s2 AS DOUBLE) / n)"
+    f" + 2 * ({_MOM_MEAN}) * ({_MOM_MEAN}) * ({_MOM_MEAN})"
+)
+_MOM_M4 = (
+    f"CAST(s4 AS DOUBLE) / n"
+    f" - 4 * ({_MOM_MEAN}) * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6 * ({_MOM_MEAN}) * ({_MOM_MEAN}) * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3 * ({_MOM_MEAN}) * ({_MOM_MEAN}) * ({_MOM_MEAN}) * ({_MOM_MEAN})"
+)
+_SKEW_EXPR = f"ROUND(({_MOM_M3}) / POW({_MOM_M2}, 1.5), 4)"
+_KURT_EXPR = f"ROUND(({_MOM_M4}) / (({_MOM_M2}) * ({_MOM_M2})) - 3, 4)"
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2,
+               CAST(SUM(q * q * q) AS BIGINT) AS s3,
+               CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        FROM (
+            SELECT l_returnflag, CAST(FLOOR(l_quantity) AS BIGINT) AS q
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           {_SKEW_EXPR} AS skewness,
+           {_KURT_EXPR} AS kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return
+    flag, from EXACT integer power sums (Σq..Σq⁴ as int64 — quantities
+    are integral, so the sums are order-independent and the shape
+    statistics deterministic; Spark's built-in ``skewness``/``kurtosis``
+    stream central-moment updates in partition order and return
+    run-varying low bits, useless for a reproducible gate — this op is
+    their deterministic equivalent, same population definitions).
+
+    One map-side-combined aggregate; the moment->shape arithmetic runs
+    on the |groups|-row frame from expression text shared with the
+    oracle. Headroom: Σq⁴ ≤ n·50⁴ stays inside int64 to ~10¹² rows per
+    group; beyond that, widen to DECIMAL sums.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("q")
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.expr("q * q")).alias("s2"),
+        F.sum(F.expr("q * q * q")).alias("s3"),
+        F.sum(F.expr("q * q * q * q")).alias("s4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(_SKEW_EXPR).alias("skewness"),
+        F.expr(_KURT_EXPR).alias("kurtosis"),
+    )

@@ -1,0 +1,253 @@
+"""ML feature-preparation operators: scaling, encoding, hashing, chunking.
+
+The feature-engineering steps a training pipeline runs between the
+warehouse and the trainer, each as a declarative Catalyst plan:
+
+- ``ml_feature_scale``    per-group min-max + z-score standardization —
+                          group stats via ONE aggregate, broadcast back.
+- ``ml_one_hot_encode``   fixed-vocabulary indicator columns (schema is
+                          DECLARED, never inferred from data — dynamic
+                          pivot would make the output schema a function
+                          of the data, poison for a training contract).
+- ``ml_feature_hashing``  the hashing trick: token -> stable bucket via
+                          md5 prefix, counts per (lang, bucket).
+- ``text_chunk_spans``    RAG-style overlapping token windows with
+                          deterministic md5 content ids.
+
+Scale notes: scaling stats are a |groups|-row broadcast (never a window
+over the fact table); one-hot is pure per-row codegen; feature hashing
+shuffles (lang, bucket) partial counts only; chunking is a per-row
+explode with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.operators.dedup import tokens_col
+from dataengineeringutils_spark.registry import query
+from dataengineeringutils_spark.tables import table
+
+# Shared arithmetic for ml_feature_scale: the mean/variance formulas are
+# single strings so the Spark expression and the DuckDB oracle parse THE
+# SAME TEXT — identical IEEE op order, bit-identical doubles. Sums are
+# exact (DECIMAL) up to the final double conversion.
+_MEAN = "CAST(s1 AS DOUBLE) / n"
+_VAR = f"(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * ({_MEAN})) / (n - 1)"
+
+
+@query(
+    "ml_feature_scale",
+    oracle=f"""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+               MIN(o_totalprice) AS mn,
+               MAX(o_totalprice) AS mx
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey,
+           o.o_orderpriority AS priority,
+           o.o_totalprice AS price,
+           ROUND((o.o_totalprice - mn) / (mx - mn), 6) AS minmax,
+           ROUND((o.o_totalprice - ({_MEAN})) / SQRT({_VAR}), 6) AS zscore
+    FROM orders o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    WHERE o.o_orderkey % 101 = 0
+    """,
+)
+def ml_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max and z-score feature scaling of order totals per priority
+    class (a 1/101 keyed sample of rows is returned; stats use ALL rows).
+
+    Plan: one aggregate computes per-group (n, Σx, Σx², min, max) with
+    exact DECIMAL sums (order-independent — a double Σx² would differ
+    between engines and between runs), then broadcasts the |groups|-row
+    stats frame back onto the fact rows. The alternative — window
+    functions over the full table — would shuffle every row into
+    per-group partitions; this shape shuffles only the group partials
+    and scales to any group cardinality. Exactness: sums are DECIMAL
+    until the final double conversion; mean/variance are evaluated from
+    the same expression text on both engines, so the 6-dp rounding sits
+    on identical doubles.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dp = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(dp).alias("s1"),
+        F.sum(dp * dp).alias("s2"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    sampled = o.filter(F.col("o_orderkey") % 101 == 0)
+    return sampled.join(F.broadcast(stats), "o_orderpriority").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.expr("ROUND((o_totalprice - mn) / (mx - mn), 6)").alias("minmax"),
+        F.expr(
+            f"ROUND((o_totalprice - ({_MEAN})) / SQRT({_VAR}), 6)"
+        ).alias("zscore"),
+    )
+
+
+ONE_HOT_PRIORITIES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+@query(
+    "ml_one_hot_encode",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pri_1,
+           CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS pri_2,
+           CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS pri_3,
+           CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END
+               AS pri_4,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS pri_5,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS st_f,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS st_o,
+           CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS st_p
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def ml_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding of order priority and status against a DECLARED
+    category vocabulary (1/101 keyed sample).
+
+    The vocabulary is a constant, not discovered via ``pivot()``:
+    data-driven pivot makes the output schema depend on which categories
+    happen to appear in this batch — a training-data contract violation
+    (feature dimension drift between shards/days). Unknown categories
+    encode as all-zeros, the standard handle-invalid='keep-reference'
+    behavior. Pure per-row codegen; zero shuffles.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    pri_cols = [
+        F.when(F.col("o_orderpriority") == c, 1).otherwise(0).alias(f"pri_{i}")
+        for i, c in enumerate(ONE_HOT_PRIORITIES, start=1)
+    ]
+    st_cols = [
+        F.when(F.col("o_orderstatus") == s, 1).otherwise(0).alias(f"st_{s.lower()}")
+        for s in ("F", "O", "P")
+    ]
+    return o.select("o_orderkey", *pri_cols, *st_cols)
+
+
+N_HASH_BUCKETS = 16
+
+
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+    SELECT lang,
+           ('0x' || substr(md5(tok), 1, 6))::BIGINT % {N_HASH_BUCKETS}
+               AS bucket,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct
+    FROM (
+        SELECT lang,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: every token maps to one of a FIXED number of
+    feature buckets via a stable content hash — bag-of-words in bounded
+    dimension with no vocabulary to build, ship, or keep in sync
+    (Weinberger et al. 2009). Output: per (lang, bucket) token counts.
+
+    The bucket hash is the first 24 bits of md5 — engine-portable (the
+    oracle computes the identical bucket), stable across runs/shards,
+    and uniform. Plan: explode -> partial-agg -> one shuffle of
+    (lang, bucket) partials — at most |langs| x 16 rows move.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens_col()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("bigint")
+        % N_HASH_BUCKETS
+    )
+    return toks.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_distinct"),
+    )
+
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+
+@query(
+    "text_chunk_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               UNNEST(range(0, len(toks), {CHUNK_STRIDE})) AS start
+        FROM t
+        WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(LEAST({CHUNK_TOKENS}, len(toks) - start) AS INT) AS len_tok,
+           md5(array_to_string(
+               toks[start + 1 : start + LEAST({CHUNK_TOKENS},
+                                              len(toks) - start)],
+               ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def text_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows
+    (40 tokens, stride 30) with per-chunk content ids.
+
+    Emits (doc_id, chunk_idx, start_tok, len_tok, chunk_md5) — the
+    manifest a retrieval index builds from, with the md5 as the stable
+    chunk id for incremental re-embedding (chunk unchanged -> id
+    unchanged -> embedding reused). Pure per-row explode: no shuffle,
+    no state; at 100 TB this runs at scan speed and the ~1.33x token
+    amplification (40/30 overlap) is the only cost.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+    d = d.filter(n > 0).select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    ln = F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start"))
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_tok"),
+        ln.cast("int").alias("len_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1, ln))
+        ).alias("chunk_md5"),
+    )

@@ -43,6 +43,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.functions.scalar",
     "dataengineeringutils_spark.operators.dedup",
     "dataengineeringutils_spark.operators.graph",
+    "dataengineeringutils_spark.operators.mlprep",
     "dataengineeringutils_spark.operators.similarity",
     "dataengineeringutils_spark.operators.text",
     "dataengineeringutils_spark.operators.multimodal",
