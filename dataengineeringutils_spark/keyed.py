@@ -66,6 +66,32 @@ class KeyedTable:
             f"{self.base_path}/state_v{self._version}"
         )
 
+    def compact(self, target_rows_per_file: int) -> int:
+        """Small-file COMPACTION: rewrite the current state into
+        ceil(n / target_rows_per_file) files as a new committed version.
+
+        Every upsert writes a fresh snapshot whose file count follows
+        the merge's shuffle width, so a frequently-upserted table
+        accumulates many small files and scan cost becomes file-open
+        cost (the lakehouse OPTIMIZE problem). Compaction is
+        content-neutral — same rows, one coalesced layout — and
+        versioned like any other commit, so time travel still sees the
+        pre-compaction snapshots. Returns the new file count.
+        """
+        import math
+
+        cur = self.current()
+        n = cur.count()
+        files = max(1, math.ceil(n / target_rows_per_file))
+        self._version += 1
+        # repartition (not coalesce): coalesce would chain onto the read
+        # tasks and skew file sizes; a round-robin shuffle yields evenly
+        # sized files, which is the point of compaction
+        cur.repartition(files).write.mode("overwrite").parquet(
+            f"{self.base_path}/state_v{self._version}"
+        )
+        return files
+
     def current(self) -> DataFrame:
         """The table's current (latest-committed) version."""
         if self._version < 0:

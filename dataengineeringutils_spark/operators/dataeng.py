@@ -773,3 +773,120 @@ def dq_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars_cast_failures").cast("bigint").alias("n_chars_cast_failures"),
         F.col("source_cast_failures").cast("bigint").alias("source_cast_failures"),
     )
+
+
+COMPACT_TARGET_ROWS = 2000
+_COMPACT_TABLE_CACHE: dict = {}
+
+
+@query(
+    "keyed_table_compact",
+    oracle=f"""
+    WITH latest AS (
+        SELECT * FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC,
+                                            o_orderkey DESC) = 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           (SELECT CAST(CEIL(COUNT(*) / {COMPACT_TARGET_ROWS}.0) AS BIGINT)
+            FROM latest) AS n_files
+    FROM latest
+    GROUP BY o_orderstatus
+    """,
+)
+def keyed_table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction through the ``KeyedTable`` interface: two
+    upserts (each committing a shuffle-width snapshot), then
+    ``compact()`` rewrites the latest-per-customer state into
+    ceil(n / {target}) evenly-sized files as a new version.
+
+    The read below goes through the COMPACTED version — proving
+    compaction is content-neutral while fixing the layout (the
+    lakehouse OPTIMIZE job; on Delta/Iceberg the same call is
+    `OPTIMIZE t`). The oracle recomputes latest-per-key from scratch
+    and derives the same expected file count.
+
+    The upserted table is a SESSION-CACHED artifact (the keyed table a
+    scheduler maintains across runs — same discipline as the shingle /
+    edge / pair tables); the measured op is the compaction commit plus
+    the read through it. Compaction always recomputes: re-compacting an
+    already-compacted table is idempotent by construction.
+    """
+    from dataengineeringutils_spark.keyed import KeyedTable
+    from dataengineeringutils_spark.paths import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    kt = _COMPACT_TABLE_CACHE.get(key)
+    if kt is None:
+        o = table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+        )
+        cut = o.agg(
+            F.date_add(
+                F.min("o_orderdate"),
+                (
+                    F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2
+                ).cast("int"),
+            ).alias("c")
+        ).collect()[0]["c"]
+        kt = KeyedTable(
+            spark,
+            scratch_dir("keyed_compact"),
+            keys=["o_custkey"],
+            order_by=["o_orderdate", "o_orderkey"],
+        )
+        kt.upsert(o.filter(F.col("o_orderdate") <= F.lit(cut)))
+        kt.upsert(o.filter(F.col("o_orderdate") > F.lit(cut)))
+        _COMPACT_TABLE_CACHE[key] = kt
+    n_files = kt.compact(COMPACT_TARGET_ROWS)
+    return kt.current().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.lit(n_files).cast("bigint").alias("n_files"),
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH per_type AS (
+        SELECT event_type, epoch_us(MAX(ts)) AS max_us, COUNT(*) AS n
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(max_us) AS gmax_us FROM per_type)
+    SELECT event_type,
+           n,
+           CAST(FLOOR((gmax_us - max_us) / 3600000000.0) AS BIGINT)
+               AS lag_hours,
+           CAST(FLOOR((gmax_us - max_us) / 3600000000.0) AS BIGINT) >= 24
+               AS stale
+    FROM per_type CROSS JOIN g
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per event stream (event_type), how far its
+    newest record trails the newest record overall, flagged stale past
+    24 h — the check a pipeline scheduler runs before declaring a
+    partition complete.
+
+    Lag is computed on epoch MICROSECONDS (``unix_micros`` /
+    ``epoch_us`` — both engines' native integer timestamp), floored to
+    whole hours from identical expression text; calendar-function hour
+    diffs (TIMESTAMPDIFF vs date_diff) count boundaries differently
+    between engines and are avoided. One partial-aggregated pass + a
+    1-row broadcast for the global max.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.unix_micros(F.max("ts")).alias("max_us"),
+        F.count("*").alias("n"),
+    )
+    g = per_type.agg(F.max("max_us").alias("gmax_us"))
+    lag = F.expr("CAST(FLOOR((gmax_us - max_us) / 3600000000.0) AS BIGINT)")
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        lag.alias("lag_hours"),
+        (lag >= 24).alias("stale"),
+    )

@@ -1435,3 +1435,45 @@ def events_session_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "type_a", "type_b")
     )
+
+
+@query(
+    "events_hourly_seasonality",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT dow, hr, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+    FROM cells
+    """,
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality profile: the (day-of-week x hour-of-day)
+    activity matrix with each cell's share of total volume — the load
+    heat-map behind capacity planning and anomaly baselines.
+
+    Day-of-week is days-since-a-known-Monday mod 7 (0 = Monday) instead
+    of the engines' dayofweek builtins, whose origin conventions differ
+    (Spark: Sunday=1; DuckDB: Sunday=0). One partial-aggregated pass
+    collapses the stream to <= 168 cells; the share window runs on that
+    frame only. Shares are exact int/int rationals in double.
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') % 7 AS INT)"
+        ).alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hr",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+    )

@@ -251,3 +251,67 @@ def text_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("toks", F.col("start") + 1, ln))
         ).alias("chunk_md5"),
     )
+
+
+@query(
+    "dataset_balance_classes",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    k AS (
+        SELECT lang, n_docs,
+               CAST(CEIL(CAST(n_docs AS DOUBLE)
+                         / (SELECT MIN(n_docs) FROM stats)) AS BIGINT)
+                   AS keep_every
+        FROM stats
+    ),
+    kept AS (
+        SELECT d.lang, COUNT(*) AS n_kept
+        FROM documents d JOIN k USING (lang)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+              % k.keep_every = 0
+        GROUP BY d.lang
+    )
+    SELECT lang, n_docs, keep_every, COALESCE(n_kept, 0) AS n_kept
+    FROM k LEFT JOIN kept USING (lang)
+    """,
+)
+def dataset_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling plan: each language class keeps every
+    k-th document (k = ceil(class_size / minority_size)) selected by an
+    IDENTITY HASH of doc_id — so the sample is reproducible across runs,
+    shards, and engines, and a re-run after new data arrives keeps the
+    same documents it kept before (± genuinely new ones). The
+    ``sample(fraction)`` alternative is seed-AND-partitioning dependent:
+    a repartition silently changes which rows a training set contains.
+
+    Plan: one class-stats aggregate (tiny), the minority size via a
+    1-row broadcast, the keep-gate as per-row codegen under a broadcast
+    join — the fact table is never shuffled.
+    """
+    d = table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    mn = stats.agg(F.min("n_docs").alias("mn"))
+    k = stats.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "CAST(CEIL(CAST(n_docs AS DOUBLE) / mn) AS BIGINT)"
+        ).alias("keep_every"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    kept = (
+        d.join(F.broadcast(k), "lang")
+        .filter(bucket % F.col("keep_every") == 0)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return k.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "keep_every",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -1234,3 +1234,69 @@ def sim_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_collapsed",
         "n_inflated",
     )
+
+
+_DIM_MEAN = "CAST(sf1 AS DOUBLE) / 1e12 / n"
+_DIM_VAR = f"CAST(sf2 AS DOUBLE) / 1e12 / n - ({_DIM_MEAN}) * ({_DIM_MEAN})"
+
+
+@query(
+    "embeddings_dim_stats",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i)
+    ),
+    agg AS (
+        SELECT i,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS BIGINT) AS sf1,
+               CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS BIGINT)
+                   AS sf2,
+               MIN(x) AS mn,
+               MAX(x) AS mx
+        FROM dims
+        GROUP BY i
+    )
+    SELECT CAST(i AS INT) AS dim_i,
+           n,
+           ROUND({_DIM_MEAN}, 6) AS mean,
+           ROUND(SQRT({_DIM_VAR}), 6) AS sd,
+           mn,
+           mx
+    FROM agg
+    """,
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding matrix
+    (mean / sd / min / max per coordinate) — the whitening /
+    normalization prep table, and the drift check run per encoder
+    refresh (a shifted dimension means the encoder changed under you).
+
+    Sums are floor-quantized at 10^-12 into int64 (order-independent
+    across partitions — raw double sums differ run to run), min/max are
+    exact doubles; mean/sd evaluate from expression text shared with
+    the oracle. One explode + one map-side-combined aggregate to a
+    64-row frame; no shuffle beyond the 64 partials.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("pos", "xr")).select(
+        (F.col("pos") + 1).cast("int").alias("dim_i"),
+        F.col("xr").cast("double").alias("x"),
+    )
+    agg = dims.groupBy("dim_i").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("x") * F.lit(1e12))).alias("sf1"),
+        F.sum(F.floor(F.col("x") * F.col("x") * F.lit(1e12))).alias("sf2"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    return agg.select(
+        "dim_i",
+        "n",
+        F.expr(f"ROUND({_DIM_MEAN}, 6)").alias("mean"),
+        F.expr(f"ROUND(SQRT({_DIM_VAR}), 6)").alias("sd"),
+        "mn",
+        "mx",
+    )

@@ -1067,3 +1067,49 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("actual", "predicted")
     )
+
+
+TOP_TERMS_K = 5
+
+
+@query(
+    "text_top_terms_per_lang",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, tok, COUNT(*) AS n
+        FROM (
+            SELECT lang,
+                   UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents
+        )
+        WHERE tok NOT IN {STOPWORDS!r}
+        GROUP BY lang, tok
+    )
+    SELECT lang, tok, n
+    FROM counts
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, tok ASC) <= {TOP_TERMS_K}
+    """,
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_TERMS_K} non-stopword terms per language by frequency —
+    the corpus-characterization table (what IS this slice of the corpus
+    about) and the cheap drift check between crawl snapshots.
+
+    Plan: explode -> (lang, tok) partial-agg -> rank window. The rank
+    prunes with WindowGroupLimit (Spark 3.5+): each partition discards
+    beyond-top-k rows BEFORE the final sort, so the window never
+    materializes the full term distribution per language.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens_col()).alias("tok")).filter(
+        ~F.col("tok").isin(*STOPWORDS)
+    )
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_TERMS_K)
+        .drop("rn")
+    )
