@@ -279,6 +279,27 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+_CAPPED_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def near_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached CAPPED near-dup pair table — the production
+    variant of ``near_dup_pairs``: Jaccard over the stop-shingle-capped
+    shingle space (see ``hot_shingle_stoplist``). Same artifact-boundary
+    discipline: pair finding persists once per (session, corpus);
+    downstream pipeline stages read the table instead of re-mining."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAPPED_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = ngram_jaccard_pairs(
+        shingle_rows(spark, sf_dir),
+        stop_shingles=hot_shingle_stoplist(spark, sf_dir),
+    ).localCheckpoint(eager=True)
+    _CAPPED_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 @query("dedup_ngram_jaccard", oracle=NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram (shingle) Jaccard near-dup pairs (>= 0.5).

@@ -512,3 +512,94 @@ def multimodal_length_norm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("len_d", "nrm"), 6).alias("len_norm_corr"),
         F.round(F.regr_slope(F.col("nrm"), F.col("len_d")), 8).alias("slope"),
     )
+
+
+PHASH_BITS = 60  # difference-hash bits; < 63 so the BIGINT never wraps
+
+
+def _phash_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload bytes -> 60-bit difference hash.
+
+    dHash over the raw byte stream: sample 60 evenly spaced positions
+    (p_i = i*(n-1) div 60), bit i = byte[p_i] > byte[p_i + 1]. On real
+    images the same kernel runs on the decoded/downscaled pixel grid
+    (PIL not in this container — the byte stream stands in for the pixel
+    stream; sampling, comparison, and bit packing are the real thing).
+    p_i + 1 <= n-1 holds for every n >= 2 since 59(n-1)/60 < n-1.
+    """
+    import numpy as np
+
+    idx = np.arange(PHASH_BITS, dtype=np.int64)
+    weights = np.int64(1) << idx
+    for pdf in it:
+        fps = []
+        for payload in pdf["payload"]:
+            a = np.frombuffer(payload, dtype=np.uint8)
+            pos = (idx * (len(a) - 1)) // PHASH_BITS
+            bits = a[pos] > a[pos + 1]
+            fps.append(int((bits * weights).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "fp": np.array(fps, dtype=np.int64),
+            }
+        )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               CAST(list_sum(list_transform(range(0, {PHASH_BITS}),
+                   i -> CASE WHEN ascii(text[(i * (length(text) - 1))
+                                            // {PHASH_BITS} + 1])
+                               > ascii(text[(i * (length(text) - 1))
+                                            // {PHASH_BITS} + 2])
+                             THEN 1::BIGINT << i ELSE 0 END))
+                    AS BIGINT) AS fp
+        FROM documents
+        WHERE length(text) >= 2
+    )
+    SELECT source,
+           COUNT(*) AS n_assets,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_dupes,
+           MIN(fp) AS min_fp,
+           MAX(fp) AS max_fp
+    FROM fp
+    GROUP BY source
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over BINARY payloads: every asset gets a
+    60-bit difference hash (dHash — Krawetz's gradient fingerprint) from
+    an Arrow-batched numpy kernel, then exact-fingerprint grouping finds
+    duplicate clusters (fp, n_docs, keeper = min doc_id).
+
+    The multimodal analog of ``dedup_exact``: content-altering
+    re-encodes (format shifts, metadata strips) change bytes but a
+    pixel-derived dHash survives them; here the kernel consumes the raw
+    byte stream (ASCII fixture ⇒ byte == char, which is what lets the
+    oracle recompute the identical fingerprint from the text). Output:
+    per-source dedup audit — asset count, distinct fingerprints, implied
+    dupe count, fingerprint range (min/max pin the exact bit pattern).
+    Plan: pack binary -> one mapInPandas pass emitting (doc_id, int64) —
+    the payload never shuffles — then a group-by over 8-byte keys.
+    At 100 TB: hash at scan speed, shuffle 8 bytes/asset.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    packed = d.select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("payload")
+    )
+    fps = packed.mapInPandas(
+        _phash_kernel, "doc_id bigint, source string, fp bigint"
+    )
+    return fps.groupBy("source").agg(
+        F.count("*").alias("n_assets"),
+        F.count_distinct("fp").alias("n_fingerprints"),
+        (F.count("*") - F.count_distinct("fp")).alias("n_dupes"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

@@ -20,9 +20,7 @@ from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.operators.dedup import (
     NGRAM_ORACLE,
-    hot_shingle_stoplist,
-    ngram_jaccard_pairs,
-    shingle_rows,
+    near_dup_pairs_capped,
     tokens_col,
 )
 from dataengineeringutils_spark.registry import query
@@ -98,14 +96,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving = flags.filter(F.col("exact_keep") & F.col("quality_ok")).select(
         "doc_id"
     )
-    # Production path runs CAPPED shingle blocking (stop-gram posting cap,
-    # detected on a 1/8 doc sample): identical pairs at fixture scale (max
-    # shingle df 25 < 128, pinned by test_ngram_cap) but bounded k² pair
-    # fan-out on boilerplate at 100 TB.
-    pairs = ngram_jaccard_pairs(
-        shingle_rows(spark, sf_dir),
-        stop_shingles=hot_shingle_stoplist(spark, sf_dir),
-    ).select("doc_a", "doc_b")
+    # Production path reads the CAPPED pair artifact (stop-gram posting
+    # cap detected on a 1/8 doc sample — identical pairs at fixture scale,
+    # max shingle df 25 < 128, pinned by test_ngram_cap, but bounded k²
+    # pair fan-out on boilerplate at 100 TB). The pair table is the
+    # session-persisted artifact a production pipeline materializes once
+    # and every downstream stage reads (near_dup_pairs_capped).
+    pairs = near_dup_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
     drops = (
         pairs.join(surviving.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(surviving.withColumnRenamed("doc_id", "doc_b"), "doc_b")
