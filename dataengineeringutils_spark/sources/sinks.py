@@ -480,3 +480,50 @@ def sink_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_multiline"),
     )
+
+
+TXN_APPEND_FILES = 2  # files per append commit (simulates small-file drift)
+
+
+@query(
+    "sink_txn_log_table",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(1 AS INT) AS n_files_live,
+           CAST(3 AS INT) AS n_commits
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_txn_log_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-LOG table format end to end (``txnlog.LogTable`` —
+    the Delta/Iceberg mechanic in miniature): two append commits write
+    TXN_APPEND_FILES data files each, a compaction commit removes all
+    four and adds one rewrite, and the read below REPLAYS THE LOG to
+    scan exactly the live file set.
+
+    The emitted n_files_live / n_commits columns are cross-checked
+    against the oracle's literals, so a log-replay bug (ghost file,
+    missed remove, lost commit) fails the value hash, not just a unit
+    test. Time travel (replay a prefix) and snapshot isolation are
+    pinned by tests/test_txnlog.py.
+    """
+    import uuid
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    half = F.col("o_orderkey") % 2 == 0
+    # fresh table per call: commit count is part of the checked contract
+    t = LogTable(spark, scratch_dir("txn_log_" + uuid.uuid4().hex))
+    t.append(o.filter(half), n_files=TXN_APPEND_FILES)
+    t.append(o.filter(~half), n_files=TXN_APPEND_FILES)
+    t.compact(n_files=1)
+    n_commits = len(t._versions())
+    n_live = len(t.live_files())
+    return t.snapshot().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.lit(n_live).cast("int").alias("n_files_live"),
+        F.lit(n_commits).cast("int").alias("n_commits"),
+    )
