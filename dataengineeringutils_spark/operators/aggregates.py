@@ -812,3 +812,32 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SKEW_EXPR).alias("skewness"),
         F.expr(_KURT_EXPR).alias("kurtosis"),
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS and_key,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS or_key,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS xor_key,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS xor_line
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates per group — the checksum /
+    bitmap-fold family (XOR-folding keys is the classic cheap
+    content-drift check between two copies of a partition: any lost or
+    duplicated row flips the fold). Exact integers, fully commutative /
+    associative — order-independent across partitions by construction,
+    one map-side-combined aggregate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("and_key"),
+        F.bit_or("l_orderkey").alias("or_key"),
+        F.bit_xor("l_orderkey").alias("xor_key"),
+        F.bit_xor(F.col("l_linenumber").cast("bigint")).alias("xor_line"),
+    )

@@ -1477,3 +1477,104 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
     )
+
+
+ECDF_PROBES = (0.5, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+
+
+@query(
+    "events_value_ecdf",
+    oracle=f"""
+    WITH probes AS (SELECT UNNEST({list(ECDF_PROBES)}) AS p),
+    base AS (SELECT COUNT(*) AS n_total FROM events),
+    le AS (
+        SELECT p.p, COUNT(*) FILTER (e.value <= p.p) AS n_le
+        FROM events e CROSS JOIN probes p
+        GROUP BY p.p
+    )
+    SELECT p, n_le, n_total,
+           CAST(n_le AS DOUBLE) / n_total AS cdf
+    FROM le CROSS JOIN base
+    """,
+)
+def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of event value at fixed probe points — the
+    monitoring-friendly distribution summary (fixed probes make
+    snapshots comparable across days, unlike quantiles whose positions
+    move with the data). Exact int/int rationals at every probe.
+
+    Plan: ONE scan with one conditional counter per probe (a
+    10-counter map-side-combined aggregate), then an unpivot of the
+    1-row result — the oracle's probe cross join reads more naturally
+    in SQL but multiplies the scan 10×; the counter form is the 100 TB
+    shape.
+    """
+    ev = table(spark, sf_dir, "events")
+    one = ev.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.sum((F.col("value") <= F.lit(p)).cast("long")).alias(f"le_{i}")
+            for i, p in enumerate(ECDF_PROBES)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"), F.col(f"le_{i}").alias("n_le")
+            )
+            for i, p in enumerate(ECDF_PROBES)
+        ]
+    )
+    return one.select(
+        F.explode(pairs).alias("x"), "n_total"
+    ).select(
+        "x.p",
+        "x.n_le",
+        "n_total",
+        (F.col("x.n_le").cast("double") / F.col("n_total")).alias("cdf"),
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT o_year, revenue,
+           ROUND((revenue - prev) / prev, 6) AS yoy_growth
+    FROM (
+        SELECT o_year, revenue,
+               LAG(revenue) OVER (ORDER BY o_year) AS prev
+        FROM yearly
+    )
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: exact DECIMAL yearly sums, then a
+    lag window over the |years|-row frame only (never the fact table —
+    the agg-first discipline); growth is one double division per year
+    row from expression text shared with the oracle. First year's
+    growth is NULL on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("o_year")
+    return (
+        yearly.withColumn("prev", F.lag("revenue").over(w))
+        .select(
+            "o_year",
+            "revenue",
+            F.expr("ROUND((revenue - prev) / prev, 6)").alias("yoy_growth"),
+        )
+    )

@@ -309,7 +309,7 @@ def dataset_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
     )
-    return k.join(kept, "lang", "left").select(
+    return k.join(F.broadcast(kept), "lang", "left").select(
         "lang",
         "n_docs",
         "keep_every",
