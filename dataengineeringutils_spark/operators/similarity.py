@@ -300,9 +300,38 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ann_ivf",
-    oracle=f"""
+def ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm, cid): every vector assigned to its
+    nearest IVF centroid by cosine (deterministic centroid subset
+    vec_id % 50; tie-break on centroid id). Broadcast centroid join +
+    one window per vector over n_centroid rows."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    cents = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    c_cos = dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "cid", c_cos.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+
+
+def _ivf_oracle(q_pred: str) -> str:
+    """IVF cell-search oracle: centroid assignment + own-cell exact
+    re-rank, parameterized by the query-set predicate. Shared by
+    ``sim_ann_ivf`` and the bucketed serving-layout op so the cell
+    semantics have exactly one SQL definition."""
+    return f"""
     WITH n AS (
         SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
         FROM embeddings
@@ -325,7 +354,7 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
         SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cid
-        FROM assigned WHERE vec_id < 20
+        FROM assigned WHERE {q_pred}
     )
     SELECT q_id, vec_id, cos_sim
     FROM (
@@ -340,8 +369,10 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.vec_id <> q.q_id
     )
     WHERE rn <= 3
-    """,
-)
+    """
+
+
+@query("sim_ann_ivf", oracle=_ivf_oracle("vec_id < 20"))
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) coarse quantization, single-probe.
 
@@ -359,23 +390,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries skip the assignment scan entirely. Recall is tuned by probing
     the p nearest cells instead of 1 (union p copies of the query side).
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
-    )
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    c_cos = dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cid", c_cos.alias("c_cos"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "cid")
-    )
+    assigned = ivf_assigned(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -1403,3 +1418,76 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mn",
         "mx",
     )
+
+
+ANN_CELL_BUCKETS = 8
+_ANN_LAYOUT_CACHE: dict = {}
+
+
+def _ann_cells_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted IVF SERVING LAYOUT: the assigned vectors written
+    as a table BUCKETED BY CELL ID (``write.bucketBy(8, "cid")``). The
+    pay-shuffle-once investment for an ANN serving path: every
+    subsequent cell lookup is a bucket-pruned scan — Spark reads ONLY
+    the bucket files containing the queried cell (SelectedBucketsCount
+    in the plan), never the rest of the corpus."""
+    app = spark.sparkContext.applicationId
+    if _ANN_LAYOUT_CACHE.get(app) != sf_dir:
+        # the managed-table location outlives the per-session metastore:
+        # drop the entry AND clear any orphaned location (same recovery
+        # as sources/sinks.write_bucketed)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        spark.sql("DROP TABLE IF EXISTS ann_cells")
+        p = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/ann_cells")
+        p.getFileSystem(hconf).delete(p, True)
+        (
+            ivf_assigned(spark, sf_dir)
+            .write.mode("overwrite")
+            .bucketBy(ANN_CELL_BUCKETS, "cid")
+            .sortBy("cid")
+            .saveAsTable("ann_cells")
+        )
+        _ANN_LAYOUT_CACHE[app] = sf_dir
+    return spark.table("ann_cells")
+
+
+@query("sink_ann_cell_layout", oracle=_ivf_oracle("vec_id IN (1, 2, 3)"))
+def sink_ann_cell_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING path over the bucketed cell layout: queries 1-3 each
+    scan ONLY their own cell's bucket files (bucket pruning on the cid
+    literal — the plan shows SelectedBucketsCount 1 of 8) and exact-
+    re-rank inside, returning top-3 neighbors each. Results are
+    identical to ``sim_ann_ivf`` restricted to these queries — same
+    oracle CTEs, different physical access path.
+
+    The 3-row collect below is METADATA (each query's cell id + vector
+    become plan literals); it is what lets bucket pruning fire — a join
+    formulation would read every bucket. This is the low-latency
+    serving shape: at 100 TB each lookup touches 1/8th of the files
+    (or 1/N with N buckets), independent of corpus size.
+    """
+    cells = _ann_cells_table(spark, sf_dir)
+    qrows = cells.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        "vec_id", "cid", "embedding", "nrm"
+    ).collect()
+    parts = []
+    for r in sorted(qrows, key=lambda r: r["vec_id"]):
+        q_emb = F.array(*[F.lit(float(x)) for x in r["embedding"]])
+        cos = dot("embedding", q_emb) / (F.col("nrm") * F.lit(float(r["nrm"])))
+        parts.append(
+            cells.filter(F.col("cid") == F.lit(r["cid"]))  # bucket-pruned
+            .filter(F.col("vec_id") != r["vec_id"])
+            .select(
+                F.lit(r["vec_id"]).cast("bigint").alias("q_id"),
+                "vec_id",
+                cos.alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(3)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "dataengineeringutils_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep bucketed scans bucketed: the DisableUnnecessaryBucketedScan
+        # rule does not credit bucket-FILE pruning as a benefit, so a
+        # point lookup on a bucket column would silently read all buckets
+        # (sink_ann_cell_layout's serving path relies on the pruning)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):

@@ -105,3 +105,9 @@ def test_skew_kurtosis_single_aggregate(spark, sf_dir):
 def test_bitwise_agg_single_shuffle(spark, sf_dir):
     tree = _tree(queries()["agg_bitwise"](spark, sf_dir))
     assert tree.count("Exchange") == 1, tree
+
+
+def test_ann_cell_layout_bucket_pruning_fires(spark, sf_dir):
+    plan = _plan(queries()["sink_ann_cell_layout"](spark, sf_dir))
+    # each query's cell scan must read ONLY its bucket: 1 of 8
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
