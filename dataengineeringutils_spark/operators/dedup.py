@@ -442,13 +442,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide collect_list is the scale-killer, so semi-join the
     # shingle rows down to docs that actually appear in a candidate pair
     # BEFORE collecting — at 100 TB "sets for ~0.1% of docs", not all.
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc_id"))
-        .union(candidates.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    cand_docs = candidates.select(F.col("doc_a").alias("doc_id")).union(
+        candidates.select(F.col("doc_b").alias("doc_id"))
     )
+    # no distinct: the semi-join ignores duplicates, and skipping it
+    # removes an exchange; the frame broadcasts either way (near-dup
+    # pairs only)
     sets = (
-        sh.join(cand_docs, "doc_id", "left_semi")
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("sh"))
     )
