@@ -1578,3 +1578,103 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ROUND((revenue - prev) / prev, 6)").alias("yoy_growth"),
         )
     )
+
+
+_AB_Z = (
+    "ROUND((pb - pa) / SQRT(pp * (1 - pp) * (1.0 / na + 1.0 / nb)), 6)"
+)
+
+
+@query(
+    "events_ab_lift",
+    oracle=f"""
+    WITH users AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                   AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                   AS BIGINT) AS cb
+        FROM users
+    )
+    SELECT na, nb, ca, cb,
+           ROUND((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+                 / (CAST(ca AS DOUBLE) / na), 6) AS lift,
+           {_AB_Z} AS z_score
+    FROM (
+        SELECT na, nb, ca, cb,
+               CAST(ca AS DOUBLE) / na AS pa,
+               CAST(cb AS DOUBLE) / nb AS pb,
+               CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+        FROM cells
+    )
+    """,
+)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to variants by an IDENTITY
+    HASH (md5 of user_id, mod 2 — the same deterministic bucketing a
+    real experimentation platform uses, so a user's variant never flips
+    between sessions or engines), conversion = any purchase above 200
+    (~20% of users — a saturated metric would zero the pooled variance
+    and the z-score with it); lift and the two-proportion z-score from
+    pooled variance.
+
+    Per-user conversion is one hash aggregate; the 2×2 cell counts are
+    a second 1-row aggregate; lift/z evaluate from expression text
+    shared with the oracle on exact integer counts — deterministic to
+    the 6-dp rounding. Scale: user-cardinality shuffle once, then bytes.
+    """
+    ev = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 200))
+            .cast("int")
+        ).alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    cells = users.agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("na"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("nb"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    rates = cells.select(
+        "na",
+        "nb",
+        "ca",
+        "cb",
+        F.expr("CAST(ca AS DOUBLE) / na").alias("pa"),
+        F.expr("CAST(cb AS DOUBLE) / nb").alias("pb"),
+        F.expr("CAST(ca + cb AS DOUBLE) / (na + nb)").alias("pp"),
+    )
+    return rates.select(
+        "na",
+        "nb",
+        "ca",
+        "cb",
+        F.expr(
+            "ROUND((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)"
+            " / (CAST(ca AS DOUBLE) / na), 6)"
+        ).alias("lift"),
+        F.expr(_AB_Z).alias("z_score"),
+    )

@@ -1491,3 +1491,107 @@ def sink_ann_cell_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "embeddings_outlier_mahalanobis",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i)
+    ),
+    agg AS (
+        SELECT i,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS BIGINT) AS sf1,
+               CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS BIGINT)
+                   AS sf2
+        FROM dims
+        GROUP BY i
+    ),
+    stats AS (
+        SELECT i,
+               {_DIM_MEAN} AS mean,
+               SQRT({_DIM_VAR}) AS sd
+        FROM agg
+    ),
+    scores AS (
+        SELECT d.vec_id,
+               ROUND(CAST(SUM(CAST(FLOOR(
+                   ((d.x - s.mean) / s.sd) * ((d.x - s.mean) / s.sd) * 1e9
+               ) AS BIGINT)) AS DOUBLE) / 1e9, 4) AS m2
+        FROM dims d JOIN stats s ON d.i = s.i
+        GROUP BY d.vec_id
+    )
+    SELECT vec_id, m2
+    FROM scores
+    ORDER BY m2 DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embeddings_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier QA by DIAGONAL Mahalanobis distance:
+    per-dimension (mean, sd) standardization, squared-z sum per vector,
+    top-10 most anomalous vectors — the drift/garbage detector that
+    catches what a plain norm check (``sim_norm_outliers``) cannot: a
+    unit-norm vector sitting in a direction the corpus never uses.
+
+    Two passes, both scan-speed: (1) the per-dimension moment aggregate
+    (same int64-quantized, order-independent sums as
+    ``embeddings_dim_stats``), collected driver-side as 64 (mean, sd)
+    pairs — model-sized state, MLlib-style; (2) one numpy kernel
+    computing each vector's squared-z sum, floor-quantized at 10⁻⁹ per
+    term so partition boundaries cannot wobble a bit, with a
+    TakeOrdered top-10. The (x-μ)/σ arithmetic is written as explicit
+    multiplication (never pow — libm pow(y,2) and numpy's integer-power
+    multiply can differ in the last ulp).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+    agg = (
+        e.select(F.posexplode("embedding").alias("pos", "xr"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("i"),
+            F.col("xr").cast("double").alias("x"),
+        )
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("x") * F.lit(1e12))).alias("sf1"),
+            F.sum(F.floor(F.col("x") * F.col("x") * F.lit(1e12))).alias("sf2"),
+        )
+        .collect()
+    )
+    mean = [0.0] * (PI_DIM + 1)
+    sd = [1.0] * (PI_DIM + 1)
+    for r in agg:
+        import math
+
+        m = float(r["sf1"]) / 1e12 / r["n"]
+        mean[r["i"]] = m
+        sd[r["i"]] = math.sqrt(float(r["sf2"]) / 1e12 / r["n"] - m * m)
+    mu = np.asarray(mean[1:], dtype=np.float64)
+    sg = np.asarray(sd[1:], dtype=np.float64)
+
+    def scores(batches, mu=mu, sg=sg):
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            z = (mat - mu) / sg
+            q = np.floor(z * z * 1e9).astype(np.int64).sum(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "qsum": q}
+            )
+
+    full = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        full.mapInPandas(scores, "vec_id bigint, qsum bigint")
+        .select(
+            "vec_id",
+            F.round(F.col("qsum").cast("double") / F.lit(1e9), 4).alias("m2"),
+        )
+        .orderBy(F.col("m2").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
