@@ -890,3 +890,158 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_hours"),
         (lag >= 24).alias("stale"),
     )
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderpriority AS grp,
+               o_orderdate AS s,
+               o_orderdate + INTERVAL 30 DAY AS e
+        FROM orders
+    ),
+    runs AS (
+        SELECT grp, s, e,
+               MAX(e) OVER (PARTITION BY grp ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max_e
+        FROM iv
+    ),
+    isl AS (
+        SELECT grp, s, e,
+               SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY grp ORDER BY s, e) AS island
+        FROM runs
+    ),
+    merged AS (
+        SELECT grp, island, MIN(s) AS ms, MAX(e) AS me
+        FROM isl GROUP BY grp, island
+    )
+    SELECT grp,
+           COUNT(*) AS n_islands,
+           CAST(SUM(date_diff('day', ms, me)) AS BIGINT) AS covered_days
+    FROM merged
+    GROUP BY grp
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: merge overlapping [order date, +30 d)
+    activity windows per priority class into maximal islands, count
+    them, and total the covered time — the twin of
+    ``interval_max_concurrent`` (that one sweeps for peak overlap; this
+    one for union length / gap structure — uptime coverage, contract
+    coverage, sensor-online time).
+
+    Classic gaps-and-islands: a running MAX of interval end (shifted one
+    row) marks where a new island starts (start > everything seen), a
+    running SUM of those starts numbers the islands, then one aggregate
+    merges each island. One shuffle on the group key; the windows run
+    inside that partitioning. Duration arithmetic in epoch-µs integers
+    (exact; the /86400000000.0 day conversion is one shared-text double
+    division per island).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").alias("s"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("grp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = o.withColumn("prev_max_e", F.max("e").over(w_prev))
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = runs.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = isl.groupBy("grp", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("grp").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.datediff(F.col("me").cast("date"), F.col("ms").cast("date")))
+        .cast("bigint")
+        .alias("covered_days"),
+    )
+
+
+@query(
+    "orders_duplicate_payments",
+    oracle="""
+    WITH w AS (
+        SELECT o_custkey, o_totalprice, o_orderdate, o_orderkey,
+               LAG(o_orderdate) OVER (
+                   PARTITION BY o_custkey, FLOOR(o_totalprice / 1000)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_date,
+               LAG(o_orderkey) OVER (
+                   PARTITION BY o_custkey, FLOOR(o_totalprice / 1000)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_key,
+               LAG(o_totalprice) OVER (
+                   PARTITION BY o_custkey, FLOOR(o_totalprice / 1000)
+                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+    )
+    SELECT o_custkey, o_totalprice,
+           prev_key AS first_orderkey,
+           o_orderkey AS dup_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS INT) AS gap_days
+    FROM w
+    WHERE prev_date IS NOT NULL
+      AND o_orderdate <= prev_date + INTERVAL 90 DAY
+      AND ABS(o_totalprice - prev_price) <= 100
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected duplicate payments: same customer, near-identical
+    amount (within 100 in the same 1000-wide amount band), within 90
+    days of the previous such charge — the fintech dedup/chargeback
+    screen.
+
+    The (customer, amount-band) pair IS the blocking key: a lag window
+    inside that partitioning compares each charge only to its
+    predecessor — one shuffle, no self-join, no pair explosion (the
+    naive self-join on customer alone is O(orders-per-customer²) and
+    melts at scale). Band-boundary neighbors are the accepted blocking
+    miss, the same trade every banded screen in this engine documents.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy(
+        "o_custkey", F.floor(F.col("o_totalprice") / 1000)
+    ).orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+    return flagged.filter(
+        F.col("prev_date").isNotNull()
+        & (F.col("o_orderdate") <= F.col("prev_date") + F.expr("INTERVAL 90 DAY"))
+        & (F.abs(F.col("o_totalprice") - F.col("prev_price")) <= 100)
+    ).select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("prev_key").alias("first_orderkey"),
+        F.col("o_orderkey").alias("dup_orderkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+        )
+        .cast("int")
+        .alias("gap_days"),
+    )
