@@ -1056,3 +1056,101 @@ def orders_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_orders"))
         .orderBy("n_lines")
     )
+
+
+@query(
+    "orders_ship_lag_profile",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(FLOOR(date_diff('day', o.o_orderdate, l.l_shipdate) / 7.0)
+                AS INT)
+               AS lag_weeks,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency profile: days from order placement to line
+    shipment, bucketed to weeks, as a (priority × lag-week) count matrix — the logistics
+    SLA distribution behind ``orders_priority_sla_breach``'s yes/no
+    verdicts.
+
+    Fact-fact equi-join on the order key (both sides shuffle once;
+    AQE handles skew), then a map-side-combined aggregate onto the tiny
+    (priority × lag) grid. Lag arithmetic is whole-day datediff on
+    midnight-aligned timestamps — exact on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return j.groupBy(
+        "o_orderpriority",
+        F.floor(lag / 7).cast("int").alias("lag_weeks"),
+    ).agg(F.count("*").alias("n_items"))
+
+
+@query(
+    "star_denormalize_wide",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           l.l_quantity, l.l_extendedprice, l.l_discount,
+           o.o_orderstatus, o.o_orderpriority,
+           c.c_mktsegment, n.n_name AS cust_nation,
+           p.p_brand, p.p_type, p.p_size,
+           s.s_name AS supp_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_orderkey % 211 = 0
+    """,
+)
+def star_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-table EXPORT job: denormalize the full star schema
+    around lineitem into one wide frame (fact measures + order, customer,
+    nation, part, supplier attributes) — what an ML team snapshots before
+    feature engineering. A 1/211 keyed sample of orders is returned; the
+    join shape is what matters.
+
+    Plan shape: the keyed sample filter pushes into BOTH fact scans and
+    transfers through the equi-join to orders; customer, nation, part and
+    supplier are broadcast (dimension side), so the ONLY shuffle is the
+    lineitem-orders fact join. Five joins, one exchange pair — the
+    denormalization cost at 100 TB is the fact shuffle, full stop.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 211 == 0)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 211 == 0)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "o_orderstatus",
+            "o_orderpriority",
+            "c_mktsegment",
+            F.col("n_name").alias("cust_nation"),
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.col("s_name").alias("supp_name"),
+        )
+    )
