@@ -129,3 +129,81 @@ def test_asof_join_matches_reference_impl(spark, lefts, rights):
 
 def _idx(rights, x):
     return max(i for i, r in enumerate(rights) if r == x)
+
+
+@given(
+    actions=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(min_value=1, max_value=12)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_logtable_invariants_under_random_commits(spark, tmp_path_factory, actions):
+    """LogTable (txnlog.py): for ANY interleaving of appends and
+    compactions — (1) the latest snapshot holds exactly the union of all
+    appended rows, (2) every historical version replays to the row count
+    that was current when it committed, (3) compaction never changes
+    content, only the live file set."""
+    import uuid
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    t = LogTable(spark, str(tmp_path_factory.mktemp("lt") / uuid.uuid4().hex))
+    expected_after: list[int] = []  # row count current at each version
+    total = 0
+    next_id = 0
+    did_commit = False
+    for kind, n in actions:
+        if kind == "append":
+            df = spark.range(next_id, next_id + n).withColumnRenamed("id", "k")
+            next_id += n
+            t.append(df)
+            total += n
+            expected_after.append(total)
+            did_commit = True
+        elif did_commit:
+            before = {r["k"] for r in t.snapshot().collect()}
+            t.compact(n_files=1)
+            assert {r["k"] for r in t.snapshot().collect()} == before
+            assert len(t.live_files()) == 1
+            expected_after.append(total)
+    if did_commit:
+        assert t.snapshot().count() == total
+        for v, want in enumerate(expected_after):
+            assert t.snapshot(v).count() == want, (v, want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_oph_signatures_dense_and_set_determined(spark, docs):
+    """One-permutation MinHash (dedup.minhash_signatures): every
+    signature is fully densified (64 non-null slots) for any non-empty
+    shingle set, and the signature is a pure function of the SET —
+    duplicate rows and row order cannot change it."""
+    from dataengineeringutils_spark.operators.dedup import minhash_signatures
+
+    rows = [(i, s) for i, d in enumerate(docs) for s in d]
+    df = spark.createDataFrame(rows, "doc_id long, s long")
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert set(sigs) == set(range(len(docs)))
+    for sig in sigs.values():
+        assert len(sig) == 64 and all(x is not None for x in sig)
+    # permuted + duplicated input -> identical signatures
+    rows2 = [(i, s) for i, d in enumerate(docs) for s in (list(reversed(d)) + d)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, s long")
+    sigs2 = {r["doc_id"]: r["sig"] for r in minhash_signatures(df2).collect()}
+    assert sigs == sigs2
