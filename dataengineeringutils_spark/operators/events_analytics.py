@@ -1678,3 +1678,210 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
         F.expr(_AB_Z).alias("z_score"),
     )
+
+
+_CUSUM_MEAN = "CAST(s1 AS DOUBLE) / n"
+_CUSUM_SD = (
+    f"SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * ({_CUSUM_MEAN}))"
+    f" / (n - 1))"
+)
+
+
+def _cusum_kernel(key, pdf):
+    """applyInPandas kernel: sequential CUSUM over one priority's daily
+    revenue series, run ENTIRELY IN INTEGERS. With the recursion scaled
+    by 100·n (T = 100·n·S in cents·n units), the update is
+    T ← max(0, T + (n·xc − s1c)) — exact int64 arithmetic, mirrored op
+    for op by the oracle's recursive CTE, so there is no float drift to
+    round away. Only the alarm compare touches a double (the sd-based
+    threshold), from expression text shared with the oracle."""
+    import pandas as pd
+
+    rows = pdf.sort_values("d")
+    n = int(rows["n"].iloc[0])
+    s1c = int(rows["s1c"].iloc[0])
+    ac = int(rows["ac"].iloc[0])
+    h = float(rows["h"].iloc[0])
+    thresh = n * h
+    t = 0
+    out_d, out_t = [], []
+    for d, xc in zip(rows["d"], rows["xc"]):
+        t = max(0, t + (n * int(xc) - s1c - n * ac))
+        if t > thresh:
+            out_d.append(d)
+            out_t.append(t)
+    # explicit dtypes: an empty python list would infer float64 and the
+    # Arrow writer cannot cast that to date32
+    return pd.DataFrame(
+        {
+            "grp": pd.Series([key[0]] * len(out_t), dtype="object"),
+            "d": pd.Series(out_d, dtype="object"),
+            "t_units": pd.Series(out_t, dtype="int64"),
+            "n": pd.Series([n] * len(out_t), dtype="int64"),
+        }
+    )
+
+
+@query(
+    "timeseries_cusum_alarm",
+    oracle=f"""
+    WITH RECURSIVE cut0 AS (
+        SELECT MAX(o_orderdate) - INTERVAL 180 DAY AS lo FROM orders
+    ),
+    daily AS (
+        SELECT o_orderpriority AS grp,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS xc
+        FROM orders
+        WHERE o_orderdate >= (SELECT lo FROM cut0)
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT grp, d, xc,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d) AS rn
+        FROM daily
+    ),
+    stats AS (
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(xc) AS BIGINT) AS s1,
+               SUM(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0)))
+                   AS s2
+        FROM daily GROUP BY grp
+    ),
+    kh AS (
+        SELECT grp, n, s1 AS s1c,
+               CAST(ROUND(({_CUSUM_SD}) / 2, 0) AS BIGINT) AS ac,
+               5 * ({_CUSUM_SD}) AS h
+        FROM stats
+    ),
+    cus AS (
+        SELECT s.grp, s.rn, s.d,
+               GREATEST(0, kh.n * s.xc - kh.s1c - kh.n * kh.ac) AS t
+        FROM seq s JOIN kh ON s.grp = kh.grp
+        WHERE s.rn = 1
+        UNION ALL
+        SELECT s.grp, s.rn, s.d,
+               GREATEST(0, c.t + (kh.n * s.xc - kh.s1c - kh.n * kh.ac)) AS t
+        FROM cus c
+        JOIN seq s ON s.grp = c.grp AND s.rn = c.rn + 1
+        JOIN kh ON s.grp = kh.grp
+    )
+    SELECT c.grp, CAST(c.d AS TIMESTAMP) AS d,
+           CAST(c.t AS BIGINT) AS t_units,
+           CAST(kh.n AS BIGINT) AS n
+    FROM cus c JOIN kh ON c.grp = kh.grp
+    WHERE CAST(c.t AS DOUBLE) > kh.n * kh.h
+    """,
+)
+def timeseries_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart over daily revenue per priority class: the
+    classic sequential drift detector S_t = max(0, S_{t-1} + (x_t − k))
+    with allowance k = mean + sd/2 and alarm threshold h = 5·sd (the
+    textbook parameterization), over a 180-day tail window — emits the
+    days where accumulated above-mean drift trips the alarm.
+
+    The recursion is inherently sequential PER SERIES, so it runs as an
+    ``applyInPandas`` kernel partitioned by series (state: one integer;
+    work bounded by days-per-series; series scale out across executors —
+    the standard shape for per-entity recurrences Spark windows cannot
+    express). Exactness: multiplying the recursion through by 100·n
+    turns it into pure int64 arithmetic on exact cent sums
+    (T = n·S_cents; update n·xc − s1c) — a double-valued recursion was
+    measured to drift one ulp from the oracle's CTE after ~2600 steps
+    and flip a 4-dp rounding, so the state NEVER touches floats; only
+    the alarm threshold (2·sd, from exact DECIMAL sums via shared
+    expression text, in CENTS so no decimal division ever happens —
+    DuckDB's ``/`` on DECIMAL silently returns DOUBLE) is a double,
+    used in a single compare. Emitted t_units = n·S_cents exactly;
+    consumers divide by 100·n when displaying dollars.
+    """
+    o = table(spark, sf_dir, "orders")
+    # deterministic 180-day tail window: the recursion depth (and the
+    # oracle's recursive-CTE cost, which is O(levels) JOIN passes) stays
+    # bounded; the cutoff collects as ONE scalar so it pushes into the
+    # scan as a pruning literal
+    lo = o.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 180 DAY")).alias("lo")
+    ).collect()[0]["lo"]
+    o = o.filter(F.col("o_orderdate") >= F.lit(lo))
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("xc")
+    )
+    dc = F.col("xc").cast("decimal(18,0)")
+    stats = daily.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("s1"),
+        F.sum(dc * dc).alias("s2"),
+    )
+    kh = stats.select(
+        "grp",
+        "n",
+        F.col("s1").alias("s1c"),
+        F.expr(f"CAST(ROUND(({_CUSUM_SD}) / 2, 0) AS BIGINT)").alias("ac"),
+        F.expr(f"5 * ({_CUSUM_SD})").alias("h"),
+    )
+    joined = daily.join(F.broadcast(kh), "grp")
+    return joined.groupBy("grp").applyInPandas(
+        _cusum_kernel, "grp string, d date, t_units bigint, n bigint"
+    ).select(
+        "grp",
+        F.col("d").cast("timestamp").alias("d"),
+        "t_units",
+        "n",
+    )
+
+
+@query(
+    "events_first_purchase_rank",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS pos
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, d, MIN(pos) AS first_pos
+        FROM ranked WHERE event_type = 'purchase'
+        GROUP BY user_id, d
+    )
+    SELECT CAST(first_pos AS INT) AS pos, COUNT(*) AS n_sessions
+    FROM firsts
+    GROUP BY 1
+    """,
+)
+def events_first_purchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search/feed-quality metric: at which position within a (user, day)
+    session does the first purchase happen — the rank distribution
+    behind MRR (MRR = Σ n_sessions[p]/p over this table; the division
+    is deferred to the consumer so the stored metric stays an exact
+    integer distribution, comparable across engines and days).
+
+    One (user, day) window ranks events, a min-aggregate finds the first
+    conversion, a second tiny aggregate builds the distribution — all in
+    one entity-keyed shuffle.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+    )
+    firsts = (
+        ranked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "d")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    return firsts.groupBy(F.col("first_pos").cast("int").alias("pos")).agg(
+        F.count("*").alias("n_sessions")
+    )

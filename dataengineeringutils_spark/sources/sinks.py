@@ -527,3 +527,31 @@ def sink_txn_log_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_live).cast("int").alias("n_files_live"),
         F.lit(n_commits).cast("int").alias("n_commits"),
     )
+
+
+@query(
+    "sink_text_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT text) AS n_distinct
+    FROM documents
+    """,
+)
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink/source round-trip: document bodies written as raw
+    line files (``.write.text`` — the format every tokenizer-dump and
+    log-ship job ultimately speaks), read back with ``spark.read.text``,
+    and audited against the source (line count, char mass, distinct
+    lines). Fixture docs are single-line, so line identity == doc text
+    identity; a real corpus writer escapes newlines first.
+    """
+    d = table(spark, sf_dir, "documents").select("text")
+    out = scratch_dir("sink_text_docs")
+    d.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("sum_chars"),
+        F.count_distinct("value").alias("n_distinct"),
+    )
