@@ -1885,3 +1885,10 @@ def events_first_purchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.groupBy(F.col("first_pos").cast("int").alias("pos")).agg(
         F.count("*").alias("n_sessions")
     )
+
+
+# _cusum_kernel runs worker-side: serialize this module BY VALUE so the
+# kernel deserializes under any driver (see serde.py).
+from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)

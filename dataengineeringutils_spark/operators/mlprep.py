@@ -22,7 +22,7 @@ explode with no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.operators.dedup import tokens_col
@@ -314,4 +314,119 @@ def dataset_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "keep_every",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+SHARD_TOKEN_BUDGET = 2000
+CHUNK_MIN_TTR = 0.3
+
+
+@query(
+    "pipeline_chunk_pack_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, lang,
+               CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(LEAST({CHUNK_TOKENS}, len(toks) - start) AS INT)
+                   AS len_tok,
+               md5(array_to_string(
+                   toks[start + 1 : start + LEAST({CHUNK_TOKENS},
+                                                  len(toks) - start)],
+                   ' ')) AS chunk_md5
+        FROM (
+            SELECT doc_id, lang, toks,
+                   UNNEST(range(0, len(toks), {CHUNK_STRIDE})) AS start
+            FROM t
+            WHERE len(toks) > 0
+                  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      >= {CHUNK_MIN_TTR}
+        )
+    ),
+    surv AS (
+        SELECT lang, doc_id, chunk_idx, len_tok
+        FROM chunks
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                                   ORDER BY doc_id, chunk_idx) = 1
+    ),
+    packed AS (
+        SELECT lang,
+               CAST((SUM(len_tok) OVER (PARTITION BY lang
+                                        ORDER BY doc_id, chunk_idx)
+                     - len_tok) // {SHARD_TOKEN_BUDGET} AS INT) AS shard,
+               len_tok
+        FROM surv
+    )
+    SELECT lang, shard,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(len_tok) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY lang, shard
+    """,
+)
+def pipeline_chunk_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data EXPORT pipeline end to end: quality
+    gate (type-token ratio) → overlapping chunking (40/30) → exact chunk
+    dedup (md5 keep-first — cross-document boilerplate chunks collapse
+    here) → greedy shard packing to a 2000-token budget per language →
+    the shard manifest (lang, shard, n_chunks, n_tokens) a trainer's
+    data loader consumes.
+
+    Every stage is declarative and partition-friendly: chunking explodes
+    at scan speed; dedup shuffles 16-byte md5 keys; packing is a running
+    token sum PARTITIONED BY LANGUAGE (never a global window — shards
+    are language-local by design, which is also what keeps the sort
+    bounded at 100 TB; a deterministic (doc_id, chunk_idx) order makes
+    packing reproducible run to run). All counts are exact integers.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+    quality = d.filter(
+        (n > 0)
+        & (F.size(F.array_distinct("toks")).cast("double") / n >= CHUNK_MIN_TTR)
+    )
+    exploded = quality.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+    )
+    ln = F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start"))
+    chunks = exploded.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        ln.cast("int").alias("len_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("toks", F.col("start") + 1, ln))
+        ).alias("chunk_md5"),
+    )
+    w_dedup = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    surv = (
+        chunks.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", "chunk_idx", "len_tok")
+    )
+    w_pack = Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
+    packed = surv.select(
+        "lang",
+        F.floor(
+            (F.sum("len_tok").over(w_pack) - F.col("len_tok"))
+            / SHARD_TOKEN_BUDGET
+        )
+        .cast("int")
+        .alias("shard"),
+        "len_tok",
+    )
+    return packed.groupBy("lang", "shard").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("len_tok").cast("bigint").alias("n_tokens"),
     )
