@@ -1595,3 +1595,67 @@ def embeddings_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("m2").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+MATRYOSHKA_DIM = 16
+
+
+@query(
+    "sim_matryoshka_truncation_eval",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b
+          ON b.vec_id = a.vec_id + 250
+        WHERE a.vec_id < 100
+    ),
+    scored AS (
+        SELECT ia, ib,
+               {o_cosine('ea', 'eb')} AS cos_full,
+               list_sum(list_transform(range(1, {MATRYOSHKA_DIM + 1}),
+                   i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(range(1, {MATRYOSHKA_DIM + 1}),
+                      i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(range(1, {MATRYOSHKA_DIM + 1}),
+                      i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))))
+                   AS cos_trunc
+        FROM pairs
+    )
+    SELECT ia, ib,
+           ROUND(cos_full, 6) AS cos_full,
+           ROUND(cos_trunc, 6) AS cos_trunc,
+           ROUND(ABS(cos_full - cos_trunc), 6) AS abs_err
+    FROM scored
+    """,
+)
+def sim_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how well does cosine over the
+    FIRST 16 dimensions track full 64-dim cosine on a fixed probe set of
+    vector pairs — the evaluation a serving team runs before truncating
+    stored embeddings to cut index memory 4× (Kusupati et al. 2022
+    train embeddings so prefixes are usable; this op measures whether
+    yours are).
+
+    A keyed offset join builds the deterministic pair probe set (no
+    sampling nondeterminism); both cosines are exact-order float→double
+    array arithmetic shared with the oracle; per-pair rows round at
+    6 dp. One broadcast-size probe join — the corpus never shuffles.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = e.select((F.col("vec_id")).alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("ib") == F.col("ia") + 250)
+    ta = F.slice("ea", 1, MATRYOSHKA_DIM)
+    tb = F.slice("eb", 1, MATRYOSHKA_DIM)
+    cos_full = cosine("ea", "eb")
+    cos_trunc = dot(ta, tb) / (l2_norm(ta) * l2_norm(tb))
+    return pairs.select(
+        "ia",
+        "ib",
+        F.round(cos_full, 6).alias("cos_full"),
+        F.round(cos_trunc, 6).alias("cos_trunc"),
+        F.round(F.abs(cos_full - cos_trunc), 6).alias("abs_err"),
+    )

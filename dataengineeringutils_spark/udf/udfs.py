@@ -309,3 +309,50 @@ def udaf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _digit_sum_kernel(key: pd.Series) -> pd.Series:
+    """Vectorized digit sum of a non-negative integer key — exact integer
+    arithmetic, so the SQL-side oracle reproduces it digit for digit."""
+    s = key.astype("int64")
+    out = s * 0
+    while (s > 0).any():
+        out = out + s % 10
+        s = s // 10
+    return out
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(
+               string_split(CAST(o_orderkey AS VARCHAR), ''),
+               c -> CAST(c AS BIGINT))) AS BIGINT) AS key_digit_sum,
+           COUNT(*) OVER (PARTITION BY 1) AS n_rows
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-surface UDF path: a pandas (Arrow-vectorized) kernel
+    registered with ``spark.udf.register`` and invoked FROM SQL TEXT —
+    how notebook/BI users consume custom functions, vs the DataFrame
+    ``withColumn`` path the other udf ops exercise. The kernel is exact
+    integer arithmetic so the oracle recomputes it from digits.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark.udf.register(
+        "key_digit_sum", pandas_udf(_digit_sum_kernel, "bigint")
+    )
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               key_digit_sum(o_orderkey) AS key_digit_sum,
+               COUNT(*) OVER () AS n_rows
+        FROM orders_v
+        WHERE o_orderkey <= 500
+        """
+    )
