@@ -1045,3 +1045,77 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("gap_days"),
     )
+
+
+@query(
+    "dq_category_drift",
+    oracle="""
+    WITH cut0 AS (
+        SELECT MIN(o_orderdate)
+               + CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                      // 2 AS BIGINT) * INTERVAL 1 DAY AS mid
+        FROM orders
+    ),
+    cells AS (
+        SELECT o_orderpriority AS cat,
+               CAST(SUM(CASE WHEN o_orderdate < (SELECT mid FROM cut0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(SUM(CASE WHEN o_orderdate >= (SELECT mid FROM cut0)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM orders
+        GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+               CAST(SUM(n_cur) AS BIGINT) AS t_cur
+        FROM cells
+    )
+    SELECT cat, n_ref, n_cur,
+           ROUND(CAST(n_cur AS DOUBLE) / t_cur
+                 - CAST(n_ref AS DOUBLE) / t_ref, 6) AS share_shift,
+           ROUND((CAST(n_cur AS DOUBLE) / t_cur)
+                 / (CAST(n_ref AS DOUBLE) / t_ref), 6) AS share_ratio
+    FROM cells CROSS JOIN tot
+    """,
+)
+def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-distribution drift check between the reference window
+    (first half of time) and the current window (second half): per
+    category, absolute share shift and share ratio — the data-quality
+    gate that catches an upstream enum change / routing bug before it
+    poisons a trained model's feature distribution.
+
+    One scan with two conditional counters per category (the split point
+    is a scalar), then share arithmetic on the |categories|-row frame
+    from expression text shared with the oracle — exact integer cells,
+    6-dp deterministic shares.
+    """
+    o = table(spark, sf_dir, "orders")
+    mid = o.agg(
+        F.date_add(
+            F.min("o_orderdate"),
+            (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 2).cast(
+                "int"
+            ),
+        ).alias("mid")
+    ).collect()[0]["mid"]
+    cells = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum((F.col("o_orderdate") < F.lit(mid)).cast("long")).alias("n_ref"),
+        F.sum((F.col("o_orderdate") >= F.lit(mid)).cast("long")).alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cat",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "ROUND(CAST(n_cur AS DOUBLE) / t_cur"
+            " - CAST(n_ref AS DOUBLE) / t_ref, 6)"
+        ).alias("share_shift"),
+        F.expr(
+            "ROUND((CAST(n_cur AS DOUBLE) / t_cur)"
+            " / (CAST(n_ref AS DOUBLE) / t_ref), 6)"
+        ).alias("share_ratio"),
+    )

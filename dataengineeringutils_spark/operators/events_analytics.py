@@ -1892,3 +1892,55 @@ def events_first_purchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+@query(
+    "events_fano_factor",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+        FROM events
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / (CAST(s1 AS DOUBLE) / n), 6) AS fano
+    FROM m
+    """,
+)
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness audit: the Fano factor (variance/mean of daily counts)
+    per event stream — 1 means Poisson-like arrivals, >1 bursty, <1
+    regular; the scheduling/capacity signal behind anomaly thresholds.
+
+    Daily counts are exact integers, the moment sums int64 (order-
+    independent), and the variance/mean arithmetic evaluates from
+    expression text shared with the oracle — deterministic at 6 dp.
+    Two map-side-combined aggregates, nothing else.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            "ROUND((CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+            " / (CAST(s1 AS DOUBLE) / n), 6)"
+        ).alias("fano"),
+    )
