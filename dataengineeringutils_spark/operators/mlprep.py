@@ -430,3 +430,81 @@ def pipeline_chunk_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("len_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+_JS_TERM = (
+    "0.5 * (pa * log2(pa / ((pa + pb) / 2)))"
+    " + 0.5 * (pb * log2(pb / ((pa + pb) / 2)))"
+)
+
+
+@query(
+    "text_source_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source,
+               ('0x' || substr(md5(tok), 1, 6))::BIGINT % {N_HASH_BUCKETS}
+                   AS b
+        FROM (
+            SELECT source,
+                   UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents
+        )
+    ),
+    per AS (SELECT source, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t
+             FROM per GROUP BY source),
+    gl AS (SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM per GROUP BY b),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gl),
+    terms AS (
+        SELECT p.source,
+               CAST(p.c AS DOUBLE) / s.t AS pa,
+               CAST(g.g AS DOUBLE) / (SELECT gt FROM gtot) AS pb
+        FROM per p
+        JOIN stot s USING (source)
+        JOIN gl g USING (b)
+    )
+    SELECT source, ROUND(SUM({_JS_TERM}), 4) AS js_div
+    FROM terms
+    GROUP BY source
+    """,
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift ranking: Jensen-Shannon divergence of each SOURCE's
+    token distribution against the whole corpus, measured over the
+    16-dimension hashed-feature space (``ml_feature_hashing``'s buckets)
+    — which source is least like the rest, the triage signal when a
+    crawl snapshot shifts.
+
+    Hashed buckets, not raw tokens, on purpose: per-token JS sums
+    thousands of libm log2 terms whose last-ulp engine differences
+    accumulate past any rounding grid; 16 buckets keep the float noise
+    ~1e-15 against a 1e-4 grid (and the drift signal survives hashing —
+    that is the hashing trick's point). Terms cover observed
+    (source, bucket) cells on both engines identically. Counts are
+    exact integers end to end; one token explode feeds every aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col()).alias("tok"))
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 6), 16, 10).cast("bigint")
+        % N_HASH_BUCKETS
+    )
+    per = toks.groupBy("source", b.alias("b")).agg(F.count("*").alias("c"))
+    stot = per.groupBy("source").agg(F.sum("c").alias("t"))
+    gl = per.groupBy("b").agg(F.sum("c").alias("g"))
+    gtot = gl.agg(F.sum("g").alias("gt"))
+    terms = (
+        per.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gl), "b")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            F.expr("CAST(c AS DOUBLE) / t").alias("pa"),
+            F.expr("CAST(g AS DOUBLE) / gt").alias("pb"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(F.sum(F.expr(_JS_TERM)), 4).alias("js_div")
+    )
