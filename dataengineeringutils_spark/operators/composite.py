@@ -1154,3 +1154,112 @@ def star_denormalize_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supp_name"),
         )
     )
+
+
+@query(
+    "orders_fiscal_445_rollup",
+    oracle="""
+    WITH f AS (
+        SELECT o_totalprice,
+               CAST(CASE WHEN month(o_orderdate) >= 2
+                         THEN year(o_orderdate)
+                         ELSE year(o_orderdate) - 1 END AS INT) AS fy,
+               date_diff('day',
+                   make_date(CASE WHEN month(o_orderdate) >= 2
+                                  THEN year(o_orderdate)
+                                  ELSE year(o_orderdate) - 1 END, 2, 1),
+                   CAST(o_orderdate AS DATE)) AS fday
+        FROM orders
+    ),
+    wk AS (
+        SELECT o_totalprice, fy,
+               CAST(LEAST(fday // 7, 51) AS INT) AS fweek
+        FROM f
+    )
+    SELECT fy,
+           CAST((fweek // 13) + 1 AS INT) AS fq,
+           CAST(CASE WHEN fweek % 13 < 4 THEN 1
+                     WHEN fweek % 13 < 8 THEN 2
+                     ELSE 3 END AS INT) AS fp,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM wk
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rolled up on a 4-4-5 FISCAL calendar (year starts Feb 1;
+    each quarter = 4+4+5 weeks) — the retail-finance reporting calendar
+    no engine ships natively, expressed as pure integer date arithmetic:
+    fiscal day → capped week 0..51 → quarter = week div 13 → period from
+    the 4/4/5 split of week-in-quarter. Week 52 (the 1-2 leap days)
+    folds into the last period, the standard convention.
+
+    Everything is codegen integer arithmetic on the scan — no calendar
+    dimension table to join (though at 100 TB a generated fiscal DIM +
+    broadcast join is the equally valid alternative); one aggregate to
+    the (year × quarter × period) grid with exact DECIMAL money.
+    """
+    o = table(spark, sf_dir, "orders")
+    fy = F.expr(
+        "CAST(CASE WHEN month(o_orderdate) >= 2 THEN year(o_orderdate)"
+        " ELSE year(o_orderdate) - 1 END AS INT)"
+    )
+    f = o.select(
+        "o_totalprice",
+        fy.alias("fy"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE),"
+            " make_date(CASE WHEN month(o_orderdate) >= 2"
+            " THEN year(o_orderdate) ELSE year(o_orderdate) - 1 END, 2, 1))"
+        ).alias("fday"),
+    )
+    wk = f.select(
+        "o_totalprice",
+        "fy",
+        F.least(F.expr("fday div 7"), F.lit(51)).cast("int").alias("fweek"),
+    )
+    return wk.groupBy(
+        "fy",
+        F.expr("CAST((fweek div 13) + 1 AS INT)").alias("fq"),
+        F.expr(
+            "CAST(CASE WHEN fweek % 13 < 4 THEN 1"
+            " WHEN fweek % 13 < 8 THEN 2 ELSE 3 END AS INT)"
+        ).alias("fp"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@query(
+    "lineitem_return_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS return_rate
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quality signal: per-brand return rate (share of line items
+    flagged 'R') — the merchandising report behind returns-driven
+    delisting. Broadcast part dimension onto the fact scan, one
+    map-side-combined aggregate; the rate is an exact int/int rational.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    ret = F.sum((F.col("l_returnflag") == "R").cast("long"))
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        ret.alias("n_returned"),
+        (ret.cast("double") / F.count("*")).alias("return_rate"),
+    )
