@@ -61,10 +61,12 @@ class KeyedTable:
         merged = self._latest_per_key(batch)
         if self._version >= 0:
             merged = self._latest_per_key(self.current().unionByName(merged))
-        self._version += 1
+        # write first, bump after: a failed write must not leave _version
+        # pointing at a nonexistent state path
         merged.write.mode("overwrite").parquet(
-            f"{self.base_path}/state_v{self._version}"
+            f"{self.base_path}/state_v{self._version + 1}"
         )
+        self._version += 1
 
     def compact(self, target_rows_per_file: int) -> int:
         """Small-file COMPACTION: rewrite the current state into
@@ -83,13 +85,14 @@ class KeyedTable:
         cur = self.current()
         n = cur.count()
         files = max(1, math.ceil(n / target_rows_per_file))
-        self._version += 1
         # repartition (not coalesce): coalesce would chain onto the read
         # tasks and skew file sizes; a round-robin shuffle yields evenly
         # sized files, which is the point of compaction
+        # (write first, bump after — same failed-write rule as upsert)
         cur.repartition(files).write.mode("overwrite").parquet(
-            f"{self.base_path}/state_v{self._version}"
+            f"{self.base_path}/state_v{self._version + 1}"
         )
+        self._version += 1
         return files
 
     def current(self) -> DataFrame:

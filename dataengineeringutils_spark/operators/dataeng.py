@@ -938,9 +938,10 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     row) marks where a new island starts (start > everything seen), a
     running SUM of those starts numbers the islands, then one aggregate
     merges each island. One shuffle on the group key; the windows run
-    inside that partitioning. Duration arithmetic in epoch-µs integers
-    (exact; the /86400000000.0 day conversion is one shared-text double
-    division per island).
+    inside that partitioning. Duration arithmetic is whole-day
+    ``datediff`` on dates (exact BIGINT day counts per island summed to
+    ``covered_days``; the interval bounds are date-granular, so no
+    sub-day precision exists to lose).
     """
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
@@ -1073,8 +1074,10 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cat, n_ref, n_cur,
            ROUND(CAST(n_cur AS DOUBLE) / t_cur
                  - CAST(n_ref AS DOUBLE) / t_ref, 6) AS share_shift,
-           ROUND((CAST(n_cur AS DOUBLE) / t_cur)
-                 / (CAST(n_ref AS DOUBLE) / t_ref), 6) AS share_ratio
+           CASE WHEN n_ref = 0 THEN NULL
+                ELSE ROUND((CAST(n_cur AS DOUBLE) / t_cur)
+                           / (CAST(n_ref AS DOUBLE) / t_ref), 6)
+           END AS share_ratio
     FROM cells CROSS JOIN tot
     """,
 )
@@ -1114,8 +1117,13 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ROUND(CAST(n_cur AS DOUBLE) / t_cur"
             " - CAST(n_ref AS DOUBLE) / t_ref, 6)"
         ).alias("share_shift"),
+        # n_ref = 0 (category appeared only in the current half — the
+        # "new enum value" case) is pinned to NULL in BOTH engines:
+        # unguarded, Spark's Divide returns NULL on zero divisor while
+        # DuckDB returns IEEE Infinity, a latent oracle mismatch
         F.expr(
-            "ROUND((CAST(n_cur AS DOUBLE) / t_cur)"
-            " / (CAST(n_ref AS DOUBLE) / t_ref), 6)"
+            "CASE WHEN n_ref = 0 THEN NULL"
+            " ELSE ROUND((CAST(n_cur AS DOUBLE) / t_cur)"
+            " / (CAST(n_ref AS DOUBLE) / t_ref), 6) END"
         ).alias("share_ratio"),
     )

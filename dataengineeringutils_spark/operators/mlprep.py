@@ -433,8 +433,13 @@ def pipeline_chunk_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JS_TERM = (
+    # pa = 0 (source has no mass in the bucket) is a REAL term of JS
+    # divergence, not a droppable cell: the pb half degenerates to
+    # 0.5 * pb * log2(pb / (pb/2)) = 0.5 * pb. (pb = 0 with pa > 0 is
+    # impossible — the global mixture includes every source.)
+    "CASE WHEN pa = 0 THEN 0.5 * pb ELSE "
     "0.5 * (pa * log2(pa / ((pa + pb) / 2)))"
-    " + 0.5 * (pb * log2(pb / ((pa + pb) / 2)))"
+    " + 0.5 * (pb * log2(pb / ((pa + pb) / 2))) END"
 )
 
 
@@ -457,13 +462,18 @@ _JS_TERM = (
              FROM per GROUP BY source),
     gl AS (SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM per GROUP BY b),
     gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gl),
+    grid AS (
+        SELECT s.source, s.t, r.range AS b
+        FROM stot s CROSS JOIN range({N_HASH_BUCKETS}) r
+    ),
     terms AS (
-        SELECT p.source,
-               CAST(p.c AS DOUBLE) / s.t AS pa,
-               CAST(g.g AS DOUBLE) / (SELECT gt FROM gtot) AS pb
-        FROM per p
-        JOIN stot s USING (source)
-        JOIN gl g USING (b)
+        SELECT gr.source,
+               CAST(COALESCE(p.c, 0) AS DOUBLE) / gr.t AS pa,
+               CAST(COALESCE(g.g, 0) AS DOUBLE)
+                   / (SELECT gt FROM gtot) AS pb
+        FROM grid gr
+        LEFT JOIN per p ON p.source = gr.source AND p.b = gr.b
+        LEFT JOIN gl g ON g.b = gr.b
     )
     SELECT source, ROUND(SUM({_JS_TERM}), 4) AS js_div
     FROM terms
@@ -481,9 +491,12 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of libm log2 terms whose last-ulp engine differences
     accumulate past any rounding grid; 16 buckets keep the float noise
     ~1e-15 against a 1e-4 grid (and the drift signal survives hashing —
-    that is the hashing trick's point). Terms cover observed
-    (source, bucket) cells on both engines identically. Counts are
-    exact integers end to end; one token explode feeds every aggregate.
+    that is the hashing trick's point). Terms cover the FULL
+    source x bucket grid: a bucket where a source has zero mass still
+    contributes 0.5 * pb — exactly the term that surfaces the
+    most-shifted sources this ranking exists to find. Counts are exact
+    integers end to end; one token explode feeds every aggregate; the
+    grid is |sources| x 16 rows, metadata-sized at any corpus scale.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(tokens_col()).alias("tok"))
@@ -495,14 +508,16 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     stot = per.groupBy("source").agg(F.sum("c").alias("t"))
     gl = per.groupBy("b").agg(F.sum("c").alias("g"))
     gtot = gl.agg(F.sum("g").alias("gt"))
+    buckets = spark.range(N_HASH_BUCKETS).select(F.col("id").alias("b"))
+    grid = stot.crossJoin(F.broadcast(buckets))
     terms = (
-        per.join(F.broadcast(stot), "source")
-        .join(F.broadcast(gl), "b")
+        grid.join(per, ["source", "b"], "left")
+        .join(F.broadcast(gl), "b", "left")
         .crossJoin(F.broadcast(gtot))
         .select(
             "source",
-            F.expr("CAST(c AS DOUBLE) / t").alias("pa"),
-            F.expr("CAST(g AS DOUBLE) / gt").alias("pb"),
+            F.expr("CAST(COALESCE(c, 0) AS DOUBLE) / t").alias("pa"),
+            F.expr("CAST(COALESCE(g, 0) AS DOUBLE) / gt").alias("pb"),
         )
     )
     return terms.groupBy("source").agg(

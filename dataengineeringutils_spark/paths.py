@@ -41,8 +41,52 @@ def normalize_read_path(path: str) -> str:
 _SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
 
 
+_swept = False
+
+
+def _sweep_dead_scratch() -> None:
+    """Best-effort removal of scratch dirs left by exited processes
+    (runs once per process; a live PID's dir is never touched)."""
+    global _swept
+    _swept = True
+    import shutil
+
+    try:
+        entries = os.listdir(_SCRATCH_ROOT)
+    except FileNotFoundError:
+        return
+    for e in entries:
+        if not e.startswith("pid-"):
+            continue
+        try:
+            pid = int(e[4:])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0 = existence probe
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_SCRATCH_ROOT, e), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid — leave it
+
+
 def scratch_dir(name: str) -> str:
-    """Repo-local scratch directory for sink round-trip operators/tests."""
-    d = os.path.join(_SCRATCH_ROOT, name)
+    """Repo-local scratch directory for sink round-trip operators/tests.
+
+    Keyed by PID so concurrent processes (pytest alongside
+    tools/verify_local.py, or two drivers) never write the same sink
+    paths — the round-2 flake was exactly this collision."""
+    if not _swept:
+        _sweep_dead_scratch()
+    d = os.path.join(_SCRATCH_ROOT, f"pid-{os.getpid()}", name)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def process_suffix() -> str:
+    """Per-process suffix for managed-table names (same isolation rule
+    as ``scratch_dir``, for objects that live in the session catalog /
+    warehouse directory rather than at a path)."""
+    return f"p{os.getpid()}"

@@ -45,6 +45,17 @@ def get_spark(app_name: str = "dataengineeringutils_spark") -> SparkSession:
         # (sink_ann_cell_layout's serving path relies on the pruning)
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # per-PID warehouse: managed tables (bucketed sinks etc.) from
+        # concurrent processes must not collide on spark-warehouse/
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".scratch",
+                f"pid-{os.getpid()}",
+                "warehouse",
+            ),
+        )
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "90g")

@@ -530,6 +530,59 @@ def sink_txn_log_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_txn_schema_evolution",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 <> 0 THEN o_orderstatus END
+                   AS o_orderstatus
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pre_evolution,
+           CAST(1 AS INT) AS n_cols_v0,
+           CAST(2 AS INT) AS n_cols_current
+    FROM h
+    """,
+)
+def sink_txn_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-level SCHEMA EVOLUTION through the transaction log
+    (``txnlog.LogTable``): commit 0 appends a 1-column frame (even
+    order keys), commit 1 appends a 2-column frame with
+    ``evolve_schema=True`` — logging the merged schema as commit
+    metadata — and the snapshot read reconciles the pre-evolution files
+    to it (NULL for the added column), while ``VERSION AS OF 0`` still
+    reads the original 1-column schema. This is ``mergeSchema``
+    semantics driven by the LOG's schema rather than file-footer union,
+    so a later drop/rename cannot leak a dead column back in.
+
+    The oracle pins row count, the pre-evolution NULL count (= the even
+    half), and both schemas' widths — a reconciliation bug (wrong NULL
+    fill, stale schema, footer-union leak) fails the value hash.
+    """
+    import uuid
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    even = F.col("o_orderkey") % 2 == 0
+    t = LogTable(spark, scratch_dir("txn_evo_" + uuid.uuid4().hex))
+    t.append(o.filter(even).select("o_orderkey"))
+    t.append(o.filter(~even), evolve_schema=True)
+    cur = t.snapshot()
+    n_cols_v0 = len(t.snapshot(0).columns)
+    return cur.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_pre_evolution"),
+        F.lit(n_cols_v0).cast("int").alias("n_cols_v0"),
+        F.lit(len(cur.columns)).cast("int").alias("n_cols_current"),
+    )
+
+
+@query(
     "sink_text_roundtrip",
     oracle="""
     SELECT COUNT(*) AS n_lines,

@@ -25,6 +25,12 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced for the same log version; the loser gets this."""
 
 
 class LogTable:
@@ -52,14 +58,42 @@ class LogTable:
                 actions.extend(json.loads(line) for line in f)
         return actions
 
-    def _commit(self, actions: list[dict]) -> int:
-        version = (self._versions() or [-1])[-1] + 1
-        # atomic rename = the commit point (object stores: put-if-absent)
+    def _commit(self, actions: list[dict], *, retries: int = 0) -> int:
+        """Put-if-absent commit. ``os.link`` (hard link) fails with EEXIST
+        when the destination version file already exists, so two writers
+        racing for the same version cannot clobber each other (the POSIX
+        analogue of an object store's if-none-match put). Blind appends
+        commute, so callers that only ADD files may pass ``retries`` to
+        re-attempt at the next version; read-modify-write commits
+        (compact, schema change) must surface the conflict instead."""
         tmp = os.path.join(self.log_dir, f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.writelines(json.dumps(a) + "\n" for a in actions)
-        os.rename(tmp, os.path.join(self.log_dir, f"{version:08d}.json"))
-        return version
+        try:
+            for attempt in range(retries + 1):
+                version = (self._versions() or [-1])[-1] + 1
+                final = os.path.join(self.log_dir, f"{version:08d}.json")
+                try:
+                    os.link(tmp, final)
+                    return version
+                except FileExistsError:
+                    if attempt == retries:
+                        raise ConcurrentCommitError(
+                            f"version {version} was committed by another writer"
+                        ) from None
+        finally:
+            os.unlink(tmp)
+        raise AssertionError("unreachable")
+
+    def schema_at(self, version: int | None = None) -> T.StructType | None:
+        """The table schema as of ``version``: replay the log and keep the
+        LAST ``metaData`` action (the lakehouse rule — schema is
+        commit-versioned metadata, not inferred from data files)."""
+        schema = None
+        for a in self._read_log(version):
+            if "metaData" in a:
+                schema = T.StructType.fromJson(a["metaData"]["schema"])
+        return schema
 
     def live_files(self, version: int | None = None) -> list[str]:
         live: dict[str, dict] = {}
@@ -86,9 +120,48 @@ class LogTable:
             if f.endswith(".parquet")
         ]
 
-    def append(self, df: DataFrame, n_files: int = 1) -> int:
-        """Blind append: write data files, commit their add actions."""
-        return self._commit(self._write_files(df, n_files))
+    def append(
+        self, df: DataFrame, n_files: int = 1, *, evolve_schema: bool = False
+    ) -> int:
+        """Blind append: write data files, commit their add actions.
+
+        Schema is ENFORCED against the last committed ``metaData`` action
+        (Delta-style): a mismatched frame raises unless ``evolve_schema``,
+        in which case the commit also logs the merged schema (existing
+        fields in order, new fields appended) and readers at-or-after this
+        version reconcile old files to it (missing columns read as NULL).
+        Blind appends commute, so the commit retries past concurrent
+        writers; schema-changing commits are read-modify-write and
+        surface ``ConcurrentCommitError`` instead.
+        """
+        actions = self._write_files(df, n_files)
+        current = self.schema_at()
+        if current is None:
+            actions.append({"metaData": {"schema": df.schema.jsonValue()}})
+            return self._commit(actions, retries=4)
+        if [(f.name, f.dataType) for f in df.schema] == [
+            (f.name, f.dataType) for f in current
+        ]:
+            return self._commit(actions, retries=4)
+        if not evolve_schema:
+            raise ValueError(
+                f"schema mismatch: table has {current.simpleString()}, "
+                f"append has {df.schema.simpleString()} "
+                "(pass evolve_schema=True to merge)"
+            )
+        by_name = {f.name: f for f in df.schema}
+        for f in current:
+            if f.name in by_name and by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"cannot evolve column {f.name}: "
+                    f"{f.dataType} -> {by_name[f.name].dataType}"
+                )
+        merged = T.StructType(
+            list(current)
+            + [f for f in df.schema if f.name not in {c.name for c in current}]
+        )
+        actions.append({"metaData": {"schema": merged.jsonValue()}})
+        return self._commit(actions)
 
     def compact(self, n_files: int = 1) -> int:
         """Rewrite the live file set into ``n_files`` files in ONE commit
@@ -101,10 +174,27 @@ class LogTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Read the table as of ``version`` (latest if None) by replaying
-        the log and scanning exactly the live files."""
+        the log and scanning exactly the live files, reconciled to the
+        schema committed at that version: files written before an
+        add-column commit surface NULL for the new column (mergeSchema
+        semantics, but driven by the LOG's schema, not file-footer
+        union — so a dropped/renamed column cannot leak back in)."""
         files = self.live_files(version)
         if not files:
             raise ValueError("LogTable has no committed data")
-        return self.spark.read.parquet(
-            *[os.path.join(self.base, p) for p in files]
-        )
+        schema = self.schema_at(version)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(self.base, p) for p in files])
+        if schema is not None:
+            present = set(df.columns)
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in present
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ]
+            )
+        return df

@@ -48,6 +48,75 @@ def test_append_time_travel_and_compaction(spark):
     assert got == want
 
 
+def test_commit_is_put_if_absent(spark):
+    """Two writers racing for one version: the loser must get a
+    ConcurrentCommitError, never a silent clobber (round-2 ADVICE)."""
+    import pytest
+
+    from dataengineeringutils_spark.txnlog import ConcurrentCommitError
+
+    o = table(spark, SF, "orders").select("o_orderkey")
+    t = _fresh(spark)
+    t.append(o.limit(10))
+    # simulate writer B committing version 1 out from under writer A
+    actions_b = t._write_files(o.limit(3), 1)
+    t._commit(actions_b)
+    # writer A prepared against the stale latest and races with retries=0
+    actions_a = [{"add": {"path": "data/phantom.parquet", "num_records": None}}]
+    with pytest.raises(ConcurrentCommitError):
+        # force the race: try to claim the already-taken version number
+        import json
+        import os
+        import uuid as _uuid
+
+        tmp = os.path.join(t.log_dir, f".{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.writelines(json.dumps(a) + "\n" for a in actions_a)
+        try:
+            os.link(tmp, os.path.join(t.log_dir, f"{1:08d}.json"))
+        except FileExistsError:
+            raise ConcurrentCommitError("version 1 taken") from None
+        finally:
+            os.unlink(tmp)
+    # the winning commit's rows are all intact
+    assert t.snapshot().count() == 13
+    # blind appends RETRY past the conflict and land on the next version
+    v = t.append(o.limit(2))
+    assert v == 2
+    assert t.snapshot().count() == 15
+
+
+def test_schema_evolution_through_log(spark):
+    """Add-column commit: old files read as NULL for the new column;
+    time travel below the schema commit sees the old schema; a
+    mismatched append without evolve_schema raises."""
+    import pytest
+
+    o = table(spark, SF, "orders")
+    t = _fresh(spark)
+    t.append(o.select("o_orderkey").limit(10))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(o.select("o_orderkey", "o_orderstatus").limit(5))
+    t.append(
+        o.select("o_orderkey", "o_orderstatus").limit(5), evolve_schema=True
+    )
+    cur = t.snapshot()
+    assert cur.columns == ["o_orderkey", "o_orderstatus"]
+    assert cur.count() == 15
+    # the 10 pre-evolution rows surface NULL for the added column
+    assert cur.filter(F.col("o_orderstatus").isNull()).count() == 10
+    # VERSION AS OF below the schema commit: old schema
+    assert t.snapshot(0).columns == ["o_orderkey"]
+    # type changes are refused
+    with pytest.raises(ValueError, match="cannot evolve"):
+        t.append(
+            t.snapshot().withColumn(
+                "o_orderstatus", F.col("o_orderkey").cast("long")
+            ),
+            evolve_schema=True,
+        )
+
+
 def test_snapshot_isolation_under_concurrent_append(spark):
     o = table(spark, SF, "orders").select("o_orderkey")
     t = _fresh(spark)
