@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dataengineeringutils_spark.registry import query
-from dataengineeringutils_spark.tables import table
+from dataengineeringutils_spark.tables import table, ts_bounds
 
 _DEC = "decimal(18,2)"
 
@@ -486,8 +486,8 @@ def keyed_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringutils_spark.paths import scratch_dir
 
     ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    cutoff = row["lo"] + (row["hi"] - row["lo"]) / 2
+    lo_b, hi_b = ts_bounds(spark, sf_dir)
+    cutoff = lo_b + (hi_b - lo_b) / 2
     kt = KeyedTable(
         spark,
         scratch_dir("keyed_merge"),

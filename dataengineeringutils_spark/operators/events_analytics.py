@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dataengineeringutils_spark.registry import query
-from dataengineeringutils_spark.tables import table
+from dataengineeringutils_spark.tables import table, ts_bounds
 
 
 @query(
@@ -643,7 +643,7 @@ def events_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic for a fixed fixture with no wall-clock dependency.
     """
     ev = table(spark, sf_dir, "events")
-    hi = ev.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+    hi = ts_bounds(spark, sf_dir)[1]
     recent_start = F.lit(hi) - F.expr("INTERVAL 7 DAYS")
     prior_start = F.lit(hi) - F.expr("INTERVAL 14 DAYS")
     prior = (

@@ -13,6 +13,7 @@ open windows / in-horizon dedup keys in state, not history.
 
 from __future__ import annotations
 
+import datetime
 import itertools
 import re
 from collections.abc import Callable
@@ -23,21 +24,21 @@ from pyspark.sql import functions as F
 from dataengineeringutils_spark.exprs import money_sum, o_money_sum
 from dataengineeringutils_spark.paths import scratch_dir
 from dataengineeringutils_spark.registry import query
-from dataengineeringutils_spark.tables import table
+from dataengineeringutils_spark.tables import table, ts_bounds
 
 _sink_counter = itertools.count()
 
 
-def _ts_midpoint(ev: DataFrame):
+def _ts_midpoint(spark: SparkSession, sf_dir: str):
     """Deterministic batch-split instant: midpoint of the ts range.
 
     The split only has to be deterministic and roughly balanced — it
-    defines micro-batch membership, never the answer — so one cheap
-    min/max aggregate (parquet footer stats away from being free) beats
-    a percentile_approx sketch pass.
+    defines micro-batch membership, never the answer — so the
+    session-cached fixture bounds (``tables.ts_bounds``) serve it with
+    zero extra jobs after the first use.
     """
-    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    return row["lo"] + (row["hi"] - row["lo"]) / 2
+    lo, hi = ts_bounds(spark, sf_dir)
+    return lo + (hi - lo) / 2
 
 
 @query(
@@ -322,7 +323,7 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct keys, not history.
     """
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    cutoff = _ts_midpoint(ev)
+    cutoff = _ts_midpoint(spark, sf_dir)
     batches = [
         ev.filter(F.col("ts") <= F.lit(cutoff)).select("user_id", "event_id"),
         ev.filter(F.col("ts") > F.lit(cutoff)).select("user_id", "event_id"),
@@ -362,7 +363,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     op a full DuckDB oracle.
     """
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
-    cutoff = _ts_midpoint(ev)
+    cutoff = _ts_midpoint(spark, sf_dir)
     early = ev.filter(F.col("ts") <= F.lit(cutoff))
     late = ev.filter(F.col("ts") > F.lit(cutoff))
     batches = [early, late]
@@ -406,7 +407,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_nationkey").alias("nationkey")
     )
-    cutoff = _ts_midpoint(ev)
+    cutoff = _ts_midpoint(spark, sf_dir)
     batches = [
         ev.filter(F.col("ts") <= F.lit(cutoff)).select("event_id", "user_id"),
         ev.filter(F.col("ts") > F.lit(cutoff)).select("event_id", "user_id"),
@@ -444,7 +445,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineeringutils_spark.keyed import KeyedTable
 
     ev = table(spark, sf_dir, "events")
-    cutoff = _ts_midpoint(ev)
+    cutoff = _ts_midpoint(spark, sf_dir)
     cols = ["event_id", "ts", "user_id", "value"]
     batches = [
         ev.filter(F.col("ts") <= F.lit(cutoff)).select(*cols),
@@ -485,11 +486,16 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stream_join",
     oracle="""
+    WITH cut0 AS (
+        SELECT MAX(ts) - INTERVAL 15 DAY AS lo FROM events
+    )
     SELECT p.event_id AS purchase_id,
            c.event_id AS click_id,
            p.user_id
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+            AND ts >= (SELECT lo FROM cut0)) p
+    JOIN (SELECT * FROM events WHERE event_type = 'click'
+            AND ts >= (SELECT lo FROM cut0)) c
       ON p.user_id = c.user_id
      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
     """,
@@ -505,8 +511,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side as a single availableNow batch so the inner-join output is the
     complete pair set (the batch interval join, i.e. the oracle); the
     watermark/eviction machinery is still fully engaged in the plan.
+
+    Same deterministic 15-day tail as the outer variant: join-state
+    mechanics are volume-independent, the tail keeps state/sink cost
+    proportionate at bench scale. The join's 1-hour range predicate
+    cannot match a pre-tail click to an in-tail purchase (both sides
+    cut at the same instant, and matches span ≤ 1 h ≪ the 15-day tail
+    margin around any purchase in the output).
     """
     ev = table(spark, sf_dir, "events")
+    lo = ts_bounds(spark, sf_dir)[1] - datetime.timedelta(days=15)
+    ev = ev.filter(F.col("ts") >= F.lit(lo))
     base = scratch_dir("stream_ssj_" + re.sub(r"\W+", "_", sf_dir))
     cols = ["event_id", "ts", "user_id"]
     purchases = ev.filter(F.col("event_type") == "purchase").select(*cols)
@@ -550,7 +565,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not cluster width — at scale you'd RAISE this, it's baked into the
     # checkpoint). Restore the session conf afterwards.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # INNER join: every output row emits in the data batch that matched
+    # it — the trailing no-data micro-batch exists only to advance the
+    # watermark and evict state, which a terminating availableNow run
+    # never reads again. Skipping it saves a full batch of store
+    # setup/commit. (The OUTER variant keeps no-data batches: its NULL
+    # rows are emitted BY eviction.)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             joined.select("purchase_id", "click_id", "user_id")
@@ -563,6 +588,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table(name)
 
 
@@ -641,7 +669,7 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_outer_join_watermark",
     oracle="""
     WITH cut0 AS (
-        SELECT MAX(ts) - INTERVAL 15 DAY AS lo FROM events
+        SELECT MAX(ts) - INTERVAL 8 DAY AS lo FROM events
     ),
     p AS (
         SELECT event_id AS purchase_id, ts AS p_ts, user_id
@@ -685,10 +713,10 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction, null synthesis) runs for the full data regardless.
     """
     ev = table(spark, sf_dir, "events")
-    # Deterministic 15-day tail window: the op demonstrates outer-join
+    # Deterministic 8-day tail window: the op demonstrates outer-join
     # state mechanics, which are volume-independent; the tail keeps the
     # state store + sink cost proportionate at bench scale.
-    lo = ev.agg((F.max("ts") - F.expr("INTERVAL 15 DAY")).alias("lo")).collect()[0]["lo"]
+    lo = ts_bounds(spark, sf_dir)[1] - datetime.timedelta(days=8)
     ev = ev.filter(F.col("ts") >= F.lit(lo))
     base = scratch_dir("stream_ssoj_" + re.sub(r"\W+", "_", sf_dir))
     cols = ["event_id", "ts", "user_id"]
@@ -745,12 +773,8 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    settled = table(spark, sf_dir, "events").agg(
-        (F.max("ts") - F.expr("INTERVAL 4 HOUR")).alias("cut")
-    )
-    out = spark.table(name).crossJoin(F.broadcast(settled)).filter(
-        F.col("p_ts") < F.col("cut")
-    )
+    cut = ts_bounds(spark, sf_dir)[1] - datetime.timedelta(hours=4)
+    out = spark.table(name).filter(F.col("p_ts") < F.lit(cut))
     return (
         out.groupBy(F.date_trunc("day", "p_ts").alias("d"))
         .agg(

@@ -102,6 +102,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_TS_BOUNDS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def ts_bounds(spark: SparkSession, sf_dir: str) -> tuple:
+    """(min, max) of ``events.ts``, memoized per (session, fixture dir).
+
+    Several operators anchor their windows to the event-time frontier
+    (``max(ts) - INTERVAL ...``); the fixture is immutable for the life
+    of a session, so the bounds are computed once and shared — the
+    scan-statistics-reuse a warehouse gets from table stats. Cleared
+    automatically on session restart (applicationId key)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TS_BOUNDS_CACHE:
+        row = (
+            table(spark, sf_dir, "events")
+            .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+            .collect()[0]
+        )
+        _TS_BOUNDS_CACHE[key] = (row["lo"], row["hi"])
+    return _TS_BOUNDS_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLES:
