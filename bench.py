@@ -76,8 +76,10 @@ def main() -> int:
     # Full per-query map goes to a file: the driver captures only the LAST
     # 2000 chars of stdout, so the printed line must be short AND complete
     # (round 1's single 5 KB line lost its head and parsed as null).
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    # Subset runs (fast local iteration) must not clobber the full map.
+    if len(sys.argv) <= 1:
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(
         sorted(per_query.items(), key=lambda kv: -kv[1])[:40]
     )

@@ -193,7 +193,12 @@ class TableMeta:
             )
             sql += f" PARTITIONED BY ({part_ddl})"
         if self.location:
-            sql += f" LOCATION '{self.location}'"
+            # metadata documents carry user-facing s3:// URIs; Spark reads
+            # S3 through the Hadoop s3a connector, so the emitted DDL must
+            # use the connector scheme (paths.normalize_read_path)
+            from dataengineeringutils_spark.paths import normalize_read_path
+
+            sql += f" LOCATION '{normalize_read_path(self.location)}'"
         return sql
 
 

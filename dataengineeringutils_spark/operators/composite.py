@@ -1263,3 +1263,93 @@ def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame
         ret.alias("n_returned"),
         (ret.cast("double") / F.count("*")).alias("return_rate"),
     )
+
+
+@query(
+    "basket_pair_lift",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+           FROM d),
+    sup AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM d GROUP BY 1),
+    pc AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_both, sa.s AS n_a, sb.s AS n_b,
+           ROUND(CAST(p.n_both AS DOUBLE) / sa.s, 6) AS confidence_a_b,
+           ROUND((CAST(p.n_both AS DOUBLE) * (SELECT n_baskets FROM nb))
+                 / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+    FROM pc p
+    JOIN sup sa ON p.part_a = sa.l_partkey
+    JOIN sup sb ON p.part_b = sb.l_partkey
+    ORDER BY p.n_both DESC, p.part_a ASC, p.part_b ASC
+    LIMIT 20
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics on the top co-purchased part pairs:
+    confidence P(b|a) and lift P(a,b)/(P(a)P(b)) — the ranking that
+    separates genuinely associated items from merely popular ones
+    (high pair count, lift ≈ 1), i.e. the step after
+    ``basket_pair_counts`` in every market-basket analysis.
+
+    The pair counts reuse the in-array pair generation (no self-join,
+    line duplicates collapse first); single-item supports are one
+    |parts|-row aggregate broadcast onto the pairs; the basket total is
+    a scalar. All counts exact integers; confidence/lift round at 6 dp
+    from shared expression text. TakeOrderedAndProject keeps the global
+    top-20; at 100 TB the only growing frame is the pair aggregate,
+    bounded by basket-size caps as in basket_pair_counts.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d = li.distinct()
+    baskets = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    n_baskets = baskets.agg(F.count("*").cast("bigint").alias("n_baskets"))
+    sup = d.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("s"))
+    ids = F.col("ps")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pc = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("n_a"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("n_b"))
+    return (
+        pc.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("ROUND(CAST(n_both AS DOUBLE) / n_a, 6)").alias(
+                "confidence_a_b"
+            ),
+            F.expr(
+                "ROUND((CAST(n_both AS DOUBLE) * n_baskets)"
+                " / (CAST(n_a AS DOUBLE) * n_b), 6)"
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_both").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(20)
+    )

@@ -615,29 +615,50 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same labels via a recursive-CTE transitive closure.
     """
     pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("label", F.col("doc"))
-        .localCheckpoint(eager=True)
+    labels = min_label_components(pairs, "doc_a", "doc_b")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def min_label_components(
+    pairs: DataFrame,
+    a: str,
+    b: str,
+    nodes: DataFrame | None = None,
+    max_iters: int | None = None,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair list: every round each node takes the min of its own
+    and its neighbors' labels; converged when nothing changes —
+    O(component diameter) rounds. Returns (node, label) where label is
+    the component's minimum node id. ``nodes`` (single-column) adds
+    edge-less vertices as singletons; default vertex set = edge
+    endpoints.
+
+    Iterative-Spark mechanics that matter at 100 TB: each round's labels
+    are eagerly ``localCheckpoint``-ed — without the lineage cut the plan
+    doubles per iteration and the driver spends minutes in Catalyst
+    before any task runs; the convergence flag rides the SAME join that
+    computes the new label, so each round is ONE heavy job and the
+    changed-probe is a take(1) over materialized partitions."""
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
-    for _ in range(MAX_CC_ITERS):
+    verts = edges.select(F.col("src").alias("node")).distinct()
+    if nodes is not None:
+        verts = verts.union(
+            nodes.toDF("node").select("node")
+        ).distinct()
+    labels = verts.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iters if max_iters is not None else MAX_CC_ITERS):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc)
+            edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        # The convergence flag rides the SAME join that computes the new
-        # label (new < old iff nlabel < label), so each round is ONE heavy
-        # job (the eager checkpoint); the changed-probe below is a take(1)
-        # over already-materialized partitions, not a second join+count.
         new_labels = (
-            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
-                "doc",
+                "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
@@ -651,7 +672,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.drop("changed")
         if converged:
             break
-    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster"))
+    return labels
 
 
 # The simhash kernel ships to executors; serialize this module by value so

@@ -1944,3 +1944,222 @@ def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(s1 AS DOUBLE) / n), 6)"
         ).alias("fano"),
     )
+
+
+@query(
+    "events_user_entropy",
+    oracle="""
+    WITH pc AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ut AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+               COUNT(*) AS n_types
+        FROM pc GROUP BY 1
+    )
+    SELECT p.user_id, u.n_events, u.n_types,
+           ROUND(SUM(-(CAST(p.c AS DOUBLE) / u.n_events)
+                     * log2(CAST(p.c AS DOUBLE) / u.n_events)), 4) AS entropy
+    FROM pc p JOIN ut u USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity score: Shannon entropy of each user's
+    event-type distribution — 0 for single-behavior users, log2(k) for
+    uniform k-type users; the standard bot/power-user separator feature
+    and a staple of engagement segmentation.
+
+    One shuffle builds the (user, type) counts; the per-user totals come
+    from a window over the SAME user partitioning (no second exchange),
+    and the entropy sum groups back to users within it. Counts are exact
+    integers; the -p*log2(p) terms sum per user from expression text
+    shared with the oracle (≤ |event types| terms, order-stable at 4 dp).
+    """
+    ev = table(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    pc = pc.withColumn("n_events", F.sum("c").over(w).cast("bigint")).withColumn(
+        "n_types", F.count("*").over(w)
+    )
+    return pc.groupBy("user_id", "n_events", "n_types").agg(
+        F.round(
+            F.sum(
+                F.expr(
+                    "-(CAST(c AS DOUBLE) / n_events)"
+                    " * log2(CAST(c AS DOUBLE) / n_events)"
+                )
+            ),
+            4,
+        ).alias("entropy")
+    )
+
+
+@query(
+    "events_props_numeric_profile",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(quantile_cont(k, 0.5), 4) AS med_k
+    FROM x GROUP BY 1
+    """,
+)
+def events_props_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property profiling: extract the numeric ``k``
+    field from the JSON ``props`` column and profile it per event type
+    (count / null-count / min / max / sum / exact median) — the
+    first-look query every team runs on a new event property before
+    promoting it to a typed column.
+
+    ``get_json_object`` evaluates inside codegen on the scan (one pass,
+    no UDF); min/max/sum are exact integers and the median is the
+    shared linear-interpolation definition (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), rounded to 4 dp. At 100 TB the profile
+    is one scan + one |event types|-row aggregate; promoting k to a
+    parquet column would then push these stats into footer metadata.
+    """
+    ev = table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.expr("percentile(k, 0.5)"), 4).alias("med_k"),
+    )
+
+
+@query(
+    "surv_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+    durs AS (
+        SELECT user_id,
+               CASE WHEN conv_ts IS NOT NULL
+                    THEN date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(conv_ts AS DATE))
+                    ELSE date_diff('day', CAST(first_ts AS DATE),
+                                   (SELECT hmax FROM horizon))
+               END AS t,
+               (conv_ts IS NOT NULL) AS observed
+        FROM per_user
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM durs),
+    ev_days AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS removed
+        FROM durs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               (SELECT n0 FROM tot)
+                 - COALESCE(SUM(removed) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n
+        FROM ev_days
+    ),
+    km AS (
+        SELECT t, d, n,
+               SUM(CASE WHEN d = n THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) AS dead,
+               SUM(CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY t) AS lnsum
+        FROM risk WHERE d > 0
+    )
+    SELECT t, d, n,
+           CASE WHEN dead > 0 THEN 0.0
+                ELSE ROUND(exp(lnsum), 4) END AS survival
+    FROM km
+    """,
+)
+def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase: per user,
+    duration = days from first event to first purchase (censored at the
+    data horizon when no purchase exists), then the product-limit
+    estimator S(t) = Π_{t_i ≤ t} (1 - d_i / n_i) over conversion days —
+    THE standard right-censored time-to-event analysis (churn, failure,
+    conversion), done at corpus scale without sampling.
+
+    Shape: one user_id aggregate (first/conversion timestamps), a
+    |distinct days|-row frame for d_i/removals, a running at-risk count
+    and a running Σ ln(1 - d/n) window — the product becomes a sum so
+    the curve is one cumulative window, not a recursive product. A day
+    where d = n drives S to exactly 0 (flagged via a running counter;
+    ln(0) would be -inf/NULL and engine-divergent). Exact integer d/n;
+    4-dp survival from expression text shared with the oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "conv_ts"
+        ),
+    )
+    hmax = F.lit(ts_bounds(spark, sf_dir)[1].date())
+    durs = per_user.select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.col("conv_ts").cast("date"), F.col("first_ts").cast("date")),
+        )
+        .otherwise(F.datediff(hmax, F.col("first_ts").cast("date")))
+        .alias("t"),
+        F.col("conv_ts").isNotNull().alias("observed"),
+    )
+    ev_days = durs.groupBy("t").agg(
+        F.sum(F.col("observed").cast("long")).cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("removed"),
+    )
+    n0 = durs.agg(F.count("*").cast("bigint").alias("n0"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        ev_days.crossJoin(F.broadcast(n0))
+        .withColumn(
+            "n", F.col("n0") - F.coalesce(F.sum("removed").over(w_prev), F.lit(0))
+        )
+        .filter(F.col("d") > 0)
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "n",
+        F.sum(F.expr("CASE WHEN d = n THEN 1 ELSE 0 END")).over(w_cum).alias("dead"),
+        F.sum(
+            F.expr(
+                "CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n)"
+                " ELSE 0.0 END"
+            )
+        )
+        .over(w_cum)
+        .alias("lnsum"),
+    )
+    return km.select(
+        "t",
+        "d",
+        "n",
+        F.expr(
+            "CASE WHEN dead > 0 THEN 0.0 ELSE ROUND(exp(lnsum), 4) END"
+        ).alias("survival"),
+    )

@@ -523,3 +523,95 @@ def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         F.round(F.sum(F.expr(_JS_TERM)), 4).alias("js_div")
     )
+
+
+@query(
+    "ml_kfold_assign",
+    oracle="""
+    WITH f AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold, lang, COUNT(*) AS n_docs
+    FROM f GROUP BY 1, 2
+    """,
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold (k=5) cross-validation assignment with a
+    balance audit: each document's fold is a hash of its IDENTITY (md5
+    of doc_id mod k), so folds are stable across reruns, engines,
+    repartitions and corpus growth — append-only corpora never shuffle
+    existing docs between folds (the property ``rand(seed)`` splits
+    lose the moment row order changes). Output is the fold x lang count
+    grid a stratification audit reads.
+
+    Same identity-hash gate as ``dataset_split_holdout``; at train time
+    fold i's train set is ``fold != i`` applied at READ time — zero
+    stored fold column, k passes over the same immutable corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 5
+    ).cast("int")
+    return (
+        d.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "ml_train_test_leakage_check",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang, md5(text) AS h,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS INT) AS b
+        FROM documents
+    ),
+    train AS (SELECT DISTINCT h FROM s WHERE b < 80),
+    test AS (SELECT * FROM s WHERE b >= 90)
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaked
+    FROM test t LEFT JOIN train tr ON t.h = tr.h
+    GROUP BY t.lang
+    """,
+)
+def ml_train_test_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination audit: using the SAME identity-hash
+    split as ``dataset_split_holdout`` (80/10/10), count test documents
+    whose exact text (md5 content hash) also appears in the train
+    split — the leak that silently inflates eval scores and the first
+    check run before any benchmark number is trusted.
+
+    Content hashes are 16-byte keys, so the audit shuffles hashes, not
+    documents; the train side collapses to DISTINCT hashes before the
+    join (|unique train texts|, broadcastable far beyond fixture
+    scale). Near-dup leakage is the same join over the minhash
+    signature table (``oph_state_cached``) instead of md5 — the exact
+    form here is the certain-leak floor.
+    """
+    d = table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    ).cast("int")
+    s = d.select("lang", F.md5("text").alias("h"), b.alias("b"))
+    train = s.filter(F.col("b") < 80).select("h").distinct()
+    test = s.filter(F.col("b") >= 90)
+    joined = test.join(
+        F.broadcast(train.withColumnRenamed("h", "th")),
+        test["h"] == F.col("th"),
+        "left",
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_test_docs"),
+        F.sum(F.col("th").isNotNull().cast("long")).cast("bigint").alias("n_leaked"),
+    )

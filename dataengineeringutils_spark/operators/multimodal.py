@@ -603,3 +603,53 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
+
+
+@query(
+    "multimodal_bytes_dedup_exact",
+    oracle="""
+    WITH h AS (
+        SELECT sha256(text) AS h, octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    g AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(nb) AS BIGINT) AS nb
+        FROM h GROUP BY h
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM((n - 1) * nb) AS BIGINT) AS bytes_saved
+    FROM g
+    """,
+)
+def multimodal_bytes_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level asset dedup: content-address every payload with
+    SHA-256 and group by digest — the storage-dedup pass run before any
+    perceptual (pHash) stage, and the mechanism behind content-addressed
+    asset stores (CAS). Fixture payloads are the UTF-8 document bytes;
+    a real asset column swaps in the binary payload unchanged.
+
+    Only 32-byte digests and byte counts shuffle — never payloads: at
+    100 TB of assets the dedup aggregate moves gigabytes, not the
+    corpus (the reason CAS dedups hash-first instead of byte-comparing).
+    Output: asset/unique/dup-group counts and the bytes a deduplicated
+    store saves. All exact integers.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("h"),
+        F.octet_length("text").alias("nb"),
+    )
+    g = h.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("nb").cast("bigint").alias("nb"),
+    )
+    return g.agg(
+        F.sum("n").cast("bigint").alias("n_assets"),
+        F.count("*").cast("bigint").alias("n_unique"),
+        F.sum((F.col("n") > 1).cast("long")).cast("bigint").alias("n_dup_groups"),
+        F.sum((F.col("n") - 1) * F.col("nb")).cast("bigint").alias("bytes_saved"),
+    )

@@ -1659,3 +1659,55 @@ def sim_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(cos_trunc, 6).alias("cos_trunc"),
         F.round(F.abs(cos_full - cos_trunc), 6).alias("abs_err"),
     )
+
+
+@query(
+    "sim_threshold_components",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+        SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    e AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= 0.95
+    ),
+    sym AS (
+        SELECT src, dst FROM e
+        UNION ALL SELECT dst, src FROM e
+    ),
+    reach(a, b) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS cluster FROM reach GROUP BY a)
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY cluster
+    """,
+)
+def sim_threshold_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph clustering: connected components of the cosine
+    >= 0.95 threshold graph over the embedding corpus, one row per
+    cluster (label = min vec_id, member count) — the transitive-closure
+    step that turns pairwise near-duplicates into dedup groups /
+    entity clusters, with edge-less vectors kept as singletons.
+
+    Composition of two scale-proven kernels: the exact block-GEMM pair
+    scan (``dedup_embedding_cosine`` — every block pair meets once, no
+    corpus broadcast) feeds iterative min-label propagation
+    (``min_label_components`` — eager checkpoints cut lineage per
+    round). The oracle computes the same components via a recursive-CTE
+    transitive closure; at 100 TB the pair scan is capped by the
+    LSH/IVF prefilters, the propagation loop is unchanged.
+    """
+    from dataengineeringutils_spark.operators.dedup import min_label_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    nodes = table(spark, sf_dir, "embeddings").select("vec_id")
+    labels = min_label_components(pairs, "vec_a", "vec_b", nodes=nodes)
+    return labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )

@@ -867,3 +867,53 @@ def stream_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_topk_per_window",
+    oracle="""
+    SELECT window_start, event_type, n_events
+    FROM (
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY COUNT(*) DESC, event_type ASC
+               ) AS rn
+        FROM events
+        GROUP BY 1, 2
+    )
+    WHERE rn <= 2
+    """,
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (k=2) event types per 1-hour tumbling window — the
+    "trending now" query of every live dashboard, declared batch-first
+    (hash-checkable) with the same plan the streaming path runs: the
+    windowed aggregate is incremental under Structured Streaming, and
+    the per-window rank runs downstream of the window's emission (in a
+    ``foreachBatch`` or on the complete-mode store at serving time;
+    append-mode rank-in-stream would need the watermark to close the
+    window first, which is exactly when this plan evaluates it).
+
+    One shuffle for (window, type) partials; the rank's window
+    partitions by hour bucket — thousands of types per bucket at most,
+    never the fact table. Deterministic tie-break by event_type.
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    w = Window.partitionBy("window").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
