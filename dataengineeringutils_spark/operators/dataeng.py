@@ -1127,3 +1127,134 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n_ref AS DOUBLE) / t_ref), 6) END"
         ).alias("share_ratio"),
     )
+
+
+@query(
+    "dq_benford_check",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs)
+    SELECT d, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / d), 6) AS benford_p,
+           ROUND(CAST(t AS DOUBLE)
+                 * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d))
+                 * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d))
+                 / log10(1.0 + 1.0 / d), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance check on order totals: observed
+    leading-digit frequencies vs the log10(1 + 1/d) expectation, with
+    per-digit chi-square terms — the classic fraud/synthetic-data/unit-
+    mixup detector for financial amount columns (a column whose digit
+    distribution departs hard from Benford was typically generated,
+    truncated, or unit-shifted upstream).
+
+    Leading digit via integer→string prefix (exact; no float log
+    tricks), one 9-row aggregate, scalar total broadcast back. The
+    chi-square terms are emitted per digit rather than pre-summed so
+    the gate can threshold either the full statistic or the worst
+    digit; all shares/terms round at 6 dp from shared expression text.
+    """
+    # FLOOR before the bigint cast: Spark's double->bigint truncates
+    # toward zero while DuckDB's rounds to nearest — 999.99 would count
+    # as digit 9 here and digit 1 there. FLOOR pins both engines.
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.expr("ROUND(CAST(n AS DOUBLE) / t, 6)").alias("observed_p"),
+        F.expr("ROUND(log10(1.0 + 1.0 / d), 6)").alias("benford_p"),
+        F.expr(
+            "ROUND(CAST(t AS DOUBLE)"
+            " * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d))"
+            " * (CAST(n AS DOUBLE) / t - log10(1.0 + 1.0 / d))"
+            " / log10(1.0 + 1.0 / d), 6)"
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "dq_duplicate_key_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS pk,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct
+    UNION ALL
+    SELECT 'customer.c_custkey',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'part.p_partkey',
+           (SELECT COUNT(*) FROM part),
+           (SELECT COUNT(DISTINCT p_partkey) FROM part)
+    UNION ALL
+    SELECT 'supplier.s_suppkey',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(DISTINCT s_suppkey) FROM supplier)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM
+               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    UNION ALL
+    SELECT 'events.event_id',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(DISTINCT event_id) FROM events)
+    """,
+)
+def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the star schema: one row per
+    declared key with (row count, distinct-key count) — equal means the
+    PK invariant every MERGE, dedup-keep-first, and dimension join in
+    this engine silently relies on actually holds; a gap is the
+    upstream-ingest double-write this audit exists to catch before it
+    double-counts revenue.
+
+    Each table is one scan with a map-side-combined distinct aggregate
+    (composite key for lineitem); the audits are independent jobs
+    unioned at the end — on a cluster they run concurrently, same
+    pattern as fk_orphan_audit. Counting DISTINCT exactly (not HLL) is
+    the point: this is the audit anchor the approximate profilers are
+    checked against.
+    """
+
+    def audit(df: DataFrame, keys: list[str], label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_rows")).crossJoin(
+            df.select(*keys).distinct().agg(F.count("*").alias("n_distinct"))
+        ).select(F.lit(label).alias("pk"), "n_rows", "n_distinct")
+
+    parts = [
+        audit(table(spark, sf_dir, "orders"), ["o_orderkey"], "orders.o_orderkey"),
+        audit(table(spark, sf_dir, "customer"), ["c_custkey"], "customer.c_custkey"),
+        audit(table(spark, sf_dir, "part"), ["p_partkey"], "part.p_partkey"),
+        audit(table(spark, sf_dir, "supplier"), ["s_suppkey"], "supplier.s_suppkey"),
+        audit(
+            table(spark, sf_dir, "lineitem"),
+            ["l_orderkey", "l_linenumber"],
+            "lineitem.(l_orderkey,l_linenumber)",
+        ),
+        audit(table(spark, sf_dir, "events"), ["event_id"], "events.event_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -2163,3 +2163,200 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN dead > 0 THEN 0.0 ELSE ROUND(exp(lnsum), 4) END"
         ).alias("survival"),
     )
+
+
+_SESSION_ISLANDS_SQL = """
+    WITH gaps AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM gaps
+    )
+"""
+
+
+@query(
+    "events_session_funnel_order",
+    oracle=_SESSION_ISLANDS_SQL
+    + """
+    , per AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                         AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                         AND first_click > first_view
+                         AND first_purchase > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per
+    """,
+)
+def events_session_funnel_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED in-session funnel: view → click → purchase must happen in
+    that time order WITHIN one 30-minute-gap session — the strict-intent
+    funnel (user-level funnels count a morning purchase after an evening
+    view; session+order scoping is what "did the page drive the sale"
+    actually asks).
+
+    Sessionization is the engine's gaps-and-islands kernel (one user_id
+    shuffle, running windows inside it); each session then collapses to
+    its three first-touch timestamps (conditional MIN — no joins, no
+    explode) and the ordering predicates are NULL-safe comparisons
+    (NULL first_X fails every > test in both engines). Output is one
+    funnel summary row of exact counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("prev_ts"))
+                    > 1800 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    per = islands.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.col("first_view").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(
+            (
+                F.col("first_view").isNotNull()
+                & (F.col("first_click") > F.col("first_view"))
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(
+            (
+                F.col("first_view").isNotNull()
+                & (F.col("first_click") > F.col("first_view"))
+                & (F.col("first_purchase") > F.col("first_click"))
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )
+
+
+@query(
+    "events_entry_exit_bounce",
+    oracle=_SESSION_ISLANDS_SQL
+    + """
+    , ranked AS (
+        SELECT user_id, session_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts ASC) AS rn_first,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts DESC) AS rn_last,
+               COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_ev
+        FROM islands
+    ),
+    per AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN rn_first = 1 THEN event_type END) AS entry_type,
+               MIN(CASE WHEN rn_last = 1 THEN event_type END) AS exit_type,
+               MIN(n_ev) AS n_ev
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces
+    FROM per GROUP BY 1, 2
+    """,
+)
+def events_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session entry/exit analysis: per (entry event type, exit event
+    type) pair, session count and single-event BOUNCE count — the
+    landing/abandonment matrix behind every "where do users arrive and
+    where do they give up" dashboard.
+
+    One user_id shuffle drives sessionization AND the first/last ranks
+    (same partitioning, reused exchange); fixture timestamps are
+    globally unique so first/last are total orders. The bounce flag is
+    n_events = 1 — entry == exit by construction there.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("prev_ts"))
+                    > 1800 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    ranked = islands.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(ws.orderBy(F.col("ts").asc())).alias("rn_first"),
+        F.row_number().over(ws.orderBy(F.col("ts").desc())).alias("rn_last"),
+        F.count("*").over(ws).alias("n_ev"),
+    )
+    per = ranked.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("rn_first") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.min(F.when(F.col("rn_last") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+        F.min("n_ev").alias("n_ev"),
+    )
+    return per.groupBy("entry_type", "exit_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_ev") == 1).cast("long")).cast("bigint").alias("n_bounces"),
+    )

@@ -310,3 +310,47 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), F.col("part_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        GROUP BY n
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many nodes have
+    each degree — the first diagnostic of any graph workload (hub
+    detection, power-law check, join-skew forecast: a heavy-tailed
+    degree histogram here predicts skewed shuffles in every downstream
+    graph join, and is the signal to salt or cap hubs).
+
+    Consumes the session-cached edge table (one materialization serves
+    triangles / PageRank / this), then two map-side-combined aggregates
+    on frames that are |nodes| and |distinct degrees| rows — the fact
+    table is never touched after the edge build.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )

@@ -1711,3 +1711,109 @@ def sim_threshold_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("cluster")).agg(
         F.count("*").cast("bigint").alias("n_members")
     )
+
+
+@query(
+    "embeddings_knn_classifier_eval",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding, label, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    nn AS (
+        SELECT q_id, true_label, n_label
+        FROM (
+            SELECT q.vec_id AS q_id, q.label AS true_label,
+                   e.label AS n_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {o_dot('e.embedding', 'q.embedding')}
+                                / (e.nrm * q.nrm) DESC,
+                                e.vec_id ASC
+                   ) AS rn
+            FROM n q JOIN n e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id % 10 = 0
+        )
+        WHERE rn <= 3
+    ),
+    votes AS (
+        SELECT q_id, true_label, n_label,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM nn GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT q_id, true_label, n_label AS predicted
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY q_id
+                       ORDER BY v DESC, n_label ASC) AS pr
+            FROM votes
+        )
+        WHERE pr = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY true_label
+    """,
+)
+def embeddings_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval via leave-one-out 3-NN classification: for
+    a deterministic probe panel (vec_id % 10 = 0), predict each probe's
+    label by majority vote of its 3 nearest neighbors (cosine,
+    excluding itself) and report per-label accuracy — the standard
+    label-coherence check run on embeddings before anyone trusts them
+    for retrieval or clustering (random vectors score ~1/|labels|).
+
+    The probe panel broadcasts (bounded, like ``sim_knn_join``); the
+    corpus streams once through the scoring join; the 3-NN cut, vote
+    count, and argmax are window/aggregate steps over |probes|-sized
+    frames. Ties in the vote break to the smallest label in both
+    engines. At 100 TB the scoring join swaps to the IVF/LSH candidate
+    path — the eval contract (probe panel, vote, accuracy grid) is
+    unchanged.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", l2_norm("embedding").alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("true_label"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("n_label"),
+            "vec_id",
+            (dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    votes = nn.groupBy("q_id", "true_label", "n_label").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    wp = Window.partitionBy("q_id").orderBy(
+        F.col("v").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") == 1)
+        .select("q_id", "true_label", F.col("n_label").alias("predicted"))
+    )
+    return pred.groupBy("true_label").agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum((F.col("predicted") == F.col("true_label")).cast("long"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )

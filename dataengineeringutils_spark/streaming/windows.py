@@ -917,3 +917,43 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_window_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour window (exact) — concurrent-user
+    dashboards' base query, batch-declared with the streaming-compatible
+    plan: a windowed distinct aggregate is incremental under Structured
+    Streaming with the user set in window state (watermark-bounded); at
+    serving scale the exact distinct swaps to approx_count_distinct or
+    the HLL-sketch rollup (``agg_sketch_hll_merge``) with this op as
+    the audit anchor.
+
+    One shuffle on (window, user) collapses duplicates map-side, a
+    second |windows|-keyed aggregate counts — the two-level exact
+    distinct that avoids a giant per-window set in any single task.
+    """
+    ev = table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"),
+            "user_id",
+        )
+        .groupBy("w", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("n_events"),
+    ).select(
+        F.col("w.start").alias("window_start"), "n_users", "n_events"
+    )
