@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dataengineeringutils_spark.exprs import money4_sum, o_money4_sum, revenue
+from dataengineeringutils_spark.exprs import (
+    money4_sum,
+    money_sum,
+    o_money4_sum,
+    o_money_sum,
+    revenue,
+)
 from dataengineeringutils_spark.registry import query
 from dataengineeringutils_spark.tables import table
 
@@ -1407,4 +1413,55 @@ def lineitem_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(expr).cast("double").alias(name)
             for name, expr in _WF_COLS.items()
         ]
+    )
+
+
+@query(
+    "orders_weekday_seasonality",
+    oracle=f"""
+    SELECT CAST((date_diff('day', DATE '1995-01-02', CAST(o_orderdate AS DATE))
+                 % 7 + 7) % 7 AS INT) AS weekday,
+           COUNT(*) AS n_orders,
+           {o_money_sum('o_totalprice')} AS revenue,
+           ROUND(COUNT(*) * CAST(7 AS DOUBLE) / (SELECT COUNT(*) FROM orders), 6)
+               AS demand_index
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday demand seasonality: orders and revenue by day-of-week,
+    plus a demand index (observed share x 7 — 1.0 means a flat week) —
+    the staffing/capacity-planning view of the order stream.
+
+    Day-of-week computed as days-since-a-known-Monday mod 7 (0=Monday),
+    NOT via the engines' dayofweek functions — their numbering
+    conventions differ (Sunday=1 vs Monday=0 vs ISO), which is exactly
+    the cross-engine trap the oracle conventions ban; integer date
+    arithmetic has one answer. One scan, a 7-row aggregate, and a
+    scalar subquery for the index denominator.
+    """
+    o = table(spark, sf_dir, "orders")
+    weekday = (
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-02").cast("date"))
+            % 7
+            + 7
+        )
+        % 7
+    ).cast("int")
+    tot = o.agg(F.count("*").alias("t"))
+    return (
+        o.groupBy(weekday.alias("weekday"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n_orders",
+            "revenue",
+            F.expr("ROUND(n_orders * CAST(7 AS DOUBLE) / t, 6)").alias("demand_index"),
+        )
     )

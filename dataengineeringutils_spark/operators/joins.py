@@ -548,3 +548,68 @@ def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d_key", "d_name", F.col("c_custkey").alias("matched_key"), "lev")
         .orderBy("d_key")
     )
+
+
+@query(
+    "join_runtime_bloom_filtered",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {o_money_sum('l.l_extendedprice')} AS sum_price
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_totalprice > 400000) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_runtime_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side join with a RUNTIME BLOOM FILTER: the selective
+    dimension filter (high-value orders) is turned into a Bloom filter
+    at runtime and pushed into the lineitem scan as a
+    ``might_contain(xxhash64(l_orderkey))`` predicate — rows that
+    cannot join are dropped BEFORE the shuffle, the row-level sibling
+    of dynamic partition pruning (join_dpp_pruned) for un-partitioned
+    keys. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~1% that survives the filter.
+
+    The op pins the mechanism, not just the answer: broadcast is
+    disabled for the join (a broadcast join already prunes at the hash
+    table; bloom matters exactly when the plan must sort-merge) and the
+    injection thresholds are opened for fixture scale — on a real
+    cluster the defaults (10 GB probe side) gate it to the joins that
+    need it. Session confs are restored after planning; results are a
+    plain exact aggregate either way (the filter is semantics-free).
+    The plan contract (might_contain under the scan) is pinned by
+    tests/test_round3_plans.py.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_lines"),
+            money_sum("l_extendedprice").alias("sum_price"),
+        )
+        # materialize the ANALYZED plan while the confs are active: the
+        # runtime filter is injected at optimization time, which happens
+        # lazily at action time — so pin it by triggering planning now
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return out

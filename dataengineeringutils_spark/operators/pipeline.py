@@ -265,3 +265,55 @@ def dataset_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "dataset_interleave_shards",
+    oracle="""
+    WITH ordered AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id ASC) AS rn
+        FROM documents
+    ),
+    tagged AS (
+        SELECT source, doc_id, n_chars,
+               CAST((rn - 1) % 4 AS INT) AS shard
+        FROM ordered
+    )
+    SELECT shard, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def dataset_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin SHARD INTERLEAVING: within each source,
+    documents (in doc_id order) deal out to 4 shards like cards — so
+    every shard sees every source in the same proportion and in a
+    stable order. This is the training-data property that matters for
+    data-parallel runs: each worker's shard is a stratified, unbiased
+    sample of the mixture, and re-running the job yields byte-identical
+    shards (rand()-free — resumable, diffable, cacheable).
+
+    One shuffle on source drives the rank; the audit output is the
+    shard x source grid (counts, char mass, id range) a packing job
+    checks before writing. At 100 TB the same modulo gate becomes the
+    shard-assignment column of the manifest (multimodal_shard_manifest)
+    and the writer's partitionBy key.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    tagged = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 4).cast("int").alias("shard"),
+    )
+    return tagged.groupBy("shard", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

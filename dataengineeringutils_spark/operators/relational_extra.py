@@ -761,3 +761,67 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC,
+                                           o_orderkey ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p25,
+           MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p90,
+           MIN(CASE WHEN rn = n THEN o_totalprice END) AS p100
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (PERCENTILE_DISC semantics): the smallest
+    actual value whose cumulative rank reaches p — always a value that
+    EXISTS in the data, unlike the interpolated PERCENTILE_CONT family
+    (agg_percentiles). The distinction matters whenever the column is a
+    real object (a price that was charged, a latency that happened):
+    SLAs and price-band reports quote existing values, not synthetic
+    midpoints.
+
+    Implemented from the definition — rank = ceil(p*n) under a total
+    order — as one keyed window + conditional-MIN collapse, identical
+    text in both engines, sidestepping engine-specific percentile_disc
+    null/interpolation quirks. Exact by construction (integer ranks,
+    no float comparisons); the o_orderkey tiebreak makes the order
+    total so both engines pick the same row even among equal prices.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    def disc(p: float, name: str):
+        if p >= 1.0:
+            cond = F.expr("rn = n")
+        else:
+            cond = F.expr(f"rn = CAST(ceil({p} * n) AS BIGINT)")
+        return F.min(F.when(cond, F.col("o_totalprice"))).alias(name)
+
+    return ranked.groupBy("o_orderpriority").agg(
+        disc(0.25, "p25"), disc(0.50, "p50"), disc(0.90, "p90"), disc(1.0, "p100")
+    )
