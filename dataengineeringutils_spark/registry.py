@@ -26,6 +26,7 @@ _OP_MODULES = [
     "dataengineeringutils_spark.sources.scan",
     "dataengineeringutils_spark.sources.sinks",
     "dataengineeringutils_spark.sources.python_datasource",
+    "dataengineeringutils_spark.sources.python_stream_source",
     "dataengineeringutils_spark.operators.project_filter",
     "dataengineeringutils_spark.operators.joins",
     "dataengineeringutils_spark.operators.asof",

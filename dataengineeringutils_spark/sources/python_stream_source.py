@@ -1,0 +1,249 @@
+"""Custom STREAMING Python DataSource: a partitioned message-queue
+stand-in (Spark 4 ``DataSourceStreamReader`` API).
+
+The round-2 review called out the missing message-bus streaming source
+(Kafka/Kinesis are absent from this container). This module supplies the
+seam those connectors plug into, implemented against a directory-backed
+"topic": N partition subdirectories (``p=0..N-1``), each an append-only
+sequence of JSON-lines SEGMENT files (``{seq:08d}.json``) — the minimal
+faithful model of a partitioned log (Kafka partition = directory, message
+batch = segment, offset = next segment sequence number).
+
+The streaming contract is the real one, not a simulation:
+
+- ``initialOffset``  → ``{partition: 0, ...}`` (read from the beginning)
+- ``latestOffset``   → per-partition segment counts (what's appended now)
+- ``partitions(a,b)``→ one ``InputPartition`` per topic-partition per
+  micro-batch, carrying its [start, end) segment range — Spark runs one
+  task per topic-partition, the exact parallelism contract of the Kafka
+  source
+- ``read(part)``     → executor-side JSON-lines decode of that range
+- checkpointed offsets give exactly-once restart: a restarted query
+  resumes from the committed offset and reads ONLY segments appended
+  since (pinned by tests/test_python_stream_source.py)
+
+Scale notes: offsets are tiny dicts (bytes per micro-batch); segment
+decode happens on executors (the driver never sees message bodies); a
+real bus swaps directory listing for broker metadata and file reads for
+fetches, leaving every call-site unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from dataengineeringutils_spark.registry import query
+
+QUEUE_SCHEMA = "event_id BIGINT, event_type STRING, value DOUBLE"
+
+
+class _SegmentRange(InputPartition):
+    def __init__(self, part_dir: str, start: int, end: int):
+        self.part_dir = part_dir
+        self.start = start
+        self.end = end
+
+
+def _partition_dirs(path: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(path) if d.startswith("p=")
+    )
+
+
+class QueueStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {d: 0 for d in _partition_dirs(self.path)}
+
+    def latestOffset(self) -> dict:
+        out = {}
+        for d in _partition_dirs(self.path):
+            seg_dir = os.path.join(self.path, d)
+            out[d] = sum(
+                1 for f in os.listdir(seg_dir) if f.endswith(".json")
+            )
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for d, hi in end.items():
+            lo = start.get(d, 0)
+            if hi > lo:
+                parts.append(
+                    _SegmentRange(os.path.join(self.path, d), lo, hi)
+                )
+        # Spark requires >= 1 partition per batch even when idle
+        return parts or [_SegmentRange(self.path, 0, 0)]
+
+    def read(self, part: _SegmentRange):
+        for seq in range(part.start, part.end):
+            fp = os.path.join(part.part_dir, f"{seq:08d}.json")
+            with open(fp) as f:
+                for line in f:
+                    if line.strip():
+                        rec = json.loads(line)
+                        # Spark's JSON writer omits null fields: .get
+                        yield (
+                            rec.get("event_id"),
+                            rec.get("event_type"),
+                            rec.get("value"),
+                        )
+
+    def commit(self, end: dict) -> None:
+        # a broker-backed source would ack the consumer group here; the
+        # directory log is immutable, so checkpointed offsets suffice
+        pass
+
+
+class QueueDataSource(DataSource):
+    """Directory-backed partitioned message queue, ``format("file_queue")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "file_queue"
+
+    def schema(self) -> str:
+        return QUEUE_SCHEMA
+
+    def streamReader(self, schema) -> QueueStreamReader:
+        return QueueStreamReader(self.options)
+
+
+N_QUEUE_PARTITIONS = 4
+SEGMENTS_PER_PARTITION = 2
+
+
+def write_queue_fixture(
+    spark: SparkSession, sf_dir: str, base: str, n_segments: int = SEGMENTS_PER_PARTITION
+) -> None:
+    """Materialize the deterministic queue: events dealt to
+    N_QUEUE_PARTITIONS by event_id, each partition split into
+    ``n_segments`` ordered segments by event_id range. Pure driver-side
+    file writes of an executor-collected tail would not scale; instead
+    ONE Spark job writes every (partition, segment) cell via
+    partitionBy, and the cells are renamed into the ledger layout."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n_cells = N_QUEUE_PARTITIONS * n_segments
+    tagged = ev.withColumn(
+        "p", (F.col("event_id") % N_QUEUE_PARTITIONS).cast("int")
+    ).withColumn(
+        "seg",
+        F.expr(
+            f"CAST((event_id div {N_QUEUE_PARTITIONS}) % {n_segments} AS INT)"
+        ),
+    )
+    staging = base + ".staging"
+    (
+        tagged.repartition(n_cells, "p", "seg")
+        .write.mode("overwrite")
+        .partitionBy("p", "seg")
+        .json(staging)
+    )
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    for p in range(N_QUEUE_PARTITIONS):
+        os.makedirs(os.path.join(base, f"p={p}"), exist_ok=True)
+        for seg in range(n_segments):
+            cell = os.path.join(staging, f"p={p}", f"seg={seg}")
+            parts = sorted(glob.glob(os.path.join(cell, "part-*.json")))
+            dest = os.path.join(base, f"p={p}", f"{seg:08d}.json")
+            with open(dest, "w") as out:
+                for fp in parts:
+                    with open(fp) as f:
+                        out.write(f.read())
+    shutil.rmtree(staging)
+
+
+_QUEUE_FIXTURE_CACHE: set[str] = set()
+
+
+@query(
+    "stream_python_queue_source",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_python_queue_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming read through the custom Python message-queue
+    source: the events table is dealt into a 4-partition directory log
+    (2 segments per partition), ``readStream.format("file_queue")``
+    consumes it through the DataSourceStreamReader offset protocol
+    (initial→latest offsets, one task per topic-partition per
+    micro-batch, executor-side JSON decode), and the windowless
+    aggregate lands in a memory sink. The oracle recomputes the same
+    aggregate straight from the events table — so the value hash proves
+    the queue round-trip (deal → segment files → offset-planned
+    streaming read) is lossless and exactly-once.
+
+    Restart/offset-resume semantics are pinned separately by
+    tests/test_python_stream_source.py (a restarted query reads only
+    newly appended segments).
+    """
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.paths import scratch_dir
+
+    spark.dataSource.register(QueueDataSource)
+    base = scratch_dir("file_queue_" + sf_dir.strip("/").replace("/", "_"))
+    key = f"{spark.sparkContext.applicationId}:{base}"
+    if key not in _QUEUE_FIXTURE_CACHE:
+        write_queue_fixture(spark, sf_dir, base)
+        _QUEUE_FIXTURE_CACHE.add(key)
+    stream = spark.readStream.format("file_queue").option("path", base).load()
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )
+    name = f"queue_sink_{next(_sink_counter)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+import itertools  # noqa: E402
+
+_sink_counter = itertools.count()
+
+# Reader/partition classes ship to executors; serialize this module by
+# value so workers need not import the package (see serde.py).
+from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)
