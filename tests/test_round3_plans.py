@@ -69,13 +69,16 @@ def test_leakage_check_train_side_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in tree, tree
 
 
-def test_knn_eval_probe_panel_broadcast(spark, sf_dir):
-    # the probe panel broadcasts; the corpus must stream (no corpus-side
-    # sort-merge), and the 3-NN cut must prune via WindowGroupLimit
+def test_knn_eval_nominate_then_rescore(spark, sf_dir):
+    # the scoring must be block-GEMM nominate (ONE Python crossing) with
+    # JVM re-score of nominated pairs only — never |probes| x |corpus|
+    # interpreted cosines; the 3-NN cut prunes via WindowGroupLimit and
+    # the probe panel joins back broadcast
     tree = _tree(queries()["embeddings_knn_classifier_eval"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
-    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("MapInPandas") == 1, tree
     assert "WindowGroupLimit" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
 
 
 def test_margin_waterfall_one_scan_one_exchange(spark, sf_dir):
@@ -86,10 +89,12 @@ def test_margin_waterfall_one_scan_one_exchange(spark, sf_dir):
 
 def test_basket_lift_supports_broadcast(spark, sf_dir):
     tree = _tree(queries()["basket_pair_lift"](spark, sf_dir))
-    # both single-item support joins and the scalar total are broadcast;
-    # pair generation stays in-array (Generate), no pair self-join
+    # reads the MATERIALIZED pair/support tables (session caches — no
+    # re-mining of baskets: ExistingRDD scans, no Generate); support
+    # joins and the scalar total broadcast, global top-20 heap-merged
     assert "SortMergeJoin" not in tree, tree
-    assert "Generate" in tree, tree
+    assert "Scan ExistingRDD" in tree, tree
+    assert "Generate" not in tree, tree
     assert "TakeOrderedAndProject" in tree, tree
 
 
