@@ -212,14 +212,16 @@ def test_mad_median_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in tree, tree
 
 
-def test_basket_pairs_generate_in_basket_no_join(spark, sf_dir):
+def test_basket_pairs_read_materialized_no_join(spark, sf_dir):
+    # the in-basket pair generation (one shuffle, Generate, no join —
+    # line-level duplicates can't multiply pairs) now lives in the
+    # session-cached artifact build (basket_pair_counts_cached); the
+    # consuming op must READ the materialized table, not re-mine baskets
     df = queries()["basket_pair_counts"](spark, sf_dir)
     tree = _plan(df).split("\n\n")[0]
-    # pairs are generated INSIDE each basket's distinct-part array: one
-    # shuffle to build baskets, a Generate (explode) for the pairs, and
-    # NO join anywhere — line-level duplicates can't multiply pairs.
+    assert "Scan ExistingRDD" in tree, tree
+    assert "Generate" not in tree, tree
     assert "Join" not in tree, tree
-    assert "Generate" in tree, tree
     assert "TakeOrderedAndProject" in tree
 
 
