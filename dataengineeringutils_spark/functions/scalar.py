@@ -985,3 +985,44 @@ def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_id")
         .limit(100)
     )
+
+
+@query(
+    "fn_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           reverse(p_name) AS rev,
+           left(p_name, 5) AS l5,
+           right(p_name, 5) AS r5,
+           repeat(p_brand, 2) AS brand2,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(ascii(p_name) AS INT) AS first_code,
+           rpad(p_brand, 12, '.') AS brand_pad
+    FROM part
+    WHERE p_partkey % 37 = 0
+    """,
+)
+def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string-function family (the second half of a SQL string
+    surface): translate / reverse / left / right / repeat / position /
+    split_part / ascii / rpad on a 1/37 keyed sample of parts. Each has
+    an exact cross-engine definition (pure per-row codegen, no locale
+    dependence); together with ``fn_string`` and
+    ``fn_string_distance`` this covers the string functions the
+    reference's Athena (Presto) dialect exposes.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 37 == 0)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse("p_name").alias("rev"),
+        F.substring("p_name", 1, 5).alias("l5"),
+        F.expr("right(p_name, 5)").alias("r5"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.ascii("p_name").cast("int").alias("first_code"),
+        F.rpad("p_brand", 12, ".").alias("brand_pad"),
+    )

@@ -1497,3 +1497,68 @@ def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("ROUND(n_orders * CAST(7 AS DOUBLE) / t, 6)").alias("demand_index"),
         )
     )
+
+
+@query(
+    "customer_ltv_deciles",
+    oracle="""
+    WITH ltv AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT total, n_orders,
+               ROW_NUMBER() OVER (ORDER BY total DESC, o_custkey ASC) AS rn,
+               COUNT(*) OVER () AS n
+        FROM ltv
+    )
+    SELECT CAST(((rn - 1) * 10) // n + 1 AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: rank customers by total spend,
+    cut into 10 equal-population bands, report each band's headcount,
+    revenue mass and order volume — the segmentation every CRM /
+    retention budget allocation starts from (decile 1 = the customers
+    whose churn actually costs money).
+
+    The fact table collapses to |customers| rows FIRST (one keyed
+    aggregate with exact decimal sums); the decile cut is integer rank
+    arithmetic ((rn-1)*10 div n + 1 — no ntile, same text both
+    engines) over that collapsed frame. The global sort is safe at
+    |customers| scale; if the customer dimension itself approaches
+    fact scale, the cut swaps to win_distribution's sampled-boundary
+    two-pass form unchanged.
+    """
+    o = table(spark, sf_dir, "orders")
+    ltv = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w_rank = Window.orderBy(F.col("total").desc(), F.col("o_custkey").asc())
+    w_all = Window.partitionBy()
+    ranked = ltv.select(
+        "total",
+        "n_orders",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    return ranked.groupBy(
+        F.expr("CAST(((rn - 1) * 10) div n + 1 AS INT)").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.col("total").cast("decimal(18,2)")).cast("double").alias(
+            "revenue"
+        ),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
