@@ -46,17 +46,75 @@ class LogTable:
         return sorted(
             int(f.split(".")[0])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def _checkpoints(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.json")
         )
 
     def _read_log(self, upto: int | None = None) -> list[dict]:
+        """Actions through ``upto`` — replay starts from the newest
+        CHECKPOINT at or below it (the consolidated state is a valid
+        action prefix), so replay cost is O(commits since checkpoint),
+        not O(all commits): the Delta/Iceberg checkpoint mechanic."""
+        cps = [
+            c for c in self._checkpoints() if upto is None or c <= upto
+        ]
         actions: list[dict] = []
+        start = -1
+        if cps:
+            start = cps[-1]
+            with open(
+                os.path.join(self.log_dir, f"{start:08d}.checkpoint.json")
+            ) as f:
+                actions = [json.loads(line) for line in f]
         for v in self._versions():
+            if v <= start:
+                continue
             if upto is not None and v > upto:
                 break
             with open(os.path.join(self.log_dir, f"{v:08d}.json")) as f:
                 actions.extend(json.loads(line) for line in f)
         return actions
+
+    def checkpoint(self) -> int:
+        """Write a consolidated checkpoint at the current latest version:
+        the live add-actions plus the current schema, in one file.
+        Readers replay from it instead of the full history; older commit
+        files stay untouched (time travel below the checkpoint still
+        replays them). Idempotent and race-safe (put-if-absent link —
+        a concurrent identical checkpoint is simply kept)."""
+        versions = self._versions()
+        if not versions:
+            raise ValueError("cannot checkpoint an empty log")
+        v = versions[-1]
+        live: dict[str, dict] = {}
+        schema = None
+        for a in self._read_log(v):
+            if "add" in a:
+                live[a["add"]["path"]] = a
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+            elif "metaData" in a:
+                schema = a
+        consolidated = [live[p] for p in sorted(live)]
+        if schema is not None:
+            consolidated.append(schema)
+        tmp = os.path.join(self.log_dir, f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            f.writelines(json.dumps(a) + "\n" for a in consolidated)
+        final = os.path.join(self.log_dir, f"{v:08d}.checkpoint.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # an identical checkpoint already exists — idempotent
+        finally:
+            os.unlink(tmp)
+        return v
 
     def _commit(self, actions: list[dict], *, retries: int = 0) -> int:
         """Put-if-absent commit. ``os.link`` (hard link) fails with EEXIST

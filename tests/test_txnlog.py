@@ -117,6 +117,35 @@ def test_schema_evolution_through_log(spark):
         )
 
 
+def test_log_checkpoint_replay(spark):
+    """Checkpoint consolidates the live state: replay after it reads the
+    checkpoint + later commits only; snapshots (latest AND time travel
+    below the checkpoint) are unchanged; schema survives through it."""
+    o = table(spark, SF, "orders")
+    t = _fresh(spark)
+    t.append(o.select("o_orderkey").limit(10))
+    t.append(o.select("o_orderkey").limit(6))
+    t.compact(n_files=1)
+    t.append(
+        o.select("o_orderkey", "o_orderstatus").limit(4), evolve_schema=True
+    )
+    cp = t.checkpoint()
+    assert cp == 3
+    # post-checkpoint append: replay = checkpoint + 1 commit
+    t.append(o.select("o_orderkey", "o_orderstatus").limit(5))
+    assert t.snapshot().count() == 25
+    assert t.snapshot().columns == ["o_orderkey", "o_orderstatus"]
+    # time travel BELOW the checkpoint still replays raw commits
+    assert t.snapshot(0).count() == 10
+    assert t.snapshot(1).count() == 16
+    # replay from the checkpoint yields exactly the live set at cp
+    assert len(t._read_log(cp)) == len(t.live_files(cp)) + 1  # + metaData
+    # re-checkpoint at the new latest; both checkpoints coexist
+    assert t.checkpoint() == 4
+    assert t.snapshot().count() == 25
+    assert t.snapshot(3).count() == 20
+
+
 def test_snapshot_isolation_under_concurrent_append(spark):
     o = table(spark, SF, "orders").select("o_orderkey")
     t = _fresh(spark)
