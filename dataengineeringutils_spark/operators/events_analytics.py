@@ -2540,3 +2540,76 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / MIN(total), 6)"
         ).alias("pareto_share"),
     )
+
+
+@query(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    ),
+    trend AS (
+        SELECT m, revenue,
+               CAST(month(m) AS INT) AS moy,
+               ROUND(AVG(revenue) OVER (
+                   ORDER BY m ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ), 2) AS trend,
+               COUNT(*) OVER (
+                   ORDER BY m ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ) AS wn
+        FROM monthly
+    ),
+    resid AS (
+        SELECT moy, revenue - trend AS r
+        FROM trend WHERE wn = 3
+    )
+    SELECT moy,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 2) AS seasonal_index
+    FROM resid GROUP BY moy
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) of monthly
+    revenue: detrend with a centered 3-month moving average, then
+    average the residuals per month-of-year into a seasonal index —
+    which calendar months structurally over/under-index once the trend
+    is removed, the forecasting/capacity primitive behind
+    ``orders_forecast_naive_eval``.
+
+    The fact table collapses to |months| rows first (exact decimal
+    sums); the centered window runs on that tiny frame (edge months
+    with incomplete windows are excluded via the window row count, not
+    NULL arithmetic — same rule both engines). Residual averages go
+    through exact 2-dp decimal sums so the index is order-independent.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w3 = Window.orderBy("m").rowsBetween(-1, 1)
+    trend = monthly.select(
+        "revenue",
+        F.month("m").cast("int").alias("moy"),
+        F.round(F.avg("revenue").over(w3), 2).alias("trend"),
+        F.count("*").over(w3).alias("wn"),
+    )
+    resid = trend.filter(F.col("wn") == 3).select(
+        "moy", (F.col("revenue") - F.col("trend")).alias("r")
+    )
+    return resid.groupBy("moy").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("seasonal_index"),
+    )

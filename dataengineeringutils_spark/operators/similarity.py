@@ -1882,3 +1882,132 @@ def embeddings_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+@query(
+    "embeddings_sign_quantization_eval",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    cosnn AS (
+        SELECT q_id, vec_id
+        FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {o_dot('e.embedding', 'q.embedding')}
+                                / (e.nrm * q.nrm) DESC,
+                                e.vec_id ASC) AS rn
+            FROM n q JOIN n e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id % 50 = 0
+        ) WHERE rn <= 3
+    ),
+    hamnn AS (
+        SELECT q_id, vec_id
+        FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_sum(list_transform(range(1, 65),
+                           i -> CASE WHEN (e.embedding[i] >= 0)
+                                      <> (q.embedding[i] >= 0)
+                                THEN 1 ELSE 0 END)) ASC,
+                                e.vec_id ASC) AS rn
+            FROM n q JOIN n e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id % 50 = 0
+        ) WHERE rn <= 3
+    ),
+    per_q AS (
+        SELECT c.q_id,
+               CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INT) AS n_overlap
+        FROM cosnn c
+        LEFT JOIN hamnn h ON h.q_id = c.q_id AND h.vec_id = c.vec_id
+        GROUP BY c.q_id
+    )
+    SELECT n_overlap, CAST(COUNT(*) AS BIGINT) AS n_probes
+    FROM per_q GROUP BY n_overlap
+    """,
+)
+def embeddings_sign_quantization_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantization fidelity audit: for a probe panel
+    (vec_id % 50 = 0), compare exact top-3 by cosine against top-3 by
+    SIGN-BIT Hamming distance and histogram the per-probe overlap
+    (3 = binary index would return the same neighbors; 0 = quantization
+    destroyed the ranking) — the go/no-go check before shipping a
+    32x-smaller binary vector index (the same eval shape as
+    ``sim_matryoshka_truncation_eval`` for the dimension-cut knob).
+
+    Hamming over sign bits is computed as a zip_with sum of sign
+    disagreements — exact integers, identical in both engines (no bit
+    packing needed for the audit; the production index packs the signs
+    into 8 longs and uses popcount-xor with the same ordering). Both
+    rankings run on the same corpus scan; ties break by vec_id.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "q_emb",
+            lambda a, b: ((a >= F.lit(0.0)) != (b >= F.lit(0.0))).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        (dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias(
+            "cos_sim"
+        ),
+        hamming.alias("ham"),
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    w_ham = Window.partitionBy("q_id").orderBy(
+        F.col("ham").asc(), F.col("vec_id").asc()
+    )
+    cosnn = (
+        scored.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id")
+    )
+    hamnn = (
+        scored.withColumn("rn", F.row_number().over(w_ham))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", F.col("vec_id").alias("h_vec"))
+    )
+    c = cosnn.alias("c")
+    h = hamnn.select(
+        F.col("q_id").alias("h_qid"), F.col("h_vec")
+    ).alias("h")
+    per_q = (
+        c.join(
+            F.broadcast(h),  # |probes| x 3 rows — bounded by the panel
+            (F.col("c.q_id") == F.col("h.h_qid"))
+            & (F.col("c.vec_id") == F.col("h.h_vec")),
+            "left",
+        )
+        .groupBy(F.col("c.q_id"))
+        .agg(
+            F.sum(F.col("h.h_vec").isNotNull().cast("int"))
+            .cast("int")
+            .alias("n_overlap")
+        )
+    )
+    return per_q.groupBy("n_overlap").agg(
+        F.count("*").cast("bigint").alias("n_probes")
+    )

@@ -608,3 +608,51 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).cast("bigint").alias("sum_chars"),
         F.count_distinct("value").alias("n_distinct"),
     )
+
+
+@query(
+    "sink_txn_delete_where",
+    oracle="""
+    WITH kept AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM kept)
+                AS BIGINT) AS n_deleted,
+           CAST(2 AS INT) AS n_commits
+    FROM kept GROUP BY o_orderstatus
+    """,
+)
+def sink_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE through the transaction log (copy-on-write):
+    orders land in 4 files via one append commit, then
+    ``delete_where("o_orderstatus = 'F' AND o_orderkey % 3 = 0")``
+    rewrites only the affected files without the matching rows as ONE
+    remove+add commit — the Delta/Iceberg COW delete. The snapshot
+    read replays the log; time travel below the delete still sees every
+    row (pinned here by the commit count and by test_txnlog.py).
+
+    The oracle recomputes the post-delete per-status counts and the
+    deleted-row total straight from the source table, so a COW bug
+    (row lost from an untouched file, survivor dropped, double delete)
+    fails the value hash.
+    """
+    import uuid
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = LogTable(spark, scratch_dir("txn_del_" + uuid.uuid4().hex))
+    t.append(o, n_files=4)
+    n_before = t.snapshot().count()
+    t.delete_where("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    snap = t.snapshot()
+    n_deleted = n_before - snap.count()
+    n_commits = len(t._versions())
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+        F.lit(n_commits).cast("int").alias("n_commits"),
+    )

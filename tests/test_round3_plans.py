@@ -172,3 +172,20 @@ def test_weekday_seasonality_scalar_broadcast(spark, sf_dir):
     tree = _tree(queries()["orders_weekday_seasonality"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_sign_quantization_single_scan_both_rankings(spark, sf_dir):
+    # cosine AND hamming rankings must rank off ONE scored frame (one
+    # corpus-probe join), each pruned via WindowGroupLimit
+    tree = _tree(queries()["embeddings_sign_quantization_eval"](spark, sf_dir))
+    assert tree.count("WindowGroupLimit") >= 2, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_seasonal_decompose_windows_on_month_frame(spark, sf_dir):
+    # the centered-MA window runs on the |months| aggregate, never the
+    # fact table: an aggregate must sit upstream of (printed after) the
+    # first Window operator
+    tree = _tree(queries()["orders_seasonal_decompose"](spark, sf_dir))
+    win = tree.index("Window")
+    assert "HashAggregate" in tree[win:], tree
