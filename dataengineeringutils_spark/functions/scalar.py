@@ -1026,3 +1026,43 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("p_name").cast("int").alias("first_code"),
         F.rpad("p_brand", 12, ".").alias("brand_pad"),
     )
+
+
+@query(
+    "fn_date_trunc_family",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('year', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS y,
+           CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS q,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS mo,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+               AS wk,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr_no,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week
+    FROM orders
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def fn_date_trunc_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc at every reporting grain (year / quarter / month /
+    ISO-Monday week) plus quarter and ISO week numbers — the calendar
+    bucketing functions every rollup/report leans on, pinned
+    cross-engine on a keyed sample (both engines truncate weeks to
+    Monday and number ISO weeks identically; DAY-OF-WEEK numbering is
+    the one that differs, which is why ``orders_weekday_seasonality``
+    derives it arithmetically instead).
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("year", d).alias("y"),
+        F.date_trunc("quarter", d).alias("q"),
+        F.date_trunc("month", d).alias("mo"),
+        F.date_trunc("week", d).alias("wk"),
+        F.quarter(d).cast("int").alias("qtr_no"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    )

@@ -1562,3 +1562,90 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_orders").cast("bigint").alias("n_orders"),
     )
+
+
+@query(
+    "orders_cohort_repeat_rate",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(o_orderdate) AS first_dt,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT date_trunc('month', CAST(first_dt AS DATE)) AS cohort_month,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat,
+           ROUND(CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS repeat_rate
+    FROM firsts
+    GROUP BY 1
+    """,
+)
+def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort repeat rate: customers grouped by their FIRST
+    order month, with the share that ever ordered again — the single
+    number acquisition teams track per cohort (a declining repeat rate
+    across recent cohorts = the acquisition channel is buying
+    one-and-done customers). The order-table sibling of the event-based
+    ``retention_cohort``.
+
+    The fact table collapses to |customers| (first date + lifetime
+    count in ONE aggregate — no self-join, no window), then a
+    |cohorts|-row rollup. Exact integer counts, 6-dp rate.
+    """
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    return firsts.groupBy(
+        F.date_trunc("month", F.col("first_dt").cast("date")).alias(
+            "cohort_month"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum((F.col("n_orders") > 1).cast("long"))
+        .cast("bigint")
+        .alias("n_repeat"),
+        F.expr(
+            "ROUND(CAST(SUM(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END)"
+            " AS DOUBLE) / COUNT(*), 6)"
+        ).alias("repeat_rate"),
+    )
+
+
+@query(
+    "lineitem_band_heatmap",
+    oracle="""
+    SELECT CAST(l_quantity AS INT) AS qty_band,
+           CAST(FLOOR(l_extendedprice / 10000) AS INT) AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def lineitem_band_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density heatmap: line items bucketed by (quantity band,
+    price band) with count and revenue mass per cell — the aggregation
+    behind every quantity x price heatmap and the input to mixed-margin
+    pricing analysis. Band edges are exact integer arithmetic (FLOOR of
+    a scaled value), so cell membership is deterministic across
+    engines; one scan, one map-side-combined aggregate of
+    |qty_bands| x |price_bands| cells.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_quantity").cast("int").alias("qty_band"),
+        F.floor(F.col("l_extendedprice") / 10000).cast("int").alias(
+            "price_band"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
