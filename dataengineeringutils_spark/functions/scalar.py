@@ -1066,3 +1066,91 @@ def fn_date_trunc_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).cast("int").alias("qtr_no"),
         F.weekofyear(d).cast("int").alias("iso_week"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+    WITH m AS (
+        SELECT p_partkey,
+               MAP(['size', 'retail_cents'],
+                   [CAST(p_size AS BIGINT),
+                    CAST(ROUND(p_retailprice * 100) AS BIGINT)]) AS feat
+        FROM part WHERE p_partkey % 41 = 0
+    )
+    SELECT p_partkey,
+           CAST(len(map_keys(feat)) AS INT) AS n_keys,
+           feat['size'][1] AS size_v,
+           CAST(list_sum(map_values(feat)) AS BIGINT) AS sum_values,
+           CAST(len(list_filter(map_values(feat), v -> v > 100)) AS INT)
+               AS n_large
+    FROM m
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a typed feature map per row,
+    then key/value extraction and HOF reductions over it (cardinality,
+    point lookup, value sum, filtered count) — the map-column idioms of
+    feature-store rows and sparse property bags, beyond ``fn_map``'s
+    construction/lookup basics. Integer values end to end so every
+    reduction is exact on both engines.
+    """
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") % 41 == 0)
+    feat = F.create_map(
+        F.lit("size"),
+        F.col("p_size").cast("bigint"),
+        F.lit("retail_cents"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint"),
+    )
+    m = p.select("p_partkey", feat.alias("feat"))
+    return m.select(
+        "p_partkey",
+        F.size(F.map_keys("feat")).cast("int").alias("n_keys"),
+        F.element_at("feat", "size").alias("size_v"),
+        F.aggregate(
+            F.map_values("feat"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sum_values"),
+        F.size(
+            F.filter(F.map_values("feat"), lambda v: v > 100)
+        )
+        .cast("int")
+        .alias("n_large"),
+    )
+
+
+@query(
+    "agg_product",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(product(1.0 + l_discount), 6) AS growth_factor,
+           ROUND(exp(SUM(ln(1.0 + l_discount))), 6) AS growth_factor_logsum
+    FROM lineitem
+    WHERE l_orderkey % 1009 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate — the missing SQL builtin (compound growth,
+    chained probabilities, survival products), recreated as
+    exp(Σ ln x): associative, partial-aggregatable, and therefore
+    distributed-safe — each partition sums logs map-side, merges sum
+    (a naive sequential product is neither order-stable nor
+    overflow-safe at scale). Computed on a keyed sample of positive
+    factors (1 + discount); the oracle emits BOTH DuckDB's native
+    ``product()`` and the same log-sum text — the two columns agreeing
+    at 6 dp is the cross-check that the recreation IS the builtin.
+    Zero/negative handling (sign parity + zero short-circuit) is the
+    documented extension; factors here are strictly positive.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 1009 == 0
+    )
+    logsum = F.round(
+        F.exp(F.sum(F.log(F.lit(1.0) + F.col("l_discount")))), 6
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        logsum.alias("growth_factor"),
+        logsum.alias("growth_factor_logsum"),
+    )

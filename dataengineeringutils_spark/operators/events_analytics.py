@@ -2613,3 +2613,44 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "events_punchcard",
+    oracle="""
+    SELECT CAST((date_diff('day', DATE '1995-01-02', CAST(ts AS DATE))
+                 % 7 + 7) % 7 AS INT) AS weekday,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activity PUNCHCARD: events and distinct users per
+    (weekday, hour-of-day) cell — the 7x24 grid behind every
+    "when are our users awake" heatmap, and the input for maintenance-
+    window / on-call-staffing decisions.
+
+    Weekday via integer days-since-a-known-Monday arithmetic (engine
+    dayofweek numbering differs; the oracle conventions ban it), hour
+    from the UTC-pinned timestamp. One scan, one aggregate of at most
+    168 cells with map-side-combined distinct users.
+    """
+    ev = table(spark, sf_dir, "events")
+    weekday = (
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1995-01-02").cast("date"))
+            % 7
+            + 7
+        )
+        % 7
+    ).cast("int")
+    return ev.groupBy(
+        weekday.alias("weekday"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
