@@ -245,9 +245,7 @@ class LogTable:
         # production scale this is also where file-level min/max stats
         # would prune most files before any row is read)
         probe = (
-            self.spark.read.parquet(
-                *[os.path.join(self.base, p) for p in live]
-            )
+            self._read_reconciled(live)
             .filter(predicate_sql)
             .select(F.col("_metadata.file_path").alias("fp"))
             .distinct()
@@ -261,12 +259,43 @@ class LogTable:
         ]
         if not affected:
             return self._commit([])  # no-op commit records the intent
-        keep = self.spark.read.parquet(
-            *[os.path.join(self.base, p) for p in affected]
-        ).filter(f"NOT ({predicate_sql})")
+        # the rewrite MUST read schema-reconciled: a plain multi-file read
+        # takes one file's footer schema, silently dropping columns that
+        # post-date the older affected files (caught by
+        # test_delete_where_after_schema_evolution — survivors lost their
+        # evolved column before this used _read_reconciled)
+        keep = (
+            self._read_reconciled(affected)
+            .filter(f"NOT ({predicate_sql})")
+            .drop("_metadata")  # hidden column must not land in the rewrite
+        )
         adds = self._write_files(keep, n_files=max(1, len(affected)))
         removes = [{"remove": {"path": p}} for p in affected]
         return self._commit(removes + adds)
+
+    def _read_reconciled(self, rel_paths: list[str]) -> DataFrame:
+        """Read a file subset reconciled to the CURRENT committed schema
+        (mergeSchema + NULL-fill/ordering), i.e. the same contract
+        ``snapshot`` gives — required by any operation that rewrites a
+        subset of files which may straddle a schema-evolution commit.
+        Keeps the hidden ``_metadata`` column usable downstream."""
+        schema = self.schema_at()
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(self.base, p) for p in rel_paths])
+        if schema is not None:
+            present = set(df.columns)
+            df = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in present
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema
+                ],
+                "_metadata",
+            )
+        return df
 
     def compact(self, n_files: int = 1) -> int:
         """Rewrite the live file set into ``n_files`` files in ONE commit

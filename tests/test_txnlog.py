@@ -146,6 +146,37 @@ def test_log_checkpoint_replay(spark):
     assert t.snapshot(3).count() == 20
 
 
+def test_delete_where_after_schema_evolution(spark):
+    """COW delete straddling a schema-evolution commit: the rewrite must
+    read schema-RECONCILED (mergeSchema + NULL fill), or a plain
+    multi-file read takes one file's footer schema and silently drops
+    the evolved column from every survivor (the data-loss bug this test
+    pinned: all survivors came back NULL)."""
+    o = table(spark, SF, "orders")
+    t = _fresh(spark)
+    t.append(o.select("o_orderkey").limit(10))
+    t.append(
+        o.select("o_orderkey", "o_orderstatus").limit(6), evolve_schema=True
+    )
+    t.delete_where("o_orderkey % 2 = 0")
+    snap = t.snapshot()
+    assert snap.columns == ["o_orderkey", "o_orderstatus"]
+    # no deleted key survives; every surviving evolved row keeps its status
+    assert snap.filter("o_orderkey % 2 = 0").count() == 0
+    survivors_evolved = (
+        o.select("o_orderkey", "o_orderstatus")
+        .limit(6)
+        .filter("o_orderkey % 2 <> 0")
+        .count()
+    )
+    assert (
+        snap.filter(F.col("o_orderstatus").isNotNull()).count()
+        == survivors_evolved
+    )
+    # deleted rows still visible via time travel below the delete commit
+    assert t.snapshot(1).count() == 16
+
+
 def test_snapshot_isolation_under_concurrent_append(spark):
     o = table(spark, SF, "orders").select("o_orderkey")
     t = _fresh(spark)

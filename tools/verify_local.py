@@ -94,13 +94,23 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    """Usage: python tools/verify_local.py [--json OUT.json] [name ...]"""
+    import json
+
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
     spark = get_spark("verify_local")
     con = duck_connect(SF_DIR)
     qs = queries()
     oracles = oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -111,33 +121,67 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
+            results[name] = {"status": "fail", "err": "spark error"}
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             continue
+        secs = round(time.time() - t0, 2)
         if name not in oracles:
             n_rows_only += 1
-            print(f"rows  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            results[name] = {
+                "status": "rows-only",
+                "rows": len(spark_pdf),
+                "secs": secs,
+            }
+            print(f"rows  {name}: {len(spark_pdf)} rows ({secs:.1f}s) [rows-only]")
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception:
             n_fail += 1
             failures.append(name)
+            results[name] = {"status": "fail", "err": "duckdb oracle error"}
             print(f"FAIL  {name}: duckdb oracle error\n{traceback.format_exc()}")
             continue
         issues = compare(name, spark_pdf, duck_pdf)
+        secs = round(time.time() - t0, 2)
         if issues:
             n_fail += 1
             failures.append(name)
-            print(f"FAIL  {name} ({time.time()-t0:.1f}s): " + " | ".join(issues))
+            results[name] = {
+                "status": "fail",
+                "err": " | ".join(issues),
+                "secs": secs,
+            }
+            print(f"FAIL  {name} ({secs:.1f}s): " + " | ".join(issues))
         else:
             n_pass += 1
-            print(f"PASS  {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(spark_pdf),
+                "secs": secs,
+            }
+            print(f"PASS  {name}: {len(spark_pdf)} rows ({secs:.1f}s)")
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
         f"({len(qs)} total declared) =="
     )
     if failures:
         print("failures:", " ".join(failures))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_rows_only,
+                    "n_declared": len(qs),
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     return 1 if n_fail else 0
 
 
