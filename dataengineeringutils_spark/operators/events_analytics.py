@@ -2654,3 +2654,57 @@ def events_punchcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.count_distinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "events_ab_srm_check",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                    ::BIGINT % 2 AS INT) AS arm
+        FROM events
+    ),
+    counts AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM assign GROUP BY arm
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT arm, n,
+           ROUND(CAST(t AS DOUBLE) / 2, 1) AS expected,
+           ROUND((n - CAST(t AS DOUBLE) / 2)
+                 * (n - CAST(t AS DOUBLE) / 2)
+                 / (CAST(t AS DOUBLE) / 2), 6) AS chi2_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch (SRM) gate for A/B assignment: compare each
+    arm's user count against the designed 50/50 split with per-arm
+    chi-square terms — the FIRST check on any experiment readout
+    (a biased assignment hash, bot filtering applied to one arm, or a
+    logging gap shows up here before anyone reads the lift; companion
+    to ``events_ab_lift``). Assignment is the same identity-hash gate
+    the lift op uses, so the two ops audit the same experiment.
+
+    Users collapse to one row each before counting; the chi-square
+    arithmetic evaluates from shared expression text on a 2-row frame.
+    """
+    ev = table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    ).cast("int")
+    assign = ev.select("user_id").distinct().select(arm.alias("arm"))
+    counts = assign.groupBy("arm").agg(F.count("*").cast("bigint").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.expr("ROUND(CAST(t AS DOUBLE) / 2, 1)").alias("expected"),
+        F.expr(
+            "ROUND((n - CAST(t AS DOUBLE) / 2)"
+            " * (n - CAST(t AS DOUBLE) / 2)"
+            " / (CAST(t AS DOUBLE) / 2), 6)"
+        ).alias("chi2_term"),
+    )

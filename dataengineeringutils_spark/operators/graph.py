@@ -450,3 +450,71 @@ def graph_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_core_edges").cast("bigint"),
         )
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY n
+    ),
+    ends AS (
+        SELECT da.degree AS dx, db.degree AS dy
+        FROM e0
+        JOIN deg da ON e0.a = da.n
+        JOIN deg db ON e0.b = db.n
+    ),
+    sym AS (
+        SELECT dx, dy FROM ends UNION ALL SELECT dy, dx FROM ends
+    )
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(corr(CAST(dx AS DOUBLE), CAST(dy AS DOUBLE)), 4)
+               AS assortativity
+    FROM sym
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of degrees across edge endpoints (Newman 2002) —
+    positive means hubs connect to hubs (social-network-like), negative
+    means hubs connect to leaves (hub-and-spoke; typical for
+    catalog/co-purchase graphs). The one-number structural summary that
+    says which join-skew/partitioning regime downstream graph workloads
+    live in.
+
+    Degrees are one aggregate over the cached edge table; endpoint
+    degrees join back broadcast; edges are symmetrized before the
+    correlation (assortativity is defined over directed edge ends).
+    corr is a sample statistic — 4 dp per the oracle conventions.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("n").alias("b"), F.col("degree").alias("dy"))
+    ends = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b").select(
+        "dx", "dy"
+    )
+    sym = ends.unionAll(
+        ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    return sym.agg(
+        F.expr("CAST(COUNT(*) / 2 AS BIGINT)").alias("n_edges"),
+        F.round(
+            F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")), 4
+        ).alias("assortativity"),
+    )

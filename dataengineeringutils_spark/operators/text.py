@@ -1113,3 +1113,91 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_TERMS_K)
         .drop("rn")
     )
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(length(text) - length(replace(text, '{', ''))
+                    + length(text) - length(replace(text, '}', ''))
+                    + length(text) - length(replace(text, ';', ''))
+                    + length(text) - length(replace(text, '=', ''))
+                    AS BIGINT) AS n_code_chars,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('def', 'return', 'import', 'class',
+                                   'function', 'var', 'const', 'if',
+                                   'else', 'for', 'while')))
+                    AS BIGINT) AS n_keywords,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               CASE WHEN n_tokens > 0
+                     AND (CAST(n_code_chars AS DOUBLE) / n_chars > 0.01
+                          OR CAST(n_keywords AS DOUBLE) / n_tokens > 0.05)
+                    THEN 1 ELSE 0 END AS is_code
+        FROM feats
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_code) AS BIGINT) AS n_code_docs
+    FROM scored GROUP BY lang
+    """,
+)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection: flag documents whose symbol density
+    ({};= per char) or programming-keyword rate exceeds prose norms —
+    the corpus-routing gate every LLM data pipeline runs (code goes to
+    the code mix with its own dedup/quality rules; code mislabeled as
+    prose poisons both mixes). Reported as per-language flag counts.
+
+    Pure codegen feature extraction (replace-diff symbol counts, one
+    token filter against a fixed keyword list) — no UDF, no regex
+    backtracking; thresholds are the classifier, deliberately simple
+    and auditable. Exact integer features, deterministic flag in both
+    engines (ratio comparisons on identical doubles).
+    """
+    d = table(spark, sf_dir, "documents")
+    kw = (
+        "'def','return','import','class','function','var','const',"
+        "'if','else','for','while'"
+    )
+    feats = d.select(
+        "lang",
+        F.expr(
+            "CAST(length(text) - length(replace(text, '{', ''))"
+            " + length(text) - length(replace(text, '}', ''))"
+            " + length(text) - length(replace(text, ';', ''))"
+            " + length(text) - length(replace(text, '=', ''))"
+            " AS BIGINT)"
+        ).alias("n_code_chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(
+            F.expr(
+                f"filter(split(text, ' '), t -> t IN ({kw}))"
+            )
+        )
+        .cast("bigint")
+        .alias("n_keywords"),
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    scored = feats.select(
+        "lang",
+        F.expr(
+            "CASE WHEN n_tokens > 0"
+            " AND (CAST(n_code_chars AS DOUBLE) / n_chars > 0.01"
+            " OR CAST(n_keywords AS DOUBLE) / n_tokens > 0.05)"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_code"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_code").cast("bigint").alias("n_code_docs"),
+    )
