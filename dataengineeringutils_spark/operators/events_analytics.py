@@ -2165,6 +2165,33 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_islands(ev: DataFrame) -> DataFrame:
+    """Shared 30-minute-gap sessionization kernel (gaps-and-islands):
+    one user_id shuffle, epoch-us gap compare (a seconds-cast would
+    truncate against the oracle's interval arithmetic), running-sum
+    island numbering. Consumed by the session funnel and the
+    entry/exit matrix; the oracle-side twin is _SESSION_ISLANDS_SQL."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("prev_ts"))
+                    > 1800 * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+
+
 _SESSION_ISLANDS_SQL = """
     WITH gaps AS (
         SELECT user_id, ts, event_type,
@@ -2224,26 +2251,7 @@ def events_session_funnel_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NULL first_X fails every > test in both engines). Output is one
     funnel summary row of exact counts.
     """
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
-    islands = (
-        ev.select("user_id", "ts", "event_type")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_ts").isNull()
-                | (
-                    F.unix_micros(F.col("ts"))
-                    - F.unix_micros(F.col("prev_ts"))
-                    > 1800 * 1_000_000
-                ),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(w_run))
-    )
+    islands = _session_islands(table(spark, sf_dir, "events"))
     per = islands.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
             "first_view"
@@ -2318,26 +2326,7 @@ def events_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally unique so first/last are total orders. The bounce flag is
     n_events = 1 — entry == exit by construction there.
     """
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
-    islands = (
-        ev.select("user_id", "ts", "event_type")
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_ts").isNull()
-                | (
-                    F.unix_micros(F.col("ts"))
-                    - F.unix_micros(F.col("prev_ts"))
-                    > 1800 * 1_000_000
-                ),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(w_run))
-    )
+    islands = _session_islands(table(spark, sf_dir, "events"))
     ws = Window.partitionBy("user_id", "session_id")
     ranked = islands.select(
         "user_id",

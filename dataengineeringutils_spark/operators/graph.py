@@ -312,6 +312,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEGREE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def copurchase_degrees_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-node degree table (n, degree) over the
+    co-purchase edges — shared by the degree histogram, assortativity,
+    and any future hub-capping op (same discipline as the edge cache
+    it derives from)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DEGREE_CACHE.get(key)
+    if cached is None:
+        edges = copurchase_edges(spark, sf_dir)
+        cached = (
+            edges.select(F.col("a").alias("n"))
+            .unionAll(edges.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").cast("bigint").alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        _DEGREE_CACHE[key] = cached
+    return cached
+
+
 @query(
     "graph_degree_stats",
     oracle="""
@@ -345,12 +368,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is never touched after the edge build.
     """
     edges = copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("a").alias("n"))
-        .unionAll(edges.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("bigint").alias("degree"))
-    )
+    deg = copurchase_degrees_cached(spark, sf_dir)
     return deg.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
@@ -376,7 +394,7 @@ def _kcore_peel_sql(k: int, rounds: int) -> str:
 
 
 KCORE_K = 2
-KCORE_ROUNDS = 6
+KCORE_ROUNDS = 12  # unroll depth; Spark loops to fixpoint and ASSERTS it is reached within this
 
 
 @query(
@@ -417,6 +435,13 @@ def graph_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame is |surviving nodes|; the edge table is the session-cached
     co-purchase artifact. A full k-core DECOMPOSITION (core number per
     node) is the same loop emitting the round at which each node fell.
+
+    Convergence is CHECKED, not assumed: the loop exits when a round
+    removes nothing, and raises if {KCORE_ROUNDS} rounds were not
+    enough (the unrolled oracle would then also be unconverged — the
+    raise turns a silent both-engines-agree-on-the-wrong-answer into a
+    loud failure; rounds past the fixpoint are no-ops in both engines,
+    so the oracle's fixed depth matches any earlier convergence).
     """
     edges = copurchase_edges(spark, sf_dir)
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
@@ -427,6 +452,8 @@ def graph_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_nodes = nodes.count()
     surv = nodes
+    prev_n = n_nodes
+    converged = False
     for _ in range(KCORE_ROUNDS):
         surv = (
             sym.join(surv.withColumnRenamed("node", "s"), sym.src == F.col("s"))
@@ -436,6 +463,16 @@ def graph_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select(F.col("src").alias("node"))
             .localCheckpoint(eager=True)
+        )
+        n = surv.count()
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
+    if not converged:
+        raise RuntimeError(
+            f"2-core peel did not converge within {KCORE_ROUNDS} rounds "
+            "— raise KCORE_ROUNDS (and the oracle's unroll depth with it)"
         )
     core = surv
     core_edges = edges.join(
@@ -498,12 +535,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr is a sample statistic — 4 dp per the oracle conventions.
     """
     edges = copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("a").alias("n"))
-        .unionAll(edges.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("bigint").alias("degree"))
-    )
+    deg = copurchase_degrees_cached(spark, sf_dir)
     da = deg.select(F.col("n").alias("a"), F.col("degree").alias("dx"))
     db = deg.select(F.col("n").alias("b"), F.col("degree").alias("dy"))
     ends = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b").select(

@@ -198,8 +198,13 @@ class LogTable:
         actions = self._write_files(df, n_files)
         current = self.schema_at()
         if current is None:
+            # the FIRST append sets the table schema — that makes it a
+            # read-modify-write commit, not a blind append: two initial
+            # writers racing with retries would silently clobber each
+            # other's schema (the loser's files would then reconcile to
+            # the winner's columns as all-NULL). Surface the conflict.
             actions.append({"metaData": {"schema": df.schema.jsonValue()}})
-            return self._commit(actions, retries=4)
+            return self._commit(actions)
         if [(f.name, f.dataType) for f in df.schema] == [
             (f.name, f.dataType) for f in current
         ]:
@@ -238,6 +243,8 @@ class LogTable:
         never the whole table.
         """
         live = self.live_files()
+        if not live:
+            raise ValueError("LogTable has no committed data")
         # ONE probe job over all live files: the hidden _metadata column
         # yields each matching row's source file, so the affected-file
         # set is a tiny distinct-collect instead of a per-file job loop
@@ -273,28 +280,37 @@ class LogTable:
         removes = [{"remove": {"path": p}} for p in affected]
         return self._commit(removes + adds)
 
-    def _read_reconciled(self, rel_paths: list[str]) -> DataFrame:
-        """Read a file subset reconciled to the CURRENT committed schema
-        (mergeSchema + NULL-fill/ordering), i.e. the same contract
-        ``snapshot`` gives — required by any operation that rewrites a
-        subset of files which may straddle a schema-evolution commit.
-        Keeps the hidden ``_metadata`` column usable downstream."""
-        schema = self.schema_at()
+    def _read_reconciled(
+        self,
+        rel_paths: list[str],
+        version: int | None = None,
+        include_metadata: bool = True,
+    ) -> DataFrame:
+        """THE schema-reconciliation contract, in one place: read a file
+        subset with mergeSchema and conform it to the schema committed
+        at ``version`` (NULL-fill for columns the file predates, cast +
+        declared ordering). ``snapshot`` and every file-rewriting
+        operation (delete_where) MUST read through this — a plain
+        multi-file read takes one footer's schema and silently drops
+        evolved columns (the round-3 COW data-loss bug).
+        ``include_metadata`` keeps the hidden ``_metadata`` column for
+        callers that need row→file provenance."""
+        schema = self.schema_at(version)
         reader = self.spark.read
         if schema is not None:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*[os.path.join(self.base, p) for p in rel_paths])
         if schema is not None:
             present = set(df.columns)
-            df = df.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in present
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema
-                ],
-                "_metadata",
-            )
+            cols = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in present
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema
+            ]
+            if include_metadata:
+                cols.append(F.col("_metadata"))
+            df = df.select(*cols)
         return df
 
     def compact(self, n_files: int = 1) -> int:
@@ -316,19 +332,6 @@ class LogTable:
         files = self.live_files(version)
         if not files:
             raise ValueError("LogTable has no committed data")
-        schema = self.schema_at(version)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*[os.path.join(self.base, p) for p in files])
-        if schema is not None:
-            present = set(df.columns)
-            df = df.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in present
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema
-                ]
-            )
-        return df
+        return self._read_reconciled(
+            files, version=version, include_metadata=False
+        )

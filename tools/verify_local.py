@@ -101,6 +101,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: verify_local.py [--json OUT.json] [name ...]")
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     only = set(argv)
