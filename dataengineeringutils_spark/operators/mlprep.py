@@ -615,3 +615,54 @@ def ml_train_test_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_test_docs"),
         F.sum(F.col("th").isNotNull().cast("long")).cast("bigint").alias("n_leaked"),
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE)
+                   / 100 AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    )
+    SELECT CAST(FLOOR(score * 10) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS outcome_rate
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins: a model score (here the normalized
+    ``props.k`` property as a deterministic stand-in for a predicted
+    purchase probability) bucketed into deciles with mean score vs
+    observed outcome rate per bin — THE calibration table every scoring
+    model ships with (a well-calibrated model has mean_score ≈
+    outcome_rate per bin; the fixture's score is independent of the
+    outcome, so the flat outcome_rate across bins is itself the
+    demonstration). Swap the score column for a real model output and
+    nothing else changes.
+
+    One scan, decile membership by exact integer FLOOR on the 2-dp
+    score, one ≤10-row aggregate; mean_score is AVG over identical
+    doubles in both engines, rounded at 6 dp.
+    """
+    ev = table(spark, sf_dir, "events")
+    scored = ev.select(
+        (
+            F.get_json_object("props", "$.k").cast("int").cast("double") / 100
+        ).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    ).filter(F.col("score").isNotNull())
+    return scored.groupBy(
+        F.floor(F.col("score") * 10).cast("int").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.expr("ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)").alias(
+            "outcome_rate"
+        ),
+    )

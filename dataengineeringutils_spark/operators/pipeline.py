@@ -317,3 +317,83 @@ def dataset_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+TOKEN_BUDGET = 100_000
+
+
+@query(
+    "corpus_token_budget_allocation",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM counts),
+    quota AS (
+        SELECT source, n_tokens,
+               CAST((n_tokens * {TOKEN_BUDGET}) // t AS BIGINT) AS base,
+               (n_tokens * {TOKEN_BUDGET}) % t AS rem
+        FROM counts CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT source, n_tokens, base,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr,
+               CAST({TOKEN_BUDGET} AS BIGINT)
+                 - (SELECT CAST(SUM(base) AS BIGINT) FROM quota) AS leftover
+        FROM quota
+    )
+    SELECT source, n_tokens,
+           CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS allocated_tokens
+    FROM ranked
+    """,
+)
+def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture BUDGETING: allocate a fixed token budget across
+    sources proportionally to their token mass using the
+    largest-remainder (Hamilton) method — integer quotas that sum
+    EXACTLY to the budget, deterministic tie-breaks, no float drift
+    (floor quotas + distribute the leftover to the largest remainders).
+    This is the planning step before ``corpus_mixing_sample`` draws the
+    actual documents; the same arithmetic apportions shard counts,
+    sampling quotas, and eval-slice sizes.
+
+    One token-count aggregate per source; the apportionment runs on the
+    |sources|-row frame in exact integer arithmetic shared with the
+    oracle (the remainder comparison is integer: n*B mod t, never a
+    float share).
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens")
+    )
+    tot = counts.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"CAST((n_tokens * {TOKEN_BUDGET}) div t AS BIGINT)").alias(
+            "base"
+        ),
+        F.expr(f"(n_tokens * {TOKEN_BUDGET}) % t").alias("rem"),
+    )
+    base_sum = quota.agg(F.sum("base").cast("bigint").alias("bs"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = quota.crossJoin(F.broadcast(base_sum)).select(
+        "source",
+        "n_tokens",
+        "base",
+        F.row_number().over(w).alias("rr"),
+        (F.lit(TOKEN_BUDGET).cast("bigint") - F.col("bs")).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("allocated_tokens"),
+    )

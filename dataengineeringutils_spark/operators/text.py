@@ -1201,3 +1201,73 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("is_code").cast("bigint").alias("n_code_docs"),
     )
+
+
+@query(
+    "text_lm_score_filter",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    totals AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq),
+    per_doc AS (
+        SELECT t.doc_id,
+               ROUND(AVG(ln(f.c / (SELECT n FROM totals))), 4) AS lp
+        FROM tok t JOIN freq f ON t.tok = f.tok
+        GROUP BY t.doc_id
+    ),
+    binned AS (
+        SELECT d.lang,
+               CASE WHEN p.lp >= -7.0 THEN 'keep'
+                    WHEN p.lp >= -8.0 THEN 'review'
+                    ELSE 'drop' END AS bucket,
+               d.n_chars
+        FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM binned GROUP BY lang, bucket
+    """,
+)
+def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FILTERING step on top of unigram-LM scoring
+    (``text_unigram_logprob`` computes the score; this op applies the
+    keep / review / drop thresholds and reports what each decision
+    costs per language in documents AND character mass) — the actual
+    corpus-shaping action, with the retention report a data lead signs
+    off on before a training run.
+
+    Same one-explode score kernel (exchange-reused frequency table);
+    the thresholds are fixed logprob cut-points so the bucket decision
+    is a deterministic comparison on the 4-dp-rounded score in both
+    engines.
+    """
+    from dataengineeringutils_spark.operators.dedup import docs_parallel
+
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("lp"))
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    binned = scored.join(docs, "doc_id").select(
+        "lang",
+        F.expr(
+            "CASE WHEN lp >= -7.0 THEN 'keep'"
+            " WHEN lp >= -8.0 THEN 'review' ELSE 'drop' END"
+        ).alias("bucket"),
+        "n_chars",
+    )
+    return binned.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
