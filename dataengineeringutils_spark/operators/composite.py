@@ -14,6 +14,8 @@ CostBasedJoinReorder can reorder the Q5 chain when table stats exist
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1649,3 +1651,116 @@ def lineitem_band_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_ABC_HALF_SQL = """
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,4)))
+                   AS rev
+        FROM lineitem
+        WHERE l_shipdate {op} (SELECT mid FROM cut0)
+        GROUP BY l_partkey
+"""
+
+
+@query(
+    "orders_abc_migration",
+    oracle=f"""
+    WITH cut0 AS (
+        SELECT MIN(l_shipdate)
+               + CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate))
+                      // 2 AS BIGINT) * INTERVAL 1 DAY AS mid
+        FROM lineitem
+    ),
+    rev1 AS ({_ABC_HALF_SQL.format(op='<')}),
+    rev2 AS ({_ABC_HALF_SQL.format(op='>=')}),
+    c1 AS (
+        SELECT l_partkey,
+               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM (
+            SELECT l_partkey,
+                   SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(rev) OVER () AS tot
+            FROM rev1
+        )
+    ),
+    c2 AS (
+        SELECT l_partkey,
+               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM (
+            SELECT l_partkey,
+                   SUM(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(rev) OVER () AS tot
+            FROM rev2
+        )
+    )
+    SELECT COALESCE(c1.cls, '-') AS class_prev,
+           COALESCE(c2.cls, '-') AS class_cur,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM c1 FULL OUTER JOIN c2 ON c1.l_partkey = c2.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC CLASS MIGRATION: classify parts by cumulative-revenue class
+    (A/B/C, the ``orders_abc_class`` rule) independently in the first
+    and second halves of the shipping timeline, then count the
+    transition matrix — which SKUs are rising into A, fading to C, or
+    newly appearing ('-' = absent that half). This is the
+    assortment-drift review merchandising runs each season; a heavy
+    A→C diagonal is the early-warning for inventory writedowns.
+
+    Each half collapses to |parts| revenue rows first; both
+    classifications use the exact cross-multiplied decimal thresholds;
+    the matrix is a full outer join of two |parts| frames. The
+    timeline split is a scalar (min/max date arithmetic, shared text).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    ).collect()[0]
+    mid = bounds["lo"] + datetime.timedelta(
+        days=(bounds["hi"] - bounds["lo"]).days // 2
+    )
+
+    def classify(half: DataFrame) -> DataFrame:
+        rev = half.groupBy("l_partkey").agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(22,4)")
+            ).alias("rev")
+        )
+        w_run = Window.orderBy(
+            F.col("rev").desc(), F.col("l_partkey").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_all = Window.partitionBy()
+        return rev.select(
+            "l_partkey",
+            F.sum("rev").over(w_run).alias("cum"),
+            F.sum("rev").over(w_all).alias("tot"),
+        ).select(
+            "l_partkey",
+            F.expr(
+                "CASE WHEN cum * 100 <= tot * 80 THEN 'A'"
+                " WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END"
+            ).alias("cls"),
+        )
+
+    c1 = classify(li.filter(F.col("l_shipdate") < F.lit(mid))).select(
+        F.col("l_partkey").alias("pk1"), F.col("cls").alias("class_prev")
+    )
+    c2 = classify(li.filter(F.col("l_shipdate") >= F.lit(mid))).select(
+        F.col("l_partkey").alias("pk2"), F.col("cls").alias("class_cur")
+    )
+    joined = c1.join(c2, c1.pk1 == c2.pk2, "full_outer")
+    return joined.groupBy(
+        F.coalesce("class_prev", F.lit("-")).alias("class_prev"),
+        F.coalesce("class_cur", F.lit("-")).alias("class_cur"),
+    ).agg(F.count("*").cast("bigint").alias("n_parts"))

@@ -2697,3 +2697,89 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(t AS DOUBLE) / 2), 6)"
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "events_type_cooccurrence_pmi",
+    oracle=_SESSION_ISLANDS_SQL
+    + """
+    , stypes AS (
+        SELECT DISTINCT user_id, session_id, event_type FROM islands
+    ),
+    ns AS (SELECT CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT) AS n
+           FROM stypes),
+    single AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM stypes GROUP BY event_type
+    ),
+    pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM stypes a
+        JOIN stypes b ON a.user_id = b.user_id
+                     AND a.session_id = b.session_id
+                     AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+           ROUND(ln((CAST(p.c_ab AS DOUBLE) * (SELECT n FROM ns))
+                    / (CAST(sa.c AS DOUBLE) * sb.c)), 4) AS pmi
+    FROM pair p
+    JOIN single sa ON p.type_a = sa.event_type
+    JOIN single sb ON p.type_b = sb.event_type
+    """,
+)
+def events_type_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral association mining: pointwise mutual information of
+    event-type PAIRS co-occurring within a session — PMI > 0 means the
+    behaviors cluster in the same visits beyond what their base rates
+    predict (the market-basket lift idea applied to behavior, on the
+    same sessionization kernel as the funnel ops).
+
+    Sessions collapse to DISTINCT (session, type) rows first (≤ |types|
+    per session — repeat events can't inflate co-occurrence); pairs
+    generate via a keyed self-join on the session (bounded by |types|²
+    per session); singles and the session total are broadcast-sized.
+    Exact integer counts; ln at 4 dp from shared text.
+    """
+    islands = _session_islands(table(spark, sf_dir, "events"))
+    stypes = islands.select("user_id", "session_id", "event_type").distinct()
+    ns = stypes.select("user_id", "session_id").distinct().agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    single = stypes.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = stypes.alias("a")
+    b = stypes.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+    )
+    sa = single.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    sb = single.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "ROUND(ln((CAST(c_ab AS DOUBLE) * n)"
+                " / (CAST(c_a AS DOUBLE) * c_b)), 4)"
+            ).alias("pmi"),
+        )
+    )
