@@ -205,9 +205,15 @@ class LogTable:
             # the winner's columns as all-NULL). Surface the conflict.
             actions.append({"metaData": {"schema": df.schema.jsonValue()}})
             return self._commit(actions)
-        if [(f.name, f.dataType) for f in df.schema] == [
-            (f.name, f.dataType) for f in current
-        ]:
+        # order-INSENSITIVE schema match: the parquet files carry their own
+        # column order and every read goes through _read_reconciled, which
+        # conforms by NAME to the committed schema — so a frame with the
+        # same (name, type) set in a different order is a blind append,
+        # not a schema change (previously it raised / logged a redundant
+        # metaData action)
+        if {f.name: f.dataType for f in df.schema} == {
+            f.name: f.dataType for f in current
+        }:
             return self._commit(actions, retries=4)
         if not evolve_schema:
             raise ValueError(
@@ -226,6 +232,11 @@ class LogTable:
             list(current)
             + [f for f in df.schema if f.name not in {c.name for c in current}]
         )
+        if merged == current:
+            # evolve requested but nothing to evolve (e.g. the frame is a
+            # column SUBSET of the table): still a blind append — do not
+            # burn a metaData action on an unchanged schema
+            return self._commit(actions, retries=4)
         actions.append({"metaData": {"schema": merged.jsonValue()}})
         return self._commit(actions)
 
@@ -265,15 +276,25 @@ class LogTable:
             if any(fp.endswith("/" + os.path.basename(p)) for fp in hit_suffixes)
         ]
         if not affected:
-            return self._commit([])  # no-op commit records the intent
+            # no rows match: return the current version WITHOUT committing.
+            # An empty commit here used to burn a log version per no-op
+            # delete and could even fail with ConcurrentCommitError against
+            # a racing blind append — for zero semantic content.
+            return (self._versions() or [-1])[-1]
         # the rewrite MUST read schema-reconciled: a plain multi-file read
         # takes one file's footer schema, silently dropping columns that
         # post-date the older affected files (caught by
         # test_delete_where_after_schema_evolution — survivors lost their
         # evolved column before this used _read_reconciled)
+        # three-valued logic guard: DELETE removes rows where the predicate
+        # is TRUE, so the rewrite must KEEP rows where it is FALSE **or
+        # NULL**. A bare NOT(pred) maps NULL->NULL, which filter() drops —
+        # silently deleting rows the predicate never matched (exactly the
+        # rows schema evolution NULL-fills). Delta guards the same way:
+        # keep = NOT coalesce(pred, false).
         keep = (
             self._read_reconciled(affected)
-            .filter(f"NOT ({predicate_sql})")
+            .filter(f"NOT coalesce(({predicate_sql}), false)")
             .drop("_metadata")  # hidden column must not land in the rewrite
         )
         adds = self._write_files(keep, n_files=max(1, len(affected)))

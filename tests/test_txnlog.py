@@ -187,3 +187,71 @@ def test_snapshot_isolation_under_concurrent_append(spark):
     assert t.live_files(0) == pinned
     assert t.snapshot(0).count() == 10
     assert t.snapshot().count() == 15
+
+
+def test_delete_where_keeps_null_predicate_rows(spark):
+    """DELETE removes rows where the predicate is TRUE; rows where it
+    evaluates NULL must SURVIVE the copy-on-write rewrite (round-3
+    ADVICE high: bare NOT(pred) dropped them — three-valued logic)."""
+    rows = [(1, "F"), (2, "O"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "k int, status string")
+    t = _fresh(spark)
+    t.append(df, n_files=1)
+    t.delete_where("status = 'F'")
+    got = {(r["k"], r["status"]) for r in t.snapshot().collect()}
+    assert got == {(2, "O"), (3, None), (4, None)}
+
+
+def test_delete_where_null_rows_after_schema_evolution(spark):
+    """Schema evolution NULL-fills old files; a delete on the evolved
+    column must not wipe those NULL rows."""
+    t = _fresh(spark)
+    t.append(spark.createDataFrame([(1,), (2,)], "k int"), n_files=1)
+    t.append(
+        spark.createDataFrame([(3, "bad"), (4, "ok")], "k int, tag string"),
+        n_files=1,
+        evolve_schema=True,
+    )
+    t.delete_where("tag = 'bad'")
+    got = {(r["k"], r["tag"]) for r in t.snapshot().collect()}
+    assert got == {(1, None), (2, None), (4, "ok")}
+
+
+def test_delete_where_no_match_burns_no_version(spark):
+    """A no-op delete returns the current version without committing."""
+    t = _fresh(spark)
+    v0 = t.append(spark.createDataFrame([(1,)], "k int"))
+    v = t.delete_where("k = 999")
+    assert v == v0
+    assert t._versions() == [v0]
+    assert t.snapshot().count() == 1
+
+
+def test_append_column_order_insensitive(spark):
+    """Same (name, type) set in a different column order is a blind
+    append — no raise, no redundant metaData commit (round-3 ADVICE)."""
+    t = _fresh(spark)
+    t.append(spark.createDataFrame([(1, "a")], "k int, s string"))
+    t.append(spark.createDataFrame([("b", 2)], "s string, k int"))
+    assert t.schema_at() is not None
+    # exactly one metaData action ever committed (the initial one)
+    metas = [a for a in t._read_log() if "metaData" in a]
+    assert len(metas) == 1
+    got = {(r["k"], r["s"]) for r in t.snapshot().collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_append_evolve_noop_schema_commits_no_metadata(spark):
+    """evolve_schema=True with a column-subset frame must not log a
+    redundant metaData action (merged schema unchanged)."""
+    t = _fresh(spark)
+    t.append(spark.createDataFrame([(1, "a")], "k int, s string"))
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(2,)], "k int"))
+    t.append(spark.createDataFrame([(2,)], "k int"), evolve_schema=True)
+    metas = [a for a in t._read_log() if "metaData" in a]
+    assert len(metas) == 1
+    got = {(r["k"], r["s"]) for r in t.snapshot().collect()}
+    assert got == {(1, "a"), (2, None)}
