@@ -824,18 +824,30 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gini = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend ranked ascending. The
     expensive reduction (per-customer spend) collapses the fact table
-    first; the rank window then runs over |customers| rows. Rank products
+    first; the global rank then runs as a TWO-PHASE bucket-cut
+    (``two_phase_global_rank``): quantile cuts bucket the collapsed
+    frame, row_number runs per bounded bucket + broadcast offset — no
+    single task ever sorts all |customers| (the old form ranked them in
+    one unpartitioned window; round-3 VERDICT). Rank products
     accumulate in exact decimal so only the final two divisions touch
     floats (6 dp rounding absorbs them).
     """
+    from dataengineeringutils_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.select(
-        "spend", F.row_number().over(w).cast("long").alias("i")
-    )
+    n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    cuts = per_cust.select(
+        F.col("spend").cast("double").alias("spend_d")
+    ).stat.approxQuantile("spend_d", qs, 0.01)
+    ranked = two_phase_global_rank(
+        per_cust, "spend", "o_custkey", sorted(set(cuts)), rn_name="i"
+    ).select("spend", "i")
     return ranked.agg(
         F.round(
             (F.lit(2) * F.sum(F.col("i") * F.col("spend"))).cast("double")

