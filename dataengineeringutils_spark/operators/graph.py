@@ -395,6 +395,7 @@ def _kcore_peel_sql(k: int, rounds: int) -> str:
 
 KCORE_K = 2
 KCORE_ROUNDS = 12  # unroll depth; Spark loops to fixpoint and ASSERTS it is reached within this
+KCORE_LOCAL_EDGES = 200_000  # finish the peel locally below this edge count
 
 
 @query(
@@ -444,43 +445,88 @@ def graph_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle's fixed depth matches any earlier convergence).
     """
     edges = copurchase_edges(spark, sf_dir)
-    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+    live = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).localCheckpoint(eager=True)
-    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    n_nodes = nodes.count()
-    surv = nodes
-    prev_n = n_nodes
+    n_nodes = live.select("src").distinct().count()
+    # LIVE-EDGE peel (round-4 rework): instead of re-joining the FULL
+    # symmetric edge table against the survivor set twice per round, the
+    # loop maintains the edge set among survivors. live_i = edges among
+    # r_i by induction (deg over live_{i-1} IS |N(v) ∩ r_{i-1}|), so the
+    # semantics are round-for-round identical to the oracle's unroll —
+    # but every join shrinks with the graph, and the 2-core summary falls
+    # straight out of the final edge set (nodes = distinct src, edges =
+    # count/2) with no post-loop joins. Convergence detection rides the
+    # same per-round count: an unchanged edge count means an unchanged
+    # edge SET (monotone shrink), hence fixpoint.
+    prev_e = live.count()
     converged = False
-    for _ in range(KCORE_ROUNDS):
+    rounds_left = KCORE_ROUNDS
+    while rounds_left > 0:
+        # SIZE-ADAPTIVE finish: each distributed round costs fixed job
+        # overhead (3 shuffles + checkpoint + count) regardless of how
+        # small the surviving graph has become — and peeling shrinks it
+        # fast. Once the exact count IN HAND is below the bound, pull
+        # the remaining edges (≤ {KCORE_LOCAL_EDGES} rows, a few MB —
+        # a GUARDED collect, never an unbounded one) and run the same
+        # simultaneous rounds in driver python: round semantics, budget
+        # and the unconverged raise are identical, so the result is the
+        # oracle's r{KCORE_ROUNDS} bit for bit. At 100 TB the loop
+        # stays distributed until the graph has collapsed to driver
+        # scale — the standard endgame for iterative graph peeling.
+        if prev_e <= KCORE_LOCAL_EDGES:
+            adj: dict[int, set[int]] = {}
+            for r in live.collect():
+                adj.setdefault(r["src"], set()).add(r["dst"])
+            alive = set(adj)
+            while rounds_left > 0:
+                keep = {
+                    v for v in alive if len(adj[v] & alive) >= KCORE_K
+                }
+                rounds_left -= 1
+                if keep == alive:
+                    converged = True
+                    break
+                alive = keep
+            if converged:
+                n_core_nodes = len(alive)
+                n_core_edges = (
+                    sum(len(adj[v] & alive) for v in alive) // 2
+                )
+                return spark.createDataFrame(
+                    [(n_nodes, n_core_nodes, n_core_edges)],
+                    "n_nodes bigint, n_core_nodes bigint, n_core_edges bigint",
+                )
+            break
         surv = (
-            sym.join(surv.withColumnRenamed("node", "s"), sym.src == F.col("s"))
-            .join(surv.withColumnRenamed("node", "d"), sym.dst == F.col("d"))
-            .groupBy("src")
+            live.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
-            .select(F.col("src").alias("node"))
+            .select("src")
+        )
+        live = (
+            live.join(surv, "src", "left_semi")
+            .join(surv.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n = surv.count()
-        if n == prev_n:
+        e = live.count()
+        rounds_left -= 1
+        if e == prev_e:
             converged = True
             break
-        prev_n = n
+        prev_e = e
     if not converged:
         raise RuntimeError(
             f"2-core peel did not converge within {KCORE_ROUNDS} rounds "
             "— raise KCORE_ROUNDS (and the oracle's unroll depth with it)"
         )
-    core = surv
-    core_edges = edges.join(
-        core.withColumnRenamed("node", "a"), "a"
-    ).join(core.withColumnRenamed("node", "b"), "b")
     return (
-        core.agg(F.count("*").alias("n_core_nodes"))
-        .crossJoin(core_edges.agg(F.count("*").alias("n_core_edges")))
+        live.select("src")
+        .distinct()
+        .agg(F.count("*").alias("n_core_nodes"))
+        .crossJoin(
+            live.agg((F.count("*") / 2).cast("bigint").alias("n_core_edges"))
+        )
         .select(
             F.lit(n_nodes).cast("bigint").alias("n_nodes"),
             F.col("n_core_nodes").cast("bigint"),

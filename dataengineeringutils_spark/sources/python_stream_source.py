@@ -205,7 +205,7 @@ def stream_python_queue_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from dataengineeringutils_spark.paths import scratch_dir
+    from dataengineeringutils_spark.paths import ram_scratch_dir, scratch_dir
 
     spark.dataSource.register(QueueDataSource)
     base = scratch_dir("file_queue_" + sf_dir.strip("/").replace("/", "_"))
@@ -229,6 +229,8 @@ def stream_python_queue_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
+            # ephemeral memory-sink demo: checkpoint on tmpfs (see paths)
+            .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
             .trigger(availableNow=True)
             .start()
         )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineeringutils_spark.exprs import money_sum, o_money_sum
-from dataengineeringutils_spark.paths import scratch_dir
+from dataengineeringutils_spark.paths import ram_scratch_dir, scratch_dir
 from dataengineeringutils_spark.registry import query
 from dataengineeringutils_spark.tables import table, ts_bounds
 
@@ -210,6 +210,10 @@ def run_streaming(
             .writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
+            # memory sink is ephemeral by definition, so its checkpoint
+            # rides tmpfs (WAL/offset fsyncs are the fixed per-batch
+            # cost); durable pipelines point this at durable storage
+            .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
             .trigger(availableNow=True)
             .start()
         )
@@ -471,6 +475,10 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(lambda b, _id: kt.upsert(b))
+        .option(
+            "checkpointLocation",
+            ram_scratch_dir(f"ck_upsert_{next(_sink_counter)}"),
+        )
         .trigger(availableNow=True)
         .start()
     )
@@ -582,6 +590,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
             .trigger(availableNow=True)
             .start()
         )
@@ -767,6 +776,7 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
             .trigger(availableNow=True)
             .start()
         )
