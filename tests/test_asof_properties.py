@@ -177,3 +177,92 @@ def test_asof_equal_ts_inclusive_vs_strict(spark):
     assert _spark_asof(
         spark, left, right, strict=True, tolerance=F.lit(3)
     ) == [(0, 10, None)]
+
+
+def _spark_nearest(spark, left_ided, right_u):
+    """The join_asof_nearest composition (backward + forward pass, gap
+    compare, exact ties prefer backward) on test data."""
+    from dataengineeringutils_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left_ided or [], "rid int, k int, lts int")
+    rdf = spark.createDataFrame(
+        [(k, ts, ts, v) for k, ts, v in (right_u or [])],
+        "k int, rts int, rts_p int, quote int",
+    )
+    b = asof_join(
+        ldf, rdf, by="k", left_ts="lts", right_ts="rts",
+        payload=["rts_p", "quote"], payload_prefix="b_",
+    ).select("rid", "k", "lts", "b_rts_p", "b_quote")
+    f = asof_join(
+        ldf, rdf, by="k", left_ts="lts", right_ts="rts",
+        payload=["rts_p", "quote"], payload_prefix="f_", direction="forward",
+    ).select("rid", "f_rts_p", "f_quote")
+    j = b.join(f, "rid")
+    take_back = F.when(F.col("f_rts_p").isNull(), True).otherwise(
+        F.when(F.col("b_rts_p").isNull(), False).otherwise(
+            (F.col("lts") - F.col("b_rts_p"))
+            <= (F.col("f_rts_p") - F.col("lts"))
+        )
+    )
+    got = j.select(
+        "k",
+        "lts",
+        F.when(take_back, F.col("b_quote"))
+        .otherwise(F.col("f_quote"))
+        .alias("q"),
+    )
+    rows = [(r["k"], r["lts"], r["q"]) for r in got.collect()]
+    rows.sort(key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0))
+    return rows
+
+
+def _brute_nearest(left, right_u):
+    out = []
+    for k, lts in left:
+        cands = [
+            (abs(rts - lts), 0 if rts <= lts else 1, rts, v)
+            for rk, rts, v in right_u
+            if rk == k
+        ]
+        pick = min(cands) if cands else None
+        out.append((k, lts, pick[3] if pick else None))
+    out.sort(key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0))
+    return out
+
+
+@given(left=left_rows, right=right_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_asof_nearest_matches_pandas_and_brute(spark, left, right):
+    """Completes the four-mode coverage (round-3 VERDICT item 8):
+    NEAREST = min absolute gap, exact ties prefer backward — checked
+    against a per-row reference and pandas merge_asof('nearest')."""
+    seen = set()
+    right_u = []
+    for k, ts in right:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            right_u.append((k, ts, k * 1000 + ts))
+    left_ided = [(i, k, ts) for i, (k, ts) in enumerate(left)]
+    got = _spark_nearest(spark, left_ided, right_u)
+    assert got == _brute_nearest(left, right_u)
+    if left and right_u:
+        lpdf = pd.DataFrame(left, columns=["k", "lts"]).sort_values("lts")
+        rpdf = pd.DataFrame(
+            right_u, columns=["k", "rts", "quote"]
+        ).sort_values("rts")
+        pj = pd.merge_asof(
+            lpdf, rpdf, left_on="lts", right_on="rts", by="k",
+            direction="nearest",
+        )
+        prows = sorted(
+            (
+                (int(r.k), int(r.lts), None if pd.isna(r.quote) else int(r.quote))
+                for r in pj.itertuples()
+            ),
+            key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0),
+        )
+        assert got == prows
