@@ -1776,3 +1776,124 @@ def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("class_prev", F.lit("-")).alias("class_prev"),
         F.coalesce("class_cur", F.lit("-")).alias("class_cur"),
     ).agg(F.count("*").cast("bigint").alias("n_parts"))
+
+
+@query(
+    "graph_jaccard_part_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    sup AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+        FROM d GROUP BY l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           ROUND(CAST(p.n_both AS DOUBLE) / (sa.s + sb.s - p.n_both), 6)
+               AS jaccard
+    FROM pair p
+    JOIN sup sa ON p.part_a = sa.l_partkey
+    JOIN sup sb ON p.part_b = sb.l_partkey
+    ORDER BY jaccard DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def graph_jaccard_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchase part pairs by JACCARD similarity of their
+    order sets — |A∩B| / |A∪B|. The normalization that raw pair counts
+    (basket_pair_counts) and lift (basket_pair_lift) both miss:
+    count ranks popular×popular pairs first, lift explodes on rare
+    coincidences; Jaccard rewards pairs that co-occur in most of the
+    orders EITHER appears in — the "always bought together" signal.
+
+    Reads the session-cached pair-count and single-item support
+    artifacts (built once per corpus snapshot, shared with the other
+    basket/graph ops); the support table joins in broadcast, so the
+    only per-query work is |pairs| arithmetic + a top-20 heap merge
+    (TakeOrderedAndProject) — no new pass over the fact table.
+    """
+    pairs = basket_pair_counts_cached(spark, sf_dir)
+    sup, _ = basket_supports_cached(spark, sf_dir)
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("s_a"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("s_a") + F.col("s_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "lineitem_discount_response",
+    oracle="""
+    WITH tot AS (
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(22,4))) AS DOUBLE) AS t
+        FROM lineitem
+    )
+    SELECT CAST(ROUND(l_discount * 100) AS INT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_quantity,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(22,4))) AS DOUBLE) AS net_revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(22,4))) AS DOUBLE)
+                 / (SELECT t FROM tot), 6) AS revenue_share
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response grid: per discount level (0–10%), line volume,
+    mean quantity and net-revenue share — the elasticity read behind
+    "does a deeper discount actually move more units", and the input to
+    any promo-depth optimization.
+
+    The discount column is an 11-value enum, so the aggregate collapses
+    to ≤11 rows in one map-combined pass; net revenue accumulates in
+    DECIMAL(22,4) (exact, associative) and the corpus-total denominator
+    broadcasts back from the same collapsed frame via a 1-row cross
+    join — one fact-table scan total.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(22,4)"
+    )
+    per = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_quantity"),
+        F.sum(net).cast("double").alias("net_revenue"),
+    )
+    tot = per.agg(F.sum("net_revenue").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "discount_pct",
+        "n_lines",
+        "avg_quantity",
+        "net_revenue",
+        F.round(F.col("net_revenue") / F.col("t"), 6).alias("revenue_share"),
+    )

@@ -1258,3 +1258,148 @@ def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "dq_fanout_profile",
+    oracle="""
+    WITH cnt AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    fan AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               COALESCE(c.n_items, 0) AS n_items
+        FROM orders o LEFT JOIN cnt c ON o.o_orderkey = c.l_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, n_items,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY n_items ASC, o_orderkey ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM fan
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(n_items) AS BIGINT) AS min_items,
+           CAST(MAX(n_items) AS BIGINT) AS max_items,
+           ROUND(CAST(SUM(n_items) AS DOUBLE) / COUNT(*), 4) AS avg_items,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN n_items END) AS BIGINT) AS p50_items,
+           CAST(SUM(CASE WHEN n_items = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_childless
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def dq_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential fan-out profile of the orders→lineitem 1:N edge per
+    priority class: children-per-parent min/median/avg/max plus
+    childless-parent counts — the DQ companion of ``fk_orphan_audit``
+    (that op finds children without parents; this one characterizes the
+    DISTRIBUTION, which is what join planners and skew guards actually
+    consume — a p50 of 4 with a max of 40k says "salt this key").
+
+    The fact table collapses to one count row per parent FIRST (one
+    map-combined aggregate), the parent join is on the collapsed frame,
+    and the median is PERCENTILE_DISC from the definition (integer rank
+    under a total order — exact in both engines) per priority key, so
+    every window is keyed: no global sort anywhere.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cnt = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_items")
+    )
+    fan = o.join(
+        cnt, o.o_orderkey == cnt.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce("n_items", F.lit(0)).cast("bigint").alias("n_items"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n_items").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = fan.select(
+        "o_orderpriority",
+        "n_items",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min("n_items").cast("bigint").alias("min_items"),
+        F.max("n_items").cast("bigint").alias("max_items"),
+        F.round(
+            F.sum("n_items").cast("double") / F.count("*"), 4
+        ).alias("avg_items"),
+        F.min(
+            F.when(
+                F.expr("rn = CAST(ceil(0.50 * n) AS BIGINT)"),
+                F.col("n_items"),
+            )
+        )
+        .cast("bigint")
+        .alias("p50_items"),
+        F.sum((F.col("n_items") == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_childless"),
+    )
+
+
+@query(
+    "dq_partition_completeness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 4) AS null_value_rate
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_n FROM daily
+    )
+    SELECT d, n_events, n_users, null_value_rate,
+           CAST(n_events < 0.5 * (SELECT avg_n FROM stats) AS BOOLEAN)
+               AS is_low_volume
+    FROM daily
+    """,
+)
+def dq_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-partition health grid: per event-day volume, distinct
+    users and NULL-value rate, with a low-volume flag (< 50% of the
+    mean daily volume) — the freshness/completeness gate a pipeline
+    evaluates before promoting a daily partition (a half-empty day
+    usually means a dead upstream shard, not a quiet day).
+
+    One scan collapses the facts to the |days| frame (count-distinct
+    runs in the same keyed aggregate); the mean-volume scalar comes off
+    that tiny frame and broadcasts back as a 1-row cross join, so the
+    flag costs no second scan of the fact table. The day key is also
+    the table's physical partition key in a production layout — this
+    query prunes to footer metadata plus one user-id column there.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(F.col("value").isNull().cast("long")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("null_value_rate"),
+    )
+    avg_n = daily.agg(
+        (F.sum("n_events").cast("double") / F.count("*")).alias("avg_n")
+    )
+    return daily.crossJoin(F.broadcast(avg_n)).select(
+        "d",
+        "n_events",
+        "n_users",
+        "null_value_rate",
+        (F.col("n_events") < 0.5 * F.col("avg_n")).alias("is_low_volume"),
+    )

@@ -2803,3 +2803,85 @@ def events_type_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "events_session_gap_sensitivity",
+    oracle="""
+    WITH seq AS (
+        SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ),
+    one AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ev,
+               CAST(SUM(CASE WHEN gap_us IS NULL
+                             OR gap_us > CAST(10 AS BIGINT) * 60 * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s10,
+               CAST(SUM(CASE WHEN gap_us IS NULL
+                             OR gap_us > CAST(30 AS BIGINT) * 60 * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s30,
+               CAST(SUM(CASE WHEN gap_us IS NULL
+                             OR gap_us > CAST(60 AS BIGINT) * 60 * 1000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS s60
+        FROM seq
+    )
+    SELECT gap_minutes, n_sessions,
+           ROUND(CAST(n_ev AS DOUBLE) / n_sessions, 4)
+               AS avg_events_per_session
+    FROM (
+        SELECT CAST(10 AS INT) AS gap_minutes, s10 AS n_sessions, n_ev FROM one
+        UNION ALL SELECT 30, s30, n_ev FROM one
+        UNION ALL SELECT 60, s60, n_ev FROM one
+    )
+    """,
+)
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-gap sensitivity: session counts and mean session
+    length at inactivity gaps of 10/30/60 minutes — the tuning table a
+    pipeline publishes before pinning the 30-minute convention every
+    downstream session metric inherits (a gap choice that halves the
+    session count changes funnels, retention and LTV definitions).
+
+    ONE window pass computes every per-user inter-event gap in integer
+    microseconds; all three thresholds are conditional counts over that
+    same pass (a session starts where the gap exceeds the threshold, or
+    at the user's first event), so the fact table is scanned once and
+    shuffled once regardless of how many candidate gaps are evaluated.
+    The 3-row threshold grid then unstacks from the single aggregate
+    row — adding a gap candidate costs one more counter, not a scan.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us")
+    )
+    one = seq.agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        *[
+            F.sum(
+                (
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > g * 60 * 1_000_000)
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias(f"s{g}")
+            for g in (10, 30, 60)
+        ],
+    )
+    return one.select(
+        F.expr(
+            "stack(3, CAST(10 AS INT), s10, CAST(30 AS INT), s30, "
+            "CAST(60 AS INT), s60) AS (gap_minutes, n_sessions)"
+        ),
+        "n_ev",
+    ).select(
+        "gap_minutes",
+        "n_sessions",
+        F.round(
+            F.col("n_ev").cast("double") / F.col("n_sessions"), 4
+        ).alias("avg_events_per_session"),
+    )

@@ -2376,3 +2376,110 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@query(
+    "embeddings_int8_quantization_error",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                   v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    errs AS (
+        SELECT vec_id, label, scale,
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                   SQRT(list_sum(list_transform(embedding,
+                       v -> (CAST(v AS DOUBLE)
+                             - CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5)
+                                    AS DOUBLE) * scale)
+                          * (CAST(v AS DOUBLE)
+                             - CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5)
+                                    AS DOUBLE) * scale)))
+                        / len(embedding))
+               END AS rmse,
+               CASE WHEN scale = 0 THEN 0.0 ELSE
+                   list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)
+                                - CAST(FLOOR(CAST(v AS DOUBLE) / scale + 0.5)
+                                       AS DOUBLE) * scale)))
+               END AS max_abs_err
+        FROM scaled
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(FLOOR(rmse * 1e12) AS BIGINT)) AS DOUBLE)
+                 / 1e12 / COUNT(*), 6) AS avg_rmse,
+           ROUND(MAX(max_abs_err), 6) AS max_abs_err
+    FROM errs
+    GROUP BY label
+    """,
+)
+def embeddings_int8_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric per-vector INT8 quantization error profile by label:
+    scale = max|x|/127, q = round-half-up(x/scale), per-vector RMSE and
+    worst-element error, aggregated per label — the storage-shrink
+    go/no-go that precedes the ranking-fidelity check
+    (``embeddings_sign_quantization_eval``): 4× smaller vectors are
+    free only if the reconstruction error is far below the inter-class
+    cosine margins.
+
+    Pure whole-stage-codegen array expressions (transform / aggregate /
+    array_max) — no Python, no shuffle until the |labels|-row aggregate.
+    Rounding is an explicit FLOOR(x/scale + 0.5) in BOTH engines (no
+    engine round() half-even ambiguity) and per-vector math runs in
+    array order, so RMSE values match the oracle bit for bit; the
+    per-label mean accumulates in fixed-point int64 (order-independent)
+    before the final 6-dp divide. A zero vector quantizes to itself
+    (scale=0 guard in both engines).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xd = lambda v: v.cast("double")  # noqa: E731
+    scaled = e.select(
+        "label",
+        "embedding",
+        (
+            F.array_max(F.transform("embedding", lambda v: F.abs(xd(v))))
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    err_elem = lambda v: xd(v) - F.floor(  # noqa: E731
+        xd(v) / F.col("scale") + 0.5
+    ).cast("double") * F.col("scale")
+    errs = scaled.select(
+        "label",
+        F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        "embedding", lambda v: err_elem(v) * err_elem(v)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size("embedding")
+            )
+        )
+        .alias("rmse"),
+        F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(
+            F.array_max(
+                F.transform("embedding", lambda v: F.abs(err_elem(v)))
+            )
+        )
+        .alias("max_abs_err"),
+    )
+    return errs.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.floor(F.col("rmse") * 1e12).cast("long")).cast("double")
+            / 1e12
+            / F.count("*"),
+            6,
+        ).alias("avg_rmse"),
+        F.round(F.max("max_abs_err"), 6).alias("max_abs_err"),
+    )

@@ -1271,3 +1271,187 @@ def text_lm_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@query(
+    "text_vocab_growth_heaps",
+    oracle="""
+    WITH n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    first AS (
+        SELECT tok, MIN(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    one AS (
+        SELECT ANY_VALUE(n.nd) AS nd,
+               CAST(SUM(CASE WHEN first_doc < ceil(0.125 * n.nd)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v125,
+               CAST(SUM(CASE WHEN first_doc < ceil(0.25 * n.nd)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v25,
+               CAST(SUM(CASE WHEN first_doc < ceil(0.5 * n.nd)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v50,
+               CAST(COUNT(*) AS BIGINT) AS v100
+        FROM first, n
+    )
+    SELECT frac, n_docs, vocab
+    FROM (
+        SELECT CAST(0.125 AS DOUBLE) AS frac,
+               CAST(ceil(0.125 * nd) AS BIGINT) AS n_docs, v125 AS vocab
+        FROM one
+        UNION ALL SELECT 0.25, CAST(ceil(0.25 * nd) AS BIGINT), v25 FROM one
+        UNION ALL SELECT 0.5, CAST(ceil(0.5 * nd) AS BIGINT), v50 FROM one
+        UNION ALL SELECT 1.0, CAST(nd AS BIGINT), v100 FROM one
+    )
+    """,
+)
+def text_vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct-token count after
+    1/8, 1/4, 1/2 and all of the corpus in doc-id order — the
+    sublinearity check that says whether a tokenizer's vocab budget
+    will hold as the corpus scales (vocab ∝ docs^β, β≈0.5 for natural
+    text; β→1 flags ID-like/garbage token floods long before they
+    blow up a vocab build).
+
+    The exploded token stream collapses IMMEDIATELY to one
+    (token, first_doc_id) row per distinct token — a min-aggregate, so
+    the shuffle is |vocab|, not |token occurrences| — and every
+    checkpoint is a conditional count over that one frame: 4 cutoffs =
+    4 counters, one scan, no per-checkpoint recount. Adding checkpoints
+    is free; the corpus-size scalar broadcasts from a 1-row aggregate.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    first = (
+        d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    nd = d.agg((F.max("doc_id") + 1).alias("nd"))
+    one = first.crossJoin(F.broadcast(nd)).agg(
+        F.any_value("nd").alias("nd"),
+        *[
+            F.sum(
+                (F.col("first_doc") < F.ceil(F.lit(f) * F.col("nd"))).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias(v)
+            for f, v in ((0.125, "v125"), (0.25, "v25"), (0.5, "v50"))
+        ],
+        F.count("*").cast("bigint").alias("v100"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, "
+            "CAST(0.125 AS DOUBLE), CAST(ceil(0.125 * nd) AS BIGINT), v125, "
+            "CAST(0.25  AS DOUBLE), CAST(ceil(0.25 * nd) AS BIGINT), v25, "
+            "CAST(0.5   AS DOUBLE), CAST(ceil(0.5 * nd) AS BIGINT), v50, "
+            "CAST(1.0   AS DOUBLE), CAST(nd AS BIGINT), v100"
+            ") AS (frac, n_docs, vocab)"
+        )
+    )
+
+
+@query(
+    "text_token_head_coverage",
+    oracle="""
+    WITH counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (
+            SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+        FROM counts
+    ),
+    one AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(CASE WHEN rn <= 100 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS m100,
+               CAST(SUM(CASE WHEN rn <= 1000 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS m1000,
+               CAST(SUM(CASE WHEN rn <= 10000 THEN cnt ELSE 0 END) AS BIGINT)
+                   AS m10000
+        FROM ranked
+    )
+    SELECT k, LEAST(CAST(k AS BIGINT), n_vocab) AS n_head_tokens,
+           ROUND(CAST(mass AS DOUBLE) / total, 6) AS coverage
+    FROM (
+        SELECT CAST(100 AS INT) AS k, m100 AS mass, n_vocab, total FROM one
+        UNION ALL SELECT 1000, m1000, n_vocab, total FROM one
+        UNION ALL SELECT 10000, m10000, n_vocab, total FROM one
+    )
+    """,
+)
+def text_token_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-coverage of the token frequency table: what fraction of all
+    token OCCURRENCES the top-100 / top-1k / top-10k most frequent
+    types cover — the vocabulary-size planning curve (a tokenizer whose
+    10k head covers 99% of mass wastes the other 90k slots; one whose
+    head covers 60% will OOV constantly).
+
+    The occurrence stream collapses to |vocab| count rows in one
+    map-combined aggregate; the global frequency rank then runs as the
+    TWO-PHASE bucket-cut rank (``two_phase_global_rank``, descending,
+    token tie-break) — no single task ever sorts the whole vocabulary —
+    and all three K cutoffs are conditional sums over the ranked frame
+    in one pass.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+    from dataengineeringutils_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    cuts = counts.select(
+        F.col("cnt").cast("double").alias("c")
+    ).stat.approxQuantile("c", qs, 0.01)
+    ranked = two_phase_global_rank(
+        counts, "cnt", "tok", sorted(set(cuts)), descending=True
+    )
+    one = ranked.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_vocab"),
+        *[
+            F.sum(F.when(F.col("rn") <= k, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"m{k}")
+            for k in (100, 1000, 10000)
+        ],
+    )
+    return one.select(
+        F.expr(
+            "stack(3, CAST(100 AS INT), m100, CAST(1000 AS INT), m1000, "
+            "CAST(10000 AS INT), m10000) AS (k, mass)"
+        ),
+        "n_vocab",
+        "total",
+    ).select(
+        "k",
+        F.least(F.col("k").cast("bigint"), F.col("n_vocab")).alias(
+            "n_head_tokens"
+        ),
+        F.round(F.col("mass").cast("double") / F.col("total"), 6).alias(
+            "coverage"
+        ),
+    )
