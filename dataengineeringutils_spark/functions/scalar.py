@@ -1154,3 +1154,69 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         logsum.alias("growth_factor"),
         logsum.alias("growth_factor_logsum"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           ROW(o_orderstatus, o_totalprice) = ROW(o_orderstatus, o_totalprice)
+               AS self_eq,
+           ROW(o_totalprice, o_orderkey) <
+               ROW(CAST(150000.0 AS DOUBLE), CAST(0 AS BIGINT)) AS below_pivot,
+           struct_extract(
+               struct_pack(status := o_orderstatus, price := o_totalprice),
+               'status') AS status_out,
+           struct_extract(
+               struct_pack(status := o_orderstatus, price := o_totalprice),
+               'price') AS price_out,
+           ROW(o_orderkey, o_totalprice) <
+               ROW(CAST(3000 AS BIGINT), CAST(0.0 AS DOUBLE))
+               AS key_first_lt
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct scalar family: construction (``struct`` /
+    ``named_struct``), field extraction, and LEXICOGRAPHIC struct
+    comparison (=, <, field-order sensitivity) — the composite-sort-key idiom
+    (ORDER BY struct(a, b)), the multi-column pivot filter
+    (WHERE struct(ts, id) > last_seen for keyset pagination), and the
+    typed-record shape nested pipelines pass between stages. Both
+    engines define struct ordering field-by-field left to right, so
+    the booleans are engine-portable; outputs are flattened back to
+    scalars for the cross-engine hash.
+
+    Pure whole-stage-codegen row expressions on a keyed sample — no
+    shuffle, no UDF.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    pivot = F.struct(
+        F.lit(150000.0).cast("double").alias("p"),
+        F.lit(0).cast("bigint").alias("k"),
+    )
+    key = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return o.select(
+        "o_orderkey",
+        (s == s).alias("self_eq"),
+        (key < pivot).alias("below_pivot"),
+        s.getField("status").alias("status_out"),
+        s.getField("price").alias("price_out"),
+        (
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("p"),
+            )
+            < F.struct(
+                F.lit(3000).cast("bigint").alias("k"),
+                F.lit(0.0).cast("double").alias("p"),
+            )
+        ).alias("key_first_lt"),
+    )

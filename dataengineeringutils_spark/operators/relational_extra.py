@@ -825,3 +825,46 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("o_orderpriority").agg(
         disc(0.25, "p25"), disc(0.50, "p50"), disc(0.90, "p90"), disc(1.0, "p100")
     )
+
+
+@query(
+    "sample_topk_hash_per_group",
+    oracle="""
+    SELECT lang, doc_id, rk
+    FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    WHERE rk <= 5
+    """,
+)
+def sample_topk_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-K per-group sample: for every language, the
+    5 documents ranked first under an md5 identity hash — the
+    reservoir-sample replacement for training-data curation. Unlike
+    rand()-based sampling it is REPRODUCIBLE across runs and engines,
+    append-stable (a new doc displaces at most one sampled doc), and
+    unlike a global rate sample (``sample_hash_uniform``) it guarantees
+    exactly K rows per stratum however skewed the group sizes are —
+    eval-set construction per language/source without a giant group
+    starving a small one.
+
+    One keyed window (rank per lang over the hash order) — partitions
+    are per-group, never global, and the filter collapses each to K
+    rows before anything else reads them. The same idiom at 100 TB:
+    per-partition top-K then per-group merge, no full sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "lang", "doc_id", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+    )

@@ -1455,3 +1455,136 @@ def text_token_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+@query(
+    "documents_source_overlap_matrix",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(
+                   list_filter(string_split(text, ' '), t -> t <> '')[1:8],
+                   ' ')) AS h
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY source
+    ),
+    pair AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(ta.n, tb.n), 6)
+               AS overlap_coef
+    FROM pair p
+    JOIN tot ta ON p.source_a = ta.source
+    JOIN tot tb ON p.source_b = tb.source
+    """,
+)
+def documents_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap matrix on an 8-token PREFIX
+    fingerprint: for every source pair, how many distinct fingerprints
+    appear in both, and the overlap coefficient |A∩B| / min(|A|,|B|) —
+    the "is crawl X mirroring crawl Y" audit run before paying for
+    near-dup passes, and the provenance signal corpus-mixing weights
+    must not double count. Prefix fingerprinting (vs whole-text md5)
+    also catches template/boilerplate-led duplication where bodies
+    diverge after a shared opening — the common mirror signature.
+
+    Texts never shuffle: each doc collapses to a 32-char prefix digest
+    at the scan, the distinct (source, digest) set is the only thing
+    exchanged, and the pair join is digest-keyed (sources sharing
+    nothing produce zero join rows). Per-source totals broadcast back
+    onto the ≤|sources|² matrix.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 8))).alias("h"),
+    ).distinct()
+    tot = h.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = h.select(F.col("source").alias("source_a"), "h")
+    b = h.select(F.col("source").alias("source_b"), "h")
+    pair = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+@query(
+    "text_doc_length_log2_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT n_chars,
+               CAST({cases} AS INT) AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(POWER(2, bucket) AS BIGINT) AS lo_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE)
+                 / (SELECT SUM(n_chars) FROM documents), 6) AS char_share
+    FROM b
+    GROUP BY bucket
+    """.replace(
+        "{cases}",
+        " + ".join(
+            f"(CASE WHEN n_chars >= {1 << k} THEN 1 ELSE 0 END)"
+            for k in range(1, 21)
+        ),
+    ),
+)
+def text_doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram with character-mass
+    shares — the sequence-packing planner's input (how many docs fall
+    in each power-of-two band decides chunk sizes, padding waste and
+    the long-tail truncation budget before any tokenizer runs).
+
+    The bucket is an INTEGER comparison chain (Σ [n_chars ≥ 2^k]), not
+    floor(log2(x)) — no libm, bit-identical across engines including at
+    exact powers of two; codegen folds it into the scan. One aggregate
+    to ≤20 bucket rows; the corpus-total denominator is a scalar off
+    the same scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    bucket = F.lit(0)
+    for k in range(1, 21):
+        bucket = bucket + (F.col("n_chars") >= (1 << k)).cast("int")
+    hist = d.select(bucket.alias("bucket"), "n_chars").groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    tot = d.agg(F.sum("n_chars").cast("double").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("lo_chars"),
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars").cast("double") / F.col("t"), 6).alias(
+            "char_share"
+        ),
+    )
