@@ -2885,3 +2885,94 @@ def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_ev").cast("double") / F.col("n_sessions"), 4
         ).alias("avg_events_per_session"),
     )
+
+
+@query(
+    "events_out_of_order_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, epoch_us(ts) AS ev_us,
+               epoch_us(ts)
+               + (event_id * 2654435761) % 600000000 - 300000000 AS arr_us,
+               event_id
+        FROM events
+    ),
+    seq AS (
+        SELECT MAX(ev_us) OVER (
+                   PARTITION BY user_id ORDER BY arr_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - ev_us AS late_us
+        FROM arr
+    ),
+    b AS (
+        SELECT CASE
+                   WHEN late_us = 0 THEN 'on_time'
+                   WHEN late_us < 60 * 1000000 THEN 'lt_1m'
+                   WHEN late_us < CAST(600 AS BIGINT) * 1000000 THEN 'lt_10m'
+                   WHEN late_us < CAST(3600 AS BIGINT) * 1000000 THEN 'lt_1h'
+                   ELSE 'ge_1h'
+               END AS lateness,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq GROUP BY 1
+    )
+    SELECT lateness, n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM b), 6) AS share
+    FROM b
+    """,
+)
+def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event stream: per user in
+    arrival order, how far each event's time lags the running maximum
+    event time — bucketed into on-time / <1m / <10m / <1h / ≥1h
+    shares. This histogram IS the watermark-delay decision: the bucket
+    where the tail mass lives is the `withWatermark` bound that keeps
+    late-drop below the chosen tolerance, measured from data instead
+    of guessed.
+
+    The fixtures carry no ingestion log (their event_id order is
+    perfectly time-sorted, which would make every profile trivially
+    on-time), so arrival is modeled as event time plus a DETERMINISTIC
+    bounded jitter — a Knuth multiplicative residue of the event id in
+    (−300 s, +300 s), pure int64 arithmetic, identical in both
+    engines. With a real ingestion log, ``arr_us`` is simply that
+    log's arrival timestamp; everything downstream is unchanged.
+
+    One keyed window (running max per user — arrival skew never makes
+    a global sort), integer-microsecond lateness, then a ≤5-row bucket
+    aggregate; the share denominator sums that tiny frame.
+    """
+    ev = table(spark, sf_dir, "events")
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ev_us"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") * F.lit(2654435761).cast("bigint"))
+            % 600_000_000
+            - 300_000_000
+        ).alias("arr_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = arr.select(
+        (F.max("ev_us").over(w) - F.col("ev_us")).alias("late_us")
+    )
+    us = lambda s: F.lit(s).cast("bigint") * 1_000_000  # noqa: E731
+    b = late.select(
+        F.when(F.col("late_us") == 0, "on_time")
+        .when(F.col("late_us") < us(60), "lt_1m")
+        .when(F.col("late_us") < us(600), "lt_10m")
+        .when(F.col("late_us") < us(3600), "lt_1h")
+        .otherwise("ge_1h")
+        .alias("lateness")
+    ).groupBy("lateness").agg(F.count("*").cast("bigint").alias("n"))
+    tot = b.agg(F.sum("n").cast("double").alias("t"))
+    return b.crossJoin(F.broadcast(tot)).select(
+        "lateness",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )

@@ -1588,3 +1588,58 @@ def text_doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             "char_share"
         ),
     )
+
+
+@query(
+    "text_bpe_first_merges",
+    oracle="""
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT UNNEST(list_transform(range(1, len(tok)),
+                                     i -> substr(tok, i, 2))) AS pair
+        FROM (
+            SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS tok
+            FROM documents
+        )
+    )
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge candidates: the top-20 adjacent
+    character pairs by occurrence count across all token occurrences —
+    exactly the statistic byte-pair-encoding training computes each
+    round (train a tokenizer = repeat this count + merge loop). The
+    top of this table predicts the first learned merges and is the
+    cheap corpus-signature check that a tokenizer was trained on
+    similar text.
+
+    Pairs generate INSIDE the row via ``transform(sequence(...))`` —
+    each token occurrence fans out to its len−1 adjacent pairs with no
+    join — and collapse in one map-side-combined count; only the
+    ≤|alphabet|² pair keys shuffle, then a top-20 heap merge. Single-
+    char tokens contribute no pairs in either engine (empty sequence).
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col()).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    return (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
