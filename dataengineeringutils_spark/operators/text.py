@@ -1643,3 +1643,80 @@ def text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@query(
+    "text_dup_ngram_fraction",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    grams AS (
+        SELECT md5(UNNEST(list_transform(range(1, len(tk) - 3),
+                   i -> array_to_string(tk[i:i+4], ' ')))) AS g
+        FROM toks
+    ),
+    counts AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS dup_occurrence_share,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_gram_share
+    FROM counts
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate n-gram mass (the Gopher/RefinedWeb
+    "fraction of duplicated n-grams" signals): what share of all
+    5-gram OCCURRENCES belong to a gram seen more than once, and what
+    share of DISTINCT grams are duplicated. High occurrence-share with
+    low gram-share = a few boilerplate passages stamped everywhere
+    (dedup pays off); both high = template corpus. The one-row summary
+    quoted next to every web-scale dedup decision.
+
+    5-grams fan out INSIDE the row (transform over a token-index
+    sequence) and are md5'd at birth, so the only thing shuffled is a
+    fixed-width 32-char digest per occurrence — never gram text — into
+    one map-combined count; the final reduction is a 1-row aggregate
+    over |distinct grams|. Docs shorter than 5 tokens contribute
+    nothing in either engine (empty sequence).
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    # the >= 5 guard matters: Spark's sequence(1, 0) is DESCENDING
+    # [1, 0], not empty like DuckDB's range(1, 1) — a 4-token doc would
+    # emit phantom grams without it
+    grams = (
+        d.select(tokens_col().alias("tk"))
+        .filter(F.size("tk") >= 5)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 4), "
+                    "i -> md5(concat_ws(' ', slice(tk, i, 5))))"
+                )
+            ).alias("g")
+        )
+    )
+    counts = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("c"))
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_occurrences"),
+        F.count("*").cast("bigint").alias("n_distinct_grams"),
+        F.round(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("c"),
+            6,
+        ).alias("dup_occurrence_share"),
+        F.round(
+            F.sum((F.col("c") >= 2).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_gram_share"),
+    )

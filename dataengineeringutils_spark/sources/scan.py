@@ -244,3 +244,61 @@ def scan_json_nested_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_NESTED_CACHE: set[str] = set()
+
+
+@query(
+    "scan_parquet_footer_stats",
+    oracle="""
+    SELECT 'customer' AS table_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS num_rows
+    UNION ALL SELECT 'documents', (SELECT COUNT(*) FROM documents)
+    UNION ALL SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
+    UNION ALL SELECT 'events', (SELECT COUNT(*) FROM events)
+    UNION ALL SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem)
+    UNION ALL SELECT 'nation', (SELECT COUNT(*) FROM nation)
+    UNION ALL SELECT 'orders', (SELECT COUNT(*) FROM orders)
+    UNION ALL SELECT 'part', (SELECT COUNT(*) FROM part)
+    UNION ALL SELECT 'region', (SELECT COUNT(*) FROM region)
+    UNION ALL SELECT 'supplier', (SELECT COUNT(*) FROM supplier)
+    """,
+)
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only manifest of the warehouse directory: per-table row
+    counts read from parquet FOOTERS in the executors — zero data pages
+    touched. This is the manifest-building pass behind incremental
+    loads, freshness checks and size-based planning; the oracle pins
+    that footer counts equal true COUNT(*) per table (the parquet
+    contract a corrupted writer would break).
+
+    The file list is enumerated driver-side (a table directory listing
+    is metadata-scale by definition) and parallelized; each task opens
+    only its files' footers via Arrow. At 100 TB the same op lists via
+    the catalog/manifest layer and fans footer reads across the
+    cluster — the shape here is already that: paths in, stats out,
+    payload bytes never read.
+    """
+    import os
+
+    import pandas as pd
+
+    from dataengineeringutils_spark.tables import TABLES
+
+    paths = [
+        (t, os.path.join(sf_dir, f"{t}.parquet"))
+        for t in sorted(TABLES)
+    ]
+
+    def footer_stats(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for t, p in zip(pdf["table_name"], pdf["path"]):
+                md = pq.ParquetFile(p).metadata
+                rows.append((t, md.num_rows))
+            yield pd.DataFrame(rows, columns=["table_name", "num_rows"])
+
+    return (
+        spark.createDataFrame(paths, "table_name string, path string")
+        .repartition(len(paths))
+        .mapInPandas(footer_stats, "table_name string, num_rows long")
+    )
