@@ -1503,10 +1503,17 @@ def documents_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFra
     from dataengineeringutils_spark.operators.dedup import tokens_col
 
     d = table(spark, sf_dir, "documents")
-    h = d.select(
-        "source",
-        F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 8))).alias("h"),
-    ).distinct()
+    # materialize the digest set once: the plan reuses it four times
+    # (both pair sides + both totals), and without the checkpoint each
+    # reuse re-SCANS the text column — the one heavy column here
+    h = (
+        d.select(
+            "source",
+            F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 8))).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     tot = h.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     a = h.select(F.col("source").alias("source_a"), "h")
     b = h.select(F.col("source").alias("source_b"), "h")
