@@ -656,3 +656,57 @@ def sink_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_deleted).cast("bigint").alias("n_deleted"),
         F.lit(n_commits).cast("int").alias("n_commits"),
     )
+
+
+@query(
+    "sink_txn_merge_upsert",
+    oracle="""
+    WITH final AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 6 = 0
+                    THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+    FROM final
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) through the transaction log
+    (``txnlog.LogTable.merge``): the table starts as the %3==0 orders
+    across multiple files; the merge source carries UPDATES (the %6==0
+    subset with doubled price — must replace) and INSERTS (the %3==1
+    subset — must append). One copy-on-write commit rewrites only the
+    files containing matched keys; the oracle recomputes the expected
+    final state from the raw source, so a lost update, a duplicated
+    insert, or a dropped unmatched row all break the value hash.
+    """
+    import uuid
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = LogTable(spark, scratch_dir("txn_merge_" + uuid.uuid4().hex))
+    t.append(o.filter(F.col("o_orderkey") % 3 == 0), n_files=4)
+    updates = o.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(18,2)")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 3 == 1)
+    t.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("price").cast("double").alias("total"),
+        )
+    )

@@ -334,6 +334,64 @@ class LogTable:
             df = df.select(*cols)
         return df
 
+    def merge(self, source: DataFrame, keys: list[str]) -> int:
+        """MERGE (upsert) by key as one copy-on-write commit — the Delta
+        ``MERGE INTO`` WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+        INSERT mechanic: rows whose key matches a source row are
+        REPLACED by the source row, unmatched target rows are kept,
+        unmatched source rows are inserted. Exactly one log commit
+        (removes for affected files + adds for rewrites/inserts), so
+        readers see the old or the new state, never a mix.
+
+        Scale: only files CONTAINING matched keys rewrite — the probe
+        is a semi-join of the live files against the distinct source
+        keys (file-level min/max stats would prune further in a real
+        deployment); untouched files stay as-is. The source is assumed
+        key-unique (the MERGE precondition Delta also enforces).
+        """
+        schema = self.schema_at()
+        if schema is None:
+            return self.append(source)
+        by_name = {f.name: f for f in source.schema}
+        if {f.name: f.dataType for f in source.schema} != {
+            f.name: f.dataType for f in schema
+        }:
+            raise ValueError(
+                f"merge source schema {source.schema.simpleString()} does "
+                f"not match table schema {schema.simpleString()}"
+            )
+        del by_name
+        source = source.select(*[f.name for f in schema])
+        skeys = source.select(*keys).distinct()
+        live = self.live_files()
+        probe = (
+            self._read_reconciled(live)
+            .join(skeys, keys, "left_semi")
+            .select(F.col("_metadata.file_path").alias("fp"))
+            .distinct()
+            .collect()
+        )
+        hit = {r["fp"] for r in probe}
+        affected = [
+            p
+            for p in live
+            if any(fp.endswith("/" + os.path.basename(p)) for fp in hit)
+        ]
+        if affected:
+            keep = (
+                self._read_reconciled(affected)
+                .join(skeys, keys, "left_anti")
+                .drop("_metadata")
+            )
+            new_data = keep.unionByName(source)
+        else:
+            new_data = source
+        adds = self._write_files(
+            new_data, n_files=max(1, len(affected))
+        )
+        removes = [{"remove": {"path": p}} for p in affected]
+        return self._commit(removes + adds)
+
     def compact(self, n_files: int = 1) -> int:
         """Rewrite the live file set into ``n_files`` files in ONE commit
         (remove every live file + add the rewrites) — readers at older

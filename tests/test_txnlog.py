@@ -255,3 +255,41 @@ def test_append_evolve_noop_schema_commits_no_metadata(spark):
     assert len(metas) == 1
     got = {(r["k"], r["s"]) for r in t.snapshot().collect()}
     assert got == {(1, "a"), (2, None)}
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE: matched keys replaced, unmatched target rows kept,
+    unmatched source rows inserted — in ONE commit."""
+    t = _fresh(spark)
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string"),
+        n_files=2,
+    )
+    v_before = t._versions()[-1]
+    t.merge(
+        spark.createDataFrame([(2, "B"), (9, "Z")], "k int, v string"),
+        keys=["k"],
+    )
+    got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "Z")}
+    assert t._versions()[-1] == v_before + 1  # exactly one commit
+    # time travel below the merge still sees the pre-merge rows
+    before = {(r["k"], r["v"]) for r in t.snapshot(v_before).collect()}
+    assert before == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_pure_insert_and_schema_guard(spark):
+    import pytest
+
+    t = _fresh(spark)
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.merge(spark.createDataFrame([(2, "b")], "k int, v string"), keys=["k"])
+    assert t.snapshot().count() == 2
+    with pytest.raises(ValueError):
+        t.merge(spark.createDataFrame([(3,)], "k int"), keys=["k"])
+
+
+def test_merge_into_empty_table_is_append(spark):
+    t = _fresh(spark)
+    t.merge(spark.createDataFrame([(1, "a")], "k int, v string"), keys=["k"])
+    assert {(r["k"], r["v"]) for r in t.snapshot().collect()} == {(1, "a")}
