@@ -2483,3 +2483,81 @@ def embeddings_int8_quantization_error(
         ).alias("avg_rmse"),
         F.round(F.max("max_abs_err"), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "sim_ivf_cell_balance",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        FROM n WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY {o_dot('n.embedding', 'c.c_emb')}
+                            / (n.nrm * c.c_nrm) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM n CROSS JOIN c
+    ),
+    cells AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM scored WHERE rn = 1 GROUP BY cid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(sz) AS BIGINT) AS n_vectors,
+           CAST(MIN(sz) AS BIGINT) AS min_cell,
+           CAST(MAX(sz) AS BIGINT) AS max_cell,
+           ROUND(CAST(SUM(sz) AS DOUBLE) / COUNT(*), 4) AS avg_cell,
+           ROUND(CAST(MAX(sz) AS DOUBLE) / (CAST(SUM(sz) AS DOUBLE) / COUNT(*)),
+                 4) AS imbalance,
+           CAST(MIN(CASE WHEN sz = (SELECT MAX(sz) FROM cells) THEN cid END)
+                AS BIGINT) AS largest_cid
+    FROM cells
+    """,
+)
+def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-population balance report: cell count, size spread and
+    the imbalance factor max/avg — the partition-skew diagnostic for
+    the ANN serving layout. An imbalance of 1 means uniform cells; at
+    10+ the hottest cell dominates every probe and the fix is more
+    centroids, centroid re-training, or splitting the hot cell — at
+    100 TB this number IS the tail-latency forecast for
+    ``sink_ann_cell_layout``'s bucketed files.
+
+    Reads the session-cached assignment (shared with the IVF search /
+    recall ops — one assignment pass serves all of them), collapses to
+    |cells| rows, and summarizes in a 1-row aggregate; the largest-cell
+    argmax ties break to the smallest centroid id in both engines.
+    """
+    assigned = ivf_assigned(spark, sf_dir)
+    cells = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    mx = cells.agg(F.max("sz").alias("mx"))
+    return (
+        cells.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("sz").cast("bigint").alias("n_vectors"),
+            F.min("sz").cast("bigint").alias("min_cell"),
+            F.max("sz").cast("bigint").alias("max_cell"),
+            F.round(
+                F.sum("sz").cast("double") / F.count("*"), 4
+            ).alias("avg_cell"),
+            F.round(
+                F.max("sz").cast("double")
+                / (F.sum("sz").cast("double") / F.count("*")),
+                4,
+            ).alias("imbalance"),
+            F.min(F.when(F.col("sz") == F.col("mx"), F.col("cid")))
+            .cast("bigint")
+            .alias("largest_cid"),
+        )
+    )

@@ -63,3 +63,52 @@ def test_gram_two_phase_matches_driver_merge(spark):
     a = _compute_gram_fixed(spark, SF, two_phase=False)
     b = _compute_gram_fixed(spark, SF, two_phase=True)
     assert a == b
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=9999),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    descending=st.booleans(),
+    n_cuts=st.integers(min_value=0, max_value=5),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_two_phase_global_rank_matches_window(spark, rows, descending, n_cuts):
+    """The bucket-cut rank must equal ROW_NUMBER() under the same total
+    order for ANY cut set — cuts may only balance buckets, never change
+    the answer (ties at cut boundaries, empty buckets, duplicate
+    values, cuts outside the value range are all generated here)."""
+    from dataengineeringutils_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
+    df = spark.createDataFrame(rows, "v int, tie int")
+    vals = sorted({v for v, _ in rows})
+    # adversarial cuts: data values themselves plus out-of-range points
+    pool = vals + [-1000, 1000, vals[0], vals[-1]]
+    cuts = sorted(set(pool[:n_cuts]))
+    got = {
+        (r["tie"], r["rn"], r["n"])
+        for r in two_phase_global_rank(
+            df, "v", "tie", cuts, descending=descending
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (-t[0] if descending else t[0], t[1]))
+    want = {
+        (tie, i + 1, len(rows)) for i, (_, tie) in enumerate(ordered)
+    }
+    assert got == want
