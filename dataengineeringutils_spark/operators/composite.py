@@ -1897,3 +1897,96 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_revenue",
         F.round(F.col("net_revenue") / F.col("t"), 6).alias("revenue_share"),
     )
+
+
+@query(
+    "lineitem_sourcing_depth_hist",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    per_part AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM d GROUP BY l_partkey
+    )
+    SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM per_part GROUP BY n_suppliers
+    """,
+)
+def lineitem_sourcing_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-depth histogram: how many parts are supplied by exactly
+    N distinct suppliers (recovered from shipment facts) — the
+    single-source-risk review (n_suppliers = 1 is the fragile tail)
+    and the fan-out forecast for any part↔supplier join.
+
+    Distinct (part, supplier) pairs collapse in one map-combined
+    aggregate, per-part counts in a second keyed one, and the
+    histogram is a ≤|max depth|-row frame — the fact table is read
+    once and only key pairs ever shuffle.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    per_part = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_suppliers"))
+    )
+    return per_part.groupBy("n_suppliers").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+
+
+@query(
+    "orders_daily_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM orders GROUP BY 1
+    ),
+    lags AS (
+        SELECT 1 AS lag_days UNION ALL SELECT 7 UNION ALL SELECT 30
+    )
+    SELECT CAST(l.lag_days AS INT) AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(a.n, b.n), 4) AS autocorr
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.d = a.d + CAST(l.lag_days || ' days' AS INTERVAL)
+    GROUP BY l.lag_days
+    """,
+)
+def orders_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily order count at lags 1/7/30 days —
+    the one-line seasonality detector (high lag-7 = weekly cycle,
+    high lag-30 = monthly billing rhythm) that decides whether the
+    forecasting/anomaly ops need seasonal terms at all.
+
+    The fact table collapses to the |days| frame once; each lag is a
+    SELF-JOIN on pure date arithmetic over that tiny frame — no
+    unpartitioned window anywhere (the usual lag-window formulation
+    would single-task the series; at 100 TB the |days| frame is still
+    metadata-sized, the fact scan is the only big thing and it runs
+    once). Pearson r at 4 dp, pair counts pinned so a calendar-gap bug
+    (missing days silently shrinking the join) breaks the hash.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    outs = []
+    for lag in (1, 7, 30):
+        b = daily.select(
+            F.date_sub(F.col("d"), lag).alias("d"), F.col("n").alias("n_lag")
+        )
+        outs.append(
+            daily.join(b, "d")
+            .agg(
+                F.lit(lag).cast("int").alias("lag_days"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.round(F.corr("n", "n_lag"), 4).alias("autocorr"),
+            )
+        )
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionByName(x)
+    return res

@@ -1403,3 +1403,91 @@ def dq_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "null_value_rate",
         (F.col("n_events") < 0.5 * F.col("avg_n")).alias("is_low_volume"),
     )
+
+
+@query(
+    "dq_cross_table_consistency",
+    oracle="""
+    WITH j AS (
+        SELECT l.l_shipdate, o.o_orderdate, l.l_extendedprice,
+               l.l_discount, l.l_tax
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    one AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN l_shipdate < o_orderdate
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_tax
+        FROM j
+    )
+    SELECT rule, n_checked, n_violations,
+           ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6)
+               AS violation_rate
+    FROM (
+        SELECT 'ship_before_order' AS rule, n_checked, v_ship
+            AS n_violations FROM one
+        UNION ALL SELECT 'nonpositive_price', n_checked, v_price FROM one
+        UNION ALL SELECT 'discount_out_of_range', n_checked, v_disc FROM one
+        UNION ALL SELECT 'tax_out_of_range', n_checked, v_tax FROM one
+    )
+    """,
+)
+def dq_cross_table_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table business-rule audit on the orders→lineitem join: a
+    line shipped before its order was placed, non-positive prices, and
+    discount/tax outside their contractual bands — the referential-
+    SEMANTICS layer above ``fk_orphan_audit`` (keys can match while the
+    facts still lie). Per rule: checked volume, violations, rate.
+
+    ONE join pass feeds every rule as a conditional counter (adding a
+    rule costs a counter, not a scan); the 4-row rule grid unstacks
+    from the single aggregate row. The join is the same orders-key
+    shuffle every mart build already pays — this audit rides it.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_tax"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    one = j.agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("long"))
+        .cast("bigint")
+        .alias("v_ship"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("long"))
+        .cast("bigint")
+        .alias("v_price"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("v_disc"),
+        F.sum(
+            ((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)).cast("long")
+        )
+        .cast("bigint")
+        .alias("v_tax"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, 'ship_before_order', v_ship, "
+            "'nonpositive_price', v_price, "
+            "'discount_out_of_range', v_disc, "
+            "'tax_out_of_range', v_tax) AS (rule, n_violations)"
+        ),
+        "n_checked",
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_checked"), 6
+        ).alias("violation_rate"),
+    )
