@@ -19,7 +19,14 @@ are produced directly on executors (nothing is collected on the driver).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from dataengineeringutils_spark.registry import query
 
@@ -102,3 +109,123 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineeringutils_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)
+
+
+# --- custom WRITER: the outbound half of the connector seam ---------------
+
+
+class _WrittenFile(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class JsonlDirWriter(DataSourceWriter):
+    """Task-side writer: each task streams its partition to a uniquely
+    named segment file and reports it in a commit message; the DRIVER
+    finalizes the write by publishing a ``_MANIFEST`` listing exactly
+    the committed segments (readers trust the manifest, not the
+    directory listing — half-written files from dead tasks are
+    invisible). ``abort`` removes any segments already written. This is
+    the object-store commit protocol in miniature: uniquely-named
+    immutable segments + an atomic manifest publish."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        fname = os.path.join(self.path, f"seg-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname + ".inprogress", "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.rename(fname + ".inprogress", fname)
+        return _WrittenFile(fname, n)
+
+    def commit(self, messages):
+        import os
+
+        manifest = os.path.join(self.path, "_MANIFEST")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            for m in messages:
+                f.write(f"{m.path}\t{m.n_rows}\n")
+        os.replace(tmp, manifest)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.unlink(m.path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonlDirDataSource(DataSource):
+    """JSONL segment-directory sink, ``format("jsonl_dir")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlDirWriter(self.options)
+
+
+@query(
+    "sink_python_datasource_writer",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write THROUGH a custom Python DataSource writer (Spark 4
+    DataSource API, outbound direction — the reader half is
+    ``scan_python_datasource``): each task streams its partition to a
+    uniquely named JSONL segment, the driver publishes an atomic
+    ``_MANIFEST`` of committed segments, and the read-back trusts the
+    manifest only — the object-store commit protocol (uniquely-named
+    immutable segments + manifest publish) that makes bespoke sinks
+    exactly-once under task retries. The oracle recomputes the
+    aggregate from the source table, so a lost segment, a double-
+    committed retry, or value mangling in serialization all break the
+    hash.
+    """
+    import os
+    import uuid
+
+    from dataengineeringutils_spark.paths import scratch_dir
+    from dataengineeringutils_spark.tables import table
+
+    spark.dataSource.register(JsonlDirDataSource)
+    out = scratch_dir("pyds_writer_" + uuid.uuid4().hex)
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.repartition(4).write.format("jsonl_dir").mode("append").option(
+        "path", out
+    ).save()
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        files = [line.split("\t")[0] for line in f.read().splitlines()]
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(files)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

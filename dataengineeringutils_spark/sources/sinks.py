@@ -710,3 +710,58 @@ def sink_txn_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "sink_csv_gzip_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP'd CSV round-trip through the metadata-driven I/O layer (the
+    reference ships gzip'd CSV objects through its boto3 helpers; here
+    the codec rides the writer option and executors compress/decompress
+    inline — splittability is lost with gzip, so files stay
+    partition-sized by construction: one task per file either way).
+    Declared-schema read-back (never inferSchema) + conformance, then
+    an aggregate the oracle recomputes from the source table — codec
+    corruption, quoting damage or type drift all break the hash.
+    """
+    import os
+    import uuid
+
+    from dataengineeringutils_spark import io
+    from dataengineeringutils_spark.meta import TableMeta
+
+    out = scratch_dir("csv_gzip_" + uuid.uuid4().hex)
+    meta = TableMeta.from_dict(
+        {
+            "name": "customer_gz",
+            "data_format": "csv",
+            "location": out,
+            "columns": [
+                {"name": "c_custkey", "type": "long"},
+                {"name": "c_mktsegment", "type": "character"},
+                {"name": "c_acctbal", "type": "double"},
+            ],
+        }
+    )
+    src = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    io.write_table(src, meta, compression="gzip")
+    assert any(f.endswith(".csv.gz") for f in os.listdir(out)), (
+        "expected gzip-compressed csv parts"
+    )
+    back = io.read_table(spark, meta)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
