@@ -102,3 +102,41 @@ def test_stream_matches_batch_counts(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_jsonl_dir_writer_manifest_protocol(spark, tmp_path):
+    """Read-back must trust the _MANIFEST only: orphan segments (dead
+    task leftovers) and in-progress files are invisible; abort removes
+    written segments."""
+    import json
+    import os
+
+    from dataengineeringutils_spark.sources.python_datasource import (
+        JsonlDirDataSource,
+        JsonlDirWriter,
+        _WrittenFile,
+    )
+
+    spark.dataSource.register(JsonlDirDataSource)
+    out = str(tmp_path / "seg")
+    os.makedirs(out)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k long, v string")
+    df.repartition(3).write.format("jsonl_dir").mode("append").option(
+        "path", out
+    ).save()
+    # plant a dead-task leftover and an uncommitted orphan segment
+    with open(os.path.join(out, "seg-orphan.jsonl"), "w") as f:
+        f.write(json.dumps({"k": 999, "v": "ghost"}) + "\n")
+    with open(os.path.join(out, "seg-dead.jsonl.inprogress"), "w") as f:
+        f.write("half a row")
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        lines = [ln.split("\t") for ln in f.read().splitlines()]
+    files = [p for p, _ in lines]
+    assert sum(int(n) for _, n in lines) == 20
+    back = spark.read.schema("k long, v string").json(files)
+    assert back.count() == 20
+    assert back.filter("k = 999").count() == 0
+    # abort removes segments it was handed
+    w = JsonlDirWriter({"path": out})
+    w.abort([_WrittenFile(os.path.join(out, "seg-orphan.jsonl"), 1)])
+    assert not os.path.exists(os.path.join(out, "seg-orphan.jsonl"))
