@@ -1220,3 +1220,49 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("key_first_lt"),
     )
+
+
+@query(
+    "fn_timestamp_parse_formats",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso,
+               strftime(o_orderdate, '%Y%m%d') AS compact,
+               strftime(o_orderdate, '%d/%m/%Y') AS slashed
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey,
+           strptime(iso, '%Y-%m-%d %H:%M:%S') AS t_iso,
+           strptime(compact, '%Y%m%d') AS t_compact,
+           strptime(slashed, '%d/%m/%Y') AS t_slashed,
+           try_strptime(compact, '%d/%m/%Y') AS t_bad
+    FROM s
+    """,
+)
+def fn_timestamp_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp parsing across format dialects: ISO, compact yyyymmdd
+    and day-first slashed — rendered and re-parsed with each engine's
+    OWN format language (Spark ``yyyy-MM-dd`` vs strptime ``%Y-%m-%d``)
+    to the same instants, plus a wrong-format parse that must yield
+    NULL (``try_to_timestamp``), not an error — the ingestion-edge
+    behavior every CSV/log loader depends on. Pinning the round-trip
+    cross-engine guards exactly the class of format-token bugs
+    (MM vs mm, dd vs DD) that silently shift dates.
+
+    Pure per-row codegen on a keyed sample; no shuffle.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    s = o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("iso"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("compact"),
+        F.date_format("o_orderdate", "dd/MM/yyyy").alias("slashed"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.to_timestamp("iso", "yyyy-MM-dd HH:mm:ss").alias("t_iso"),
+        F.to_timestamp("compact", "yyyyMMdd").alias("t_compact"),
+        F.to_timestamp("slashed", "dd/MM/yyyy").alias("t_slashed"),
+        F.try_to_timestamp("compact", F.lit("dd/MM/yyyy")).alias("t_bad"),
+    )

@@ -1491,3 +1491,81 @@ def dq_cross_table_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations").cast("double") / F.col("n_checked"), 6
         ).alias("violation_rate"),
     )
+
+
+@query(
+    "dq_categorical_association_chi2",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY a),
+    mb AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY b),
+    tot AS (SELECT SUM(o) AS t FROM obs),
+    grid AS (
+        SELECT ma.a, mb.b, ma.ra * mb.cb / (SELECT t FROM tot) AS e,
+               COALESCE(obs.o, 0) AS o
+        FROM ma CROSS JOIN mb
+        LEFT JOIN obs ON obs.a = ma.a AND obs.b = mb.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ma) AS BIGINT) AS n_levels_a,
+           CAST((SELECT COUNT(*) FROM mb) AS BIGINT) AS n_levels_b,
+           CAST(((SELECT COUNT(*) FROM ma) - 1)
+                * ((SELECT COUNT(*) FROM mb) - 1) AS BIGINT) AS dof,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2
+    FROM grid
+    """,
+)
+def dq_categorical_association_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between two categorical columns
+    (order priority × status): the generic "are these fields secretly
+    coupled" audit — a routing bug, a denormalization leak, or a
+    status machine keyed on priority all show up as chi² far above the
+    dof. Reports level counts, degrees of freedom and the statistic.
+
+    One scan collapses the fact table to the ≤|A|×|B| contingency
+    frame; marginals and expected counts are arithmetic on that tiny
+    grid (including ZERO-observed cells via the margin cross join —
+    dropping them understates chi², the classic mistake). All heavy
+    work is the first aggregate; everything after is metadata-sized.
+    """
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count("*").cast("double").alias("o"))
+    ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(F.sum("o").alias("t"))
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            (F.col("ra") * F.col("cb") / F.col("t")).alias("e"),
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+        )
+    )
+    na = ma.agg(F.count("*").cast("bigint").alias("n_levels_a"))
+    nb = mb.agg(F.count("*").cast("bigint").alias("n_levels_b"))
+    return (
+        grid.agg(
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                4,
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_levels_a",
+            "n_levels_b",
+            ((F.col("n_levels_a") - 1) * (F.col("n_levels_b") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )
