@@ -839,7 +839,7 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
-    )
+    ).localCheckpoint(eager=True)  # quantile + rank actions reuse one scan
     n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
     qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
     cuts = per_cust.select(
@@ -1990,3 +1990,140 @@ def orders_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         res = res.unionByName(x)
     return res
+
+
+@query(
+    "orders_calendar_coverage",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    active AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    )
+    SELECT CAST(strftime(cal.d, '%Y-%m') AS VARCHAR) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days_span,
+           CAST(SUM(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_active_days,
+           CAST(SUM(CASE WHEN a.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_days
+    FROM cal LEFT JOIN active a ON cal.d = a.d
+    GROUP BY 1
+    """,
+)
+def orders_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-coverage audit: for every month in the table's date
+    span, how many days exist vs how many have at least one order — the
+    ingestion-continuity check that distinguishes "quiet weekend" from
+    "dead upstream week" (per-month grouping localizes WHERE the hole
+    is; ``dq_partition_completeness`` is the volume-level sibling on
+    events).
+
+    The calendar dimension GENERATES in-plan (``sequence`` between the
+    broadcast min/max scalars, exploded) — no calendar table to
+    maintain, |days| rows total — and the fact table contributes only
+    its distinct active days. Everything after the distinct is
+    metadata-sized; grouping is by month, so no global window.
+    """
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    active = o.select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct().withColumn("hit", F.lit(1))
+    return (
+        cal.join(active, "d", "left")
+        .groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_span"),
+            F.sum((F.col("hit").isNotNull()).cast("long"))
+            .cast("bigint")
+            .alias("n_active_days"),
+            F.sum((F.col("hit").isNull()).cast("long"))
+            .cast("bigint")
+            .alias("n_missing_days"),
+        )
+    )
+
+
+@query(
+    "part_name_hierarchy_revenue",
+    oracle="""
+    WITH pt AS (
+        SELECT p_partkey,
+               string_split(p_name, ' ')[2] AS family,
+               string_split(p_name, ' ')[1] AS variant
+        FROM part
+    ),
+    j AS (
+        SELECT pt.family, pt.variant,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(22,4)) AS net
+        FROM lineitem l JOIN pt ON l.l_partkey = pt.p_partkey
+    )
+    SELECT COALESCE(family, 'ALL') AS family,
+           CASE WHEN GROUPING(variant) = 1 AND GROUPING(family) = 0
+                THEN 'ALL'
+                ELSE COALESCE(variant, 'ALL') END AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(net) AS DOUBLE) AS net_revenue
+    FROM j
+    GROUP BY ROLLUP (family, variant)
+    """,
+)
+def part_name_hierarchy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rolled up a hierarchy DERIVED from a string attribute:
+    p_name's noun becomes the product FAMILY and its adjective the
+    VARIANT, and ROLLUP produces line/subtotal/grand-total rows — the
+    everyday mart pattern of mining a reporting hierarchy out of a
+    denormalized label (no dimension table exists for it; the parse is
+    the dimension).
+
+    The parse is two codegen ``split`` indexes on the broadcast part
+    dim; the fact join is broadcast; ROLLUP runs as one partial-agg
+    pass (Spark expands grouping sets map-side). Decimal-exact
+    revenue; grouping-null labels normalized identically in both
+    engines ('ALL').
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_name"), " ").getItem(1).alias("family"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("variant"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "family",
+        "variant",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(22,4)")
+        .alias("net"),
+    )
+    g = j.rollup("family", "variant").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("net").cast("double").alias("net_revenue"),
+        F.grouping("family").alias("g_c"),
+        F.grouping("variant").alias("g_f"),
+    )
+    return g.select(
+        F.coalesce("family", F.lit("ALL")).alias("family"),
+        F.when(
+            (F.col("g_f") == 1) & (F.col("g_c") == 0), F.lit("ALL")
+        )
+        .otherwise(F.coalesce("variant", F.lit("ALL")))
+        .alias("variant"),
+        "n_lines",
+        "net_revenue",
+    )

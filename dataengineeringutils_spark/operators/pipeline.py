@@ -397,3 +397,56 @@ def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
             "CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("allocated_tokens"),
     )
+
+
+@query(
+    "dataset_epoch_shuffle_order",
+    oracle="""
+    SELECT epoch, pos, doc_id
+    FROM (
+        SELECT e.epoch, d.doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY e.epoch
+                   ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                                || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+               ) AS INT) AS pos
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS epoch) e
+    )
+    WHERE pos <= 10
+    """,
+)
+def dataset_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: each epoch orders the
+    corpus by an identity hash SEEDED with the epoch number, and the op
+    emits the first 10 positions of epochs 0-2 — reproducible epoch
+    ordering without rand() (resumable mid-epoch from a position, byte-
+    identical across reruns and engines, and different epochs genuinely
+    decorrelate because the seed enters the hash, not an offset).
+
+    The rank is per-epoch top-K (TakeOrderedAndProject per epoch key —
+    the corpus never globally sorts for the PREVIEW; a full epoch
+    materialization would instead write files ordered by the same key,
+    which IS a sort, paid once per epoch by design).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    crossed = d.select("doc_id", epochs)
+    w = Window.partitionBy("epoch").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.col("doc_id"),
+    )
+    return (
+        crossed.select(
+            "epoch", "doc_id", F.row_number().over(w).cast("int").alias("pos")
+        )
+        .filter(F.col("pos") <= 10)
+        .select("epoch", "pos", "doc_id")
+    )

@@ -112,3 +112,18 @@ def test_two_phase_global_rank_matches_window(spark, rows, descending, n_cuts):
         (tie, i + 1, len(rows)) for i, (_, tie) in enumerate(ordered)
     }
     assert got == want
+
+
+def test_rfm_two_phase_path_matches_local_path(spark, monkeypatch):
+    """events_rfm_segments picks a single-task exact rank below
+    RFM_LOCAL_ROWS and the two-phase bucket-cut path above it — both
+    paths must produce identical rows (the gate only exercises the
+    local path at fixture scale)."""
+    import dataengineeringutils_spark.operators.events_analytics as ea
+
+    local = ea.events_rfm_segments(spark, SF)
+    rows_local = {tuple(r) for r in local.collect()}
+    monkeypatch.setattr(ea, "RFM_LOCAL_ROWS", 0)
+    two_phase = ea.events_rfm_segments(spark, SF)
+    rows_two = {tuple(r) for r in two_phase.collect()}
+    assert rows_local == rows_two
