@@ -3026,3 +3026,69 @@ def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
     )
+
+
+@query(
+    "events_transition_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pair AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    marg AS (SELECT cur, SUM(c) AS tc FROM pair GROUP BY cur),
+    tot AS (SELECT SUM(c) AS t FROM pair)
+    SELECT CAST((SELECT SUM(c) FROM pair) AS BIGINT) AS n_transitions,
+           CAST((SELECT COUNT(*) FROM marg) AS BIGINT) AS n_states,
+           ROUND(-SUM((p.c / (SELECT t FROM tot))
+                      * ln(p.c / m.tc)), 4) AS entropy_rate_nats
+    FROM pair p JOIN marg m ON p.cur = m.cur
+    """,
+)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the event-type transition process,
+    H(next | current) under the empirical state distribution — the
+    one-number predictability score of user behavior (0 = next action
+    fully determined by the current one; ln|types| = uniform chaos).
+    Complements ``events_transition_matrix`` (the full grid) and
+    ``events_markov_stationary`` (the long-run mix) with the signal
+    compression/modeling cares about.
+
+    One keyed LEAD pass emits transitions; everything downstream runs
+    on the ≤|types|² pair frame (counts, marginals, the weighted
+    -Σ p(i,j)·ln p(j|i) sum) — metadata-sized at any corpus scale.
+    4-dp rounding absorbs libm ln differences across engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pair = seq.groupBy("cur", "nxt").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    marg = pair.groupBy("cur").agg(F.sum("c").alias("tc"))
+    tot = pair.agg(F.sum("c").alias("t"))
+    n_states = marg.agg(F.count("*").cast("bigint").alias("n_states"))
+    return (
+        pair.join(F.broadcast(marg), "cur")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_transitions"),
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("t"))
+                    * F.log(F.col("c") / F.col("tc"))
+                ),
+                4,
+            ).alias("entropy_rate_nats"),
+        )
+        .crossJoin(F.broadcast(n_states))
+        .select("n_transitions", "n_states", "entropy_rate_nats")
+    )

@@ -356,3 +356,63 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey <= 500
         """
     )
+
+
+@query(
+    "udtf_table_argument",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE ARGUMENT with ``PARTITION BY lang
+    ORDER BY doc_id`` (Spark 4 table-function seam): each language's
+    rows stream through one UDTF instance in order, the instance
+    accumulates procedurally, and ``terminate()`` emits the per-group
+    summary — the shape for per-group logic a grouped aggregate can't
+    express (protocol parsers, legacy per-group state machines) while
+    Spark still handles partitioning, ordering and parallelism.
+    First/last doc ids prove the ORDER BY reached the instance; the
+    oracle recomputes everything relationally, so a partition split or
+    order violation breaks the hash.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "lang string, n_docs bigint, total_chars bigint, "
+        "first_doc bigint, last_doc bigint"
+    ))
+    class LangSummary:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.chars = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            self.chars += row["n_chars"]
+            if self.first is None:
+                self.first = row["doc_id"]
+            self.last = row["doc_id"]
+
+        def terminate(self):
+            if self.lang is not None:
+                yield (self.lang, self.n, self.chars, self.first, self.last)
+
+    spark.udtf.register("deu_lang_summary", LangSummary)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    view = f"docs_udtf_{abs(hash(sf_dir)) % 10**8}"
+    d.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM deu_lang_summary("
+        f"TABLE({view}) PARTITION BY lang ORDER BY doc_id)"
+    )
