@@ -1569,3 +1569,102 @@ def dq_categorical_association_chi2(spark: SparkSession, sf_dir: str) -> DataFra
             "chi2",
         )
     )
+
+
+@query(
+    "dq_outlier_iqr_fences",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC,
+                                           o_orderkey ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    q AS (
+        SELECT o_orderpriority,
+               MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                        THEN o_totalprice END) AS q1,
+               MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                        THEN o_totalprice END) AS q3
+        FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(ANY_VALUE(q.q1), 2) AS q1,
+           ROUND(ANY_VALUE(q.q3), 2) AS q3,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              < q.q1 - 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+    FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per group: exact Q1/Q3
+    (PERCENTILE_DISC semantics — real data values under a total order,
+    so both engines pick identical quartiles), fences at ±1.5·IQR, and
+    low/high outlier counts — the robust screening that MAD (B169) and
+    winsorization (B155) both start from, as a standing DQ report.
+
+    Pass 1 ranks within each priority key (bounded partitions) and
+    collapses to one quartile row per group; pass 2 rejoins the tiny
+    quartile frame broadcast and counts fence violations — two scans,
+    both keyed, no global sort.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = ranked.groupBy("o_orderpriority").agg(
+        F.min(
+            F.when(
+                F.expr("rn = CAST(ceil(0.25 * n) AS BIGINT)"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q1"),
+        F.min(
+            F.when(
+                F.expr("rn = CAST(ceil(0.75 * n) AS BIGINT)"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q3"),
+    )
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.any_value("q1"), 2).alias("q1"),
+            F.round(F.any_value("q3"), 2).alias("q3"),
+            F.sum(
+                (
+                    F.col("o_totalprice")
+                    < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.sum(
+                (
+                    F.col("o_totalprice")
+                    > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+        )
+    )

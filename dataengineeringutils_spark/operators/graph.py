@@ -596,3 +596,85 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.corr(F.col("dx").cast("double"), F.col("dy").cast("double")), 4
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_two_hop_neighborhood",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e GROUP BY src
+    ),
+    hubs AS (
+        SELECT node, degree FROM deg
+        ORDER BY degree DESC, node ASC LIMIT 10
+    ),
+    two_hop AS (
+        SELECT h.node, e2.dst AS reach
+        FROM hubs h
+        JOIN e e1 ON e1.src = h.node
+        JOIN e e2 ON e2.src = e1.dst
+        WHERE e2.dst <> h.node
+        UNION
+        SELECT h.node, e1.dst FROM hubs h JOIN e e1 ON e1.src = h.node
+    )
+    SELECT t.node, ANY_VALUE(h.degree) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_within_2_hops
+    FROM two_hop t JOIN hubs h ON t.node = h.node
+    GROUP BY t.node
+    """,
+)
+def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size for the 10 highest-degree hubs of the
+    co-purchase graph: how much of the graph each hub reaches within
+    two edges — the blast-radius number behind recommendation fan-out,
+    cache warming, and "if this SKU goes viral, what co-loads".
+
+    Unbounded 2-hop expansion is quadratic in hub degree, so the op
+    BOUNDS the frontier to a fixed hub set first (top-10 by degree off
+    the cached degree table — a TakeOrdered heap, no global sort);
+    expansion is then two broadcast-hub joins against the cached edge
+    table and a distinct over the ≤|hubs|·|reach| frontier. At 100 TB
+    the same shape runs per-hub-batch; the full-graph variant is the
+    iterative doubling op (B186).
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("bigint").alias("degree"))
+    hubs = (
+        deg.select(F.col("src").alias("node"), "degree")
+        .orderBy(F.col("degree").desc(), F.col("node").asc())
+        .limit(10)
+    )
+    e1 = sym.select(F.col("src").alias("node"), F.col("dst").alias("mid"))
+    one_hop = hubs.join(e1, "node")
+    two_hop = (
+        one_hop.join(
+            sym.select(F.col("src").alias("mid"), F.col("dst").alias("reach")),
+            "mid",
+        )
+        .filter(F.col("reach") != F.col("node"))
+        .select("node", "reach")
+        .union(one_hop.select("node", F.col("mid").alias("reach")))
+        .distinct()
+    )
+    return (
+        two_hop.join(F.broadcast(hubs), "node")
+        .groupBy("node")
+        .agg(
+            F.any_value("degree").alias("degree"),
+            F.count("*").cast("bigint").alias("n_within_2_hops"),
+        )
+    )
