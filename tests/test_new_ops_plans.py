@@ -195,15 +195,18 @@ def test_fill_forward_single_user_shuffle(spark, sf_dir):
 
 
 def test_rfm_windows_run_on_aggregated_frame(spark, sf_dir):
+    # round-4 shape: the fact table collapses to a CHECKPOINTED |users|
+    # frame (the plan reads the materialized RDD, never re-scanning
+    # events), and at fixture scale the quartiles run in ONE grouped-map
+    # task (FlatMapGroupsInPandas) — no window operator at all. The
+    # above-threshold two-phase path is pinned row-identical by
+    # tests/test_round4_scale.py::test_rfm_two_phase_path_matches_local_path.
     df = queries()["events_rfm_segments"](spark, sf_dir)
-    plan = _plan(df)
-    first = plan.split("\n\n")[0]
-    # the global ntile windows must sit ABOVE the per-user aggregate
-    # (window input = |users| rows, not |events|).
-    agg_pos = first.find("HashAggregate")
-    win_pos = first.find("Window")
-    assert agg_pos != -1 and win_pos != -1
-    assert win_pos < agg_pos, first  # formatted plan prints top-down
+    first = _plan(df).split("\n\n")[0]
+    assert "Scan ExistingRDD" in first, first
+    assert "FlatMapGroupsInPandas" in first, first
+    assert "Window" not in first, first
+    assert "Scan parquet" not in first, first
 
 
 def test_mad_median_join_is_broadcast(spark, sf_dir):
