@@ -841,3 +841,70 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("l_orderkey").alias("xor_key"),
         F.bit_xor(F.col("l_linenumber").cast("bigint")).alias("xor_line"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS DECIMAL(18,2)) AS wt,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                            l_linenumber ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+               ) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(ANY_VALUE(tw) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN cw * 2 >= tw THEN l_extendedprice END)
+               AS weighted_median_price
+    FROM w
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group: the smallest price whose cumulative
+    quantity-weight reaches half the group's total weight — the
+    volume-weighted "typical price" that an unweighted median gets
+    wrong whenever cheap items ship in bulk (pricing, index
+    construction, fair-value marks all use this form).
+
+    One keyed window computes the running weight under a TOTAL order
+    (price, orderkey, linenumber — deterministic at equal prices), the
+    threshold test ``2·cumweight ≥ totalweight`` stays in exact
+    DECIMAL (no float boundary flakes), and a conditional-MIN collapse
+    picks the crossing value — the PERCENTILE_DISC machinery
+    generalized to weights, partitions bounded by the group key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(
+            F.col("l_extendedprice").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wt).over(w_cum).alias("cw"),
+        F.sum(wt).over(w_grp).alias("tw"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.any_value("tw").cast("double").alias("total_weight"),
+        F.min(
+            F.when(
+                F.col("cw") * 2 >= F.col("tw"), F.col("l_extendedprice")
+            )
+        ).alias("weighted_median_price"),
+    )

@@ -3092,3 +3092,95 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_states))
         .select("n_transitions", "n_states", "entropy_rate_nats")
     )
+
+
+@query(
+    "events_type_position_in_session",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800 * 1000000
+                         OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT event_type,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid,
+               user_id, ts, event_id
+        FROM s
+    ),
+    pos AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(CAST(rn - 1 AS DOUBLE) / (n - 1)), 4) AS avg_rel_pos
+    FROM pos
+    WHERE n >= 2
+    GROUP BY event_type
+    """,
+)
+def events_type_position_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE in a session each event type happens: mean relative
+    position (0 = always the session opener, 1 = always the closer)
+    per type, over 30-minute-gap sessions with ≥2 events — the
+    behavioral-grammar read (purchases late and views early is
+    healthy; purchases at position 0 means deep links skip the funnel)
+    that complements the transition matrix with an absolute clock.
+
+    Built on the shared gaps-and-islands sessionization (one user
+    shuffle drives the gap flags, session ids, positions and sizes —
+    four windows, all on the same (user, session) partitioning, so
+    Spark reuses one exchange), then a |types|-row aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (
+            F.col("ts").isNull()  # never; keeps the CASE shape explicit
+            | F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_u))
+                > 1800 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_s"),
+    )
+    sess = s.select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum("new_s")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    w_sn = Window.partitionBy("user_id", "sid")
+    pos = sess.select(
+        "event_type",
+        F.row_number().over(w_s).alias("rn"),
+        F.count("*").over(w_sn).alias("n"),
+    ).filter(F.col("n") >= 2)
+    return pos.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.avg((F.col("rn") - 1).cast("double") / (F.col("n") - 1)), 4
+        ).alias("avg_rel_pos"),
+    )

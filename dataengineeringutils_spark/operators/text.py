@@ -1727,3 +1727,63 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_gram_share"),
     )
+
+
+@query(
+    "text_char_trigram_signature",
+    oracle="""
+    WITH g AS (
+        SELECT lang,
+               UNNEST(list_transform(range(1, len(text) - 1),
+                                     i -> substr(text, i, 3))) AS tri
+        FROM documents
+    ),
+    counts AS (
+        SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g WHERE tri NOT LIKE '% %' GROUP BY lang, tri
+    )
+    SELECT lang, tri, n, rk
+    FROM (
+        SELECT lang, tri, n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n DESC, tri ASC
+               ) AS INT) AS rk
+        FROM counts
+    )
+    WHERE rk <= 5
+    """,
+)
+def text_char_trigram_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram signature: the top-5 most frequent
+    space-free char trigrams per language — exactly the feature family
+    classical language identifiers (textcat/CLD) rank on, published as
+    a signature table the ``text_langid`` heuristic can be audited and
+    retrained against (a drifting signature = the corpus's language
+    labels and its character statistics are diverging).
+
+    Trigrams fan out INSIDE the row (transform over a character-index
+    sequence — no join, no UDF), space-containing grams drop before the
+    count so the signature reflects word-internal structure, and the
+    per-language top-5 is a keyed window over the collapsed
+    (lang, trigram) counts: partitions bounded by |langs|, never global.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    g = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(text, i, 3))"
+            )
+        ).alias("tri"),
+    ).filter(~F.col("tri").contains(" "))
+    counts = g.groupBy("lang", "tri").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
+    return (
+        counts.select(
+            "lang", "tri", "n", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .filter(F.col("rk") <= 5)
+    )
