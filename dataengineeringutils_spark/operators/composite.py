@@ -2127,3 +2127,58 @@ def part_name_hierarchy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "net_revenue",
     )
+
+
+@query(
+    "orders_status_mix_volatility",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT month, SUM(n) AS t FROM m GROUP BY month
+    ),
+    share AS (
+        SELECT m.o_orderstatus, m.n / tot.t AS s
+        FROM m JOIN tot ON m.month = tot.month
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(AVG(s), 6) AS mean_share,
+           ROUND(MIN(s), 6) AS min_share,
+           ROUND(MAX(s), 6) AS max_share,
+           ROUND(MAX(s) - MIN(s), 6) AS share_range
+    FROM share
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_status_mix_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-month volatility of the order-status mix: each status's
+    mean/min/max monthly share and its range — the longitudinal version
+    of ``dq_category_drift`` (that op compares two windows; this one
+    asks whether the mix is stable at all, which decides if drift
+    alerting on it can have tight thresholds or needs wide bands).
+
+    One scan collapses to the |months|×|statuses| frame; monthly totals
+    join back on the month key (both frames tiny) and the final
+    aggregate is per status. Shares are exact ratios of counts; 6-dp
+    rounding only at the edge.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderstatus",
+    ).agg(F.count("*").cast("double").alias("n"))
+    tot = m.groupBy("month").agg(F.sum("n").alias("t"))
+    share = m.join(F.broadcast(tot), "month").select(
+        "o_orderstatus", (F.col("n") / F.col("t")).alias("s")
+    )
+    return share.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(F.avg("s"), 6).alias("mean_share"),
+        F.round(F.min("s"), 6).alias("min_share"),
+        F.round(F.max("s"), 6).alias("max_share"),
+        F.round(F.max("s") - F.min("s"), 6).alias("share_range"),
+    )

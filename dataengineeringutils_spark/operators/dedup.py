@@ -1031,3 +1031,55 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_prefix_family_sizes",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_filter(string_split(text, ' '), t -> t <> '')[1:8],
+                   ' ')) AS f
+        FROM documents
+    ),
+    fam AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS sz FROM fp GROUP BY f
+    )
+    SELECT sz AS family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN sz > 1 THEN sz - 1 ELSE 0 END) AS BIGINT)
+               AS n_removable
+    FROM fam GROUP BY sz
+    """,
+)
+def dedup_prefix_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size histogram under the 8-token PREFIX
+    fingerprint: how many families of each size exist, how many docs
+    they hold, and how many docs a keep-one-per-family pass would
+    remove — the dedup PAYOFF forecast (read this table before paying
+    for the pass; ``documents_source_overlap_matrix`` is the
+    cross-source view of the same fingerprint).
+
+    Docs collapse to 16-byte digests at the scan; the histogram is two
+    keyed aggregates (digest → family size → size histogram), so text
+    never shuffles and the output is ≤|max family| rows at any scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    fam = (
+        d.select(
+            F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 8))).alias("f")
+        )
+        .groupBy("f")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+    )
+    return fam.groupBy(F.col("sz").alias("family_size")).agg(
+        F.count("*").cast("bigint").alias("n_families"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("sz") > 1, F.col("sz") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_removable"),
+    )

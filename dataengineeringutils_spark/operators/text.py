@@ -1787,3 +1787,87 @@ def text_char_trigram_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+@query(
+    "documents_length_anova_f",
+    oracle="""
+    WITH g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(n_chars AS BIGINT) * n_chars
+                             AS DECIMAL(30,6))) AS DOUBLE) AS s2
+        FROM documents GROUP BY lang
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n_total,
+               SUM(s1) AS t1, SUM(s2) AS t2,
+               SUM(s1 * s1 / n_g) AS sb_part
+        FROM g
+    )
+    SELECT k, n_total,
+           ROUND((sb_part - t1 * t1 / n_total) / (k - 1)
+                 / ((t2 - sb_part) / (n_total - k)), 4) AS f_stat,
+           ROUND((sb_part - t1 * t1 / n_total)
+                 / (t2 - t1 * t1 / n_total), 4) AS eta_squared
+    FROM agg
+    """,
+)
+def documents_length_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document length across languages: F statistic
+    (between-language / within-language variance) and η² (share of
+    length variance explained by language) — the "is length a language
+    proxy" audit that decides whether per-language packing budgets and
+    length-based quality cuts need language-conditional thresholds
+    (a high η² means one global length cutoff silently biases against
+    verbose languages).
+
+    Group moments accumulate in exact DECIMAL from integer lengths
+    (order-independent — distributed partial sums cannot drift from
+    the oracle's serial sums), collapse to a |langs|-row frame, and
+    the F/η² closed forms run on one row. 4-dp rounding at the edge.
+    """
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(F.col("n_chars").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            (F.col("n_chars").cast("bigint") * F.col("n_chars")).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    agg = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n_total"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n_g")).alias("sb_part"),
+    )
+    return agg.select(
+        "k",
+        "n_total",
+        F.round(
+            (F.col("sb_part") - F.col("t1") * F.col("t1") / F.col("n_total"))
+            / (F.col("k") - 1)
+            / (
+                (F.col("t2") - F.col("sb_part"))
+                / (F.col("n_total") - F.col("k"))
+            ),
+            4,
+        ).alias("f_stat"),
+        F.round(
+            (F.col("sb_part") - F.col("t1") * F.col("t1") / F.col("n_total"))
+            / (
+                F.col("t2")
+                - F.col("t1") * F.col("t1") / F.col("n_total")
+            ),
+            4,
+        ).alias("eta_squared"),
+    )
