@@ -2182,3 +2182,66 @@ def orders_status_mix_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("s"), 6).alias("max_share"),
         F.round(F.max("s") - F.min("s"), 6).alias("share_range"),
     )
+
+
+@query(
+    "orders_revenue_bridge_mom",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(c.mo, '%Y-%m') AS month,
+           c.rev - p.rev AS delta_revenue,
+           (c.n - p.n) * (p.rev / p.n) AS volume_effect,
+           c.n * (c.rev / c.n - p.rev / p.n) AS rate_effect
+    FROM m c JOIN m p ON p.mo = c.mo - INTERVAL 1 MONTH
+    """,
+)
+def orders_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE: Δrevenue decomposed into a
+    volume effect (order-count change at last month's average ticket)
+    and a rate effect (this month's volume times the average-ticket
+    change) — the additive decomposition every finance review walks
+    through before asking "did we sell more, or sell bigger". The two
+    effects sum to Δrevenue exactly by construction.
+
+    The fact table collapses to the |months| frame once (decimal-exact
+    revenue); consecutive months pair by a SELF-JOIN on month
+    arithmetic over that tiny frame — the same no-window pattern as
+    ``orders_daily_autocorrelation``, so nothing global ever sorts.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev"),
+    )
+    c = m.select(
+        F.col("mo"), F.col("n").alias("c_n"), F.col("rev").alias("c_rev")
+    )
+    p = m.select(
+        F.expr("mo + interval 1 month").alias("mo"),
+        F.col("n").alias("p_n"),
+        F.col("rev").alias("p_rev"),
+    )
+    # effects stay UNROUNDED doubles: both engines compute the identical
+    # IEEE expression over identical inputs (decimal-exact monthly rev
+    # cast to double, bigint counts), so the values hash-match bit for
+    # bit — while quantizing them does NOT survive cross-engine (round()
+    # and double->decimal casts disagree on ulp-boundary doubles; a
+    # -910693.675-cent boundary was the live counterexample here)
+    return c.join(p, "mo").select(
+        F.date_format("mo", "yyyy-MM").alias("month"),
+        (F.col("c_rev") - F.col("p_rev")).alias("delta_revenue"),
+        (
+            (F.col("c_n") - F.col("p_n")) * (F.col("p_rev") / F.col("p_n"))
+        ).alias("volume_effect"),
+        (
+            F.col("c_n")
+            * (F.col("c_rev") / F.col("c_n") - F.col("p_rev") / F.col("p_n"))
+        ).alias("rate_effect"),
+    )
