@@ -1,0 +1,121 @@
+"""Model-based property test of the LogTable lifecycle: a random
+interleaving of append / delete_where / merge / compact must always
+agree with a driver-side dict model, and time travel must replay any
+earlier state exactly. This pins the interaction semantics (e.g. a
+merge after a delete after an evolve) that example-based tests can't
+enumerate."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dataengineeringutils_spark.paths import scratch_dir
+from dataengineeringutils_spark.txnlog import LogTable
+
+KEYS = st.integers(min_value=0, max_value=19)
+VALS = st.integers(min_value=-5, max_value=5)
+
+# an operation is one of:
+#   ("append", [(k, v), ...])      blind append (duplicate keys allowed)
+#   ("delete", threshold)          DELETE WHERE v > threshold
+#   ("merge", [(k, v), ...])       upsert by k (source key-unique)
+#   ("compact",)                   rewrite live files
+ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=4),
+        ),
+        st.tuples(st.just("delete"), VALS),
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(KEYS, VALS),
+                min_size=1,
+                max_size=4,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(st.just("compact")),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _snapshot_set(t: LogTable, version=None):
+    return sorted(
+        (r["k"], r["v"]) for r in t.snapshot(version).collect()
+    )
+
+
+@given(ops=ops_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_logtable_agrees_with_model(spark, ops):
+    t = LogTable(spark, scratch_dir("txnprop_" + uuid.uuid4().hex))
+    # model: list of (k, v) rows — appends may duplicate keys; merge
+    # replaces ALL rows of a matched key with the single source row
+    model: list[tuple[int, int]] = []
+    history: list[tuple[int, list[tuple[int, int]]]] = []
+    for op in ops:
+        if op[0] == "append":
+            rows = op[1]
+            v = t.append(
+                spark.createDataFrame(rows, "k int, v int"), n_files=2
+            )
+            model = model + rows
+        elif op[0] == "delete":
+            if not model and not history:
+                continue  # delete on an empty table raises by contract
+            thr = op[1]
+            try:
+                v = t.delete_where(f"v > {thr}")
+            except ValueError:
+                assert not t.live_files()
+                continue
+            model = [(k, x) for (k, x) in model if not (x > thr)]
+        elif op[0] == "merge":
+            rows = op[1]
+            v = t.merge(
+                spark.createDataFrame(rows, "k int, v int"), keys=["k"]
+            )
+            src = dict(rows)
+            model = [(k, x) for (k, x) in model if k not in src] + rows
+        else:
+            if not history:
+                continue  # compacting an empty table raises by contract
+            v = t.compact(n_files=1)
+        history.append((v, sorted(model)))
+        assert _snapshot_set(t) == sorted(model), op
+    # time travel: every recorded version replays its state exactly
+    for v, state in history:
+        assert _snapshot_set(t, v) == state, f"version {v}"
+
+
+@pytest.mark.parametrize("evolve", [False, True])
+def test_merge_after_evolution_preserves_null_fill(spark, evolve):
+    """merge on an evolved table must keep NULL-filled rows intact
+    unless their key matches (the delete_where NULL bug's merge
+    sibling)."""
+    t = LogTable(spark, scratch_dir("txnprop_ev_" + uuid.uuid4().hex))
+    t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+    t.append(
+        spark.createDataFrame([(3, "x")], "k int, tag string"),
+        evolve_schema=True,
+    )
+    src = spark.createDataFrame([(2, "up"), (9, "new")], "k int, tag string")
+    if evolve:
+        t.merge(src, keys=["k"])
+        got = {(r["k"], r["tag"]) for r in t.snapshot().collect()}
+        assert got == {(1, None), (2, "up"), (3, "x"), (9, "new")}
+    else:
+        t.merge(src, keys=["k"])
+        assert t.snapshot().count() == 4
