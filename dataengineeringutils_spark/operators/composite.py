@@ -1888,7 +1888,7 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_quantity"),
         F.sum(net).cast("double").alias("net_revenue"),
-    )
+    ).localCheckpoint(eager=True)  # total + shares both read the 11-row frame
     tot = per.agg(F.sum("net_revenue").alias("t"))
     return per.crossJoin(F.broadcast(tot)).select(
         "discount_pct",
@@ -2032,16 +2032,18 @@ def orders_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized; grouping is by month, so no global window.
     """
     o = table(spark, sf_dir, "orders")
-    bounds = o.agg(
-        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
-        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    # ONE fact scan: the distinct-day frame is materialized and both
+    # the span bounds and the coverage join derive from it
+    active = (
+        o.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        .localCheckpoint(eager=True)
     )
+    bounds = active.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
     )
-    active = o.select(
-        F.col("o_orderdate").cast("date").alias("d")
-    ).distinct().withColumn("hit", F.lit(1))
     return (
         cal.join(active, "d", "left")
         .groupBy(F.date_format("d", "yyyy-MM").alias("month"))
@@ -2170,7 +2172,9 @@ def orders_status_mix_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         "o_orderstatus",
-    ).agg(F.count("*").cast("double").alias("n"))
+    ).agg(F.count("*").cast("double").alias("n")).localCheckpoint(
+        eager=True  # shares + totals both read the months×statuses frame
+    )
     tot = m.groupBy("month").agg(F.sum("n").alias("t"))
     share = m.join(F.broadcast(tot), "month").select(
         "o_orderstatus", (F.col("n") / F.col("t")).alias("s")
@@ -2219,7 +2223,7 @@ def orders_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("rev"),
-    )
+    ).localCheckpoint(eager=True)  # both bridge sides read the months frame
     c = m.select(
         F.col("mo"), F.col("n").alias("c_n"), F.col("rev").alias("c_rev")
     )

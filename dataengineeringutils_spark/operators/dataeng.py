@@ -1392,7 +1392,7 @@ def dq_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             4,
         ).alias("null_value_rate"),
-    )
+    ).localCheckpoint(eager=True)  # mean + grid both read the |days| frame
     avg_n = daily.agg(
         (F.sum("n_events").cast("double") / F.count("*")).alias("avg_n")
     )
@@ -1532,9 +1532,17 @@ def dq_categorical_association_chi2(spark: SparkSession, sf_dir: str) -> DataFra
     work is the first aggregate; everything after is metadata-sized.
     """
     o = table(spark, sf_dir, "orders")
-    obs = o.groupBy(
-        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
-    ).agg(F.count("*").cast("double").alias("o"))
+    # the contingency frame feeds SIX derivations (marginals, totals,
+    # level counts, the grid) — materialize it once so the fact scan
+    # runs once, not per derivation
+    obs = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("o_orderstatus").alias("b"),
+        )
+        .agg(F.count("*").cast("double").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     ma = obs.groupBy("a").agg(F.sum("o").alias("ra"))
     mb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
     tot = obs.agg(F.sum("o").alias("t"))

@@ -3240,9 +3240,13 @@ def events_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("event_type") == "purchase"
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    p = ev.select(
-        "user_id", "ts", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 2)
+    # first-two frame feeds three derivations (both join sides + the
+    # buyer count) — materialize so the fact scan + window run once
+    p = (
+        ev.select("user_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .localCheckpoint(eager=True)
+    )
     a = p.filter(F.col("rn") == 1).select(
         "user_id", F.col("ts").alias("t1")
     )

@@ -1581,11 +1581,17 @@ def text_doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     bucket = F.lit(0)
     for k in range(1, 21):
         bucket = bucket + (F.col("n_chars") >= (1 << k)).cast("int")
-    hist = d.select(bucket.alias("bucket"), "n_chars").groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    hist = (
+        d.select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .localCheckpoint(eager=True)
     )
-    tot = d.agg(F.sum("n_chars").cast("double").alias("t"))
+    # the denominator is the histogram's own mass — no second fact scan
+    tot = hist.agg(F.sum("total_chars").cast("double").alias("t"))
     return hist.crossJoin(F.broadcast(tot)).select(
         F.col("bucket").cast("int").alias("bucket"),
         F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("lo_chars"),
