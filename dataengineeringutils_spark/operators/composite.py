@@ -2249,3 +2249,85 @@ def orders_revenue_bridge_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("c_rev") / F.col("c_n") - F.col("p_rev") / F.col("p_n"))
         ).alias("rate_effect"),
     )
+
+
+@query(
+    "orders_quarter_end_loading",
+    oracle="""
+    WITH q AS (
+        SELECT date_trunc('quarter', o_orderdate) AS qtr,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+    ),
+    qq AS (
+        SELECT qtr,
+               CAST(date_trunc('quarter', qtr + INTERVAL 3 MONTH) AS DATE)
+                   - 3 AS cut
+        FROM (SELECT DISTINCT qtr FROM q)
+    )
+    SELECT strftime(q.qtr, '%Y') || '-Q'
+               || CAST(quarter(q.qtr) AS VARCHAR) AS quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(q.p) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(CASE WHEN q.d >= qq.cut THEN q.p END) AS DOUBLE)
+                 / CAST(SUM(q.p) AS DOUBLE), 6) AS last3d_share
+    FROM q JOIN qq ON q.qtr = qq.qtr
+    GROUP BY q.qtr
+    """,
+)
+def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end loading: what share of each quarter's revenue lands
+    in its LAST THREE DAYS — the "hockey stick" pathology check
+    (healthy demand books evenly; discount-driven quarter-close pushes
+    spike the tail, and the spike predicts returns and churn). A
+    uniform quarter puts ~3.3% in the last 3 days; multiples of that
+    are the finding.
+
+    One fact scan; the quarter-cutoff dimension derives from the
+    distinct quarters (metadata-sized) by pure date arithmetic
+    (next quarter start − 3 days) and joins back broadcast. Exact
+    decimal revenue; one 6-dp ratio at the edge.
+    """
+    o = table(spark, sf_dir, "orders")
+    q = o.select(
+        F.date_trunc("quarter", "o_orderdate").alias("qtr"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    qq = (
+        q.select("qtr")
+        .distinct()
+        .select(
+            "qtr",
+            F.date_sub(
+                F.date_trunc("quarter", F.expr("qtr + interval 3 month"))
+                .cast("date"),
+                3,
+            ).alias("cut"),
+        )
+    )
+    return (
+        q.join(F.broadcast(qq), "qtr")
+        .groupBy("qtr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("p").cast("double").alias("revenue"),
+            F.round(
+                F.sum(F.when(F.col("d") >= F.col("cut"), F.col("p")))
+                .cast("double")
+                / F.sum("p").cast("double"),
+                6,
+            ).alias("last3d_share"),
+        )
+        .select(
+            F.concat(
+                F.year("qtr").cast("string"),
+                F.lit("-Q"),
+                F.quarter("qtr").cast("string"),
+            ).alias("quarter"),
+            "n_orders",
+            "revenue",
+            "last3d_share",
+        )
+    )

@@ -3295,3 +3295,82 @@ def events_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("p90_raw"), 4).alias("p90_hours"),
         )
     )
+
+
+@query(
+    "events_value_qq_table",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value, event_id FROM events
+        WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    deciles AS (
+        SELECT d.p, r.event_type, r.value
+        FROM (SELECT UNNEST([0.1,0.25,0.5,0.75,0.9]) AS p) d
+        JOIN ranked r ON r.rn = CAST(ceil(d.p * r.n) AS BIGINT)
+    )
+    SELECT p,
+           MIN(CASE WHEN event_type = 'purchase' THEN value END)
+               AS purchase_value,
+           MIN(CASE WHEN event_type = 'click' THEN value END)
+               AS click_value,
+           ROUND(MIN(CASE WHEN event_type = 'purchase' THEN value END)
+                 / MIN(CASE WHEN event_type = 'click' THEN value END), 4)
+               AS qq_ratio
+    FROM deciles GROUP BY p
+    """,
+)
+def events_value_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile comparison of the value distribution between
+    purchases and clicks: matched discrete quantiles (p10/p25/p50/p75/
+    p90) side by side with their ratio — the distribution-shift
+    diagnostic that says WHERE two populations differ (a flat ratio =
+    pure scale shift; a ratio growing with p = the purchase tail is
+    heavier), where a mean comparison says only THAT they differ.
+
+    One scan, one keyed rank window per type (partitions bounded by
+    the type key), and the quantile probe joins the 5-row p-grid
+    against exact PERCENTILE_DISC positions — all engine-portable
+    integer rank arithmetic, values straight from the data.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    grid = ranked.sparkSession.createDataFrame(
+        [(0.1,), (0.25,), (0.5,), (0.75,), (0.9,)], "p double"
+    )
+    deciles = ranked.join(
+        F.broadcast(grid),
+        F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"),
+    )
+    return deciles.groupBy("p").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("purchase_value"),
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("value"))
+        ).alias("click_value"),
+        F.round(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("value")))
+            / F.min(F.when(F.col("event_type") == "click", F.col("value"))),
+            4,
+        ).alias("qq_ratio"),
+    )
