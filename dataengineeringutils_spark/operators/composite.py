@@ -2331,3 +2331,66 @@ def orders_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last3d_share",
         )
     )
+
+
+@query(
+    "customer_segment_value_index",
+    oracle="""
+    WITH per_seg AS (
+        SELECT c.c_mktsegment,
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    ),
+    tot AS (
+        SELECT SUM(revenue) AS t_rev, SUM(n_customers) AS t_cust
+        FROM per_seg
+    )
+    SELECT c_mktsegment, n_customers, revenue,
+           ROUND((revenue / n_customers)
+                 / ((SELECT t_rev FROM tot) / (SELECT t_cust FROM tot)),
+                 4) AS value_index
+    FROM per_seg
+    """,
+)
+def customer_segment_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment value index: each segment's revenue-per-customer
+    relative to the overall revenue-per-customer (1.0 = average;
+    1.3 = this segment's buyers are worth 30% more) — the first table
+    of any segment review, and the sanity anchor for segment-weighted
+    sampling or spend allocation.
+
+    The customer dim joins broadcast into the fact scan, one aggregate
+    collapses to the |segments| frame (distinct-customer count rides
+    the same shuffle), and the global baseline is arithmetic on that
+    frame — one fact pass total.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_seg.agg(
+        F.sum("revenue").alias("t_rev"),
+        F.sum("n_customers").alias("t_cust"),
+    )
+    return per_seg.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        "n_customers",
+        "revenue",
+        F.round(
+            (F.col("revenue") / F.col("n_customers"))
+            / (F.col("t_rev") / F.col("t_cust")),
+            4,
+        ).alias("value_index"),
+    )

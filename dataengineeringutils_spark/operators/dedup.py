@@ -1083,3 +1083,64 @@ def dedup_prefix_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+@query(
+    "dedup_fingerprint_agreement",
+    oracle="""
+    WITH sig AS (
+        SELECT md5(text) AS full_h,
+               md5(array_to_string(
+                   list_filter(string_split(text, ' '), t -> t <> '')[1:8],
+                   ' ')) AS pre_h
+        FROM documents
+    ),
+    f AS (
+        SELECT full_h, COUNT(*) OVER (PARTITION BY full_h) AS n_full,
+               COUNT(*) OVER (PARTITION BY pre_h) AS n_pre
+        FROM sig
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_full > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(SUM(CASE WHEN n_pre > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_prefix_dup_docs,
+           CAST(SUM(CASE WHEN n_pre > 1 AND n_full = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_prefix_only
+    FROM f
+    """,
+)
+def dedup_fingerprint_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between the EXACT content hash and the 8-token PREFIX
+    fingerprint: docs flagged by each, and the prefix-only margin —
+    the calibration row that says how much of the prefix families'
+    removal forecast (``dedup_prefix_family_sizes``) is template-led
+    near-duplication vs byte-exact copies (prefix-only docs need the
+    near-dup pipeline; exact dups just need the CAS pass).
+
+    Both digests compute in the same scan projection; membership
+    counts are two keyed windows over 16-byte digest partitions
+    (bounded by family sizes), and the summary is a 1-row aggregate —
+    text never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        F.md5("text").alias("full_h"),
+        F.md5(F.concat_ws(" ", F.slice(tokens_col(), 1, 8))).alias("pre_h"),
+    )
+    f = sig.select(
+        F.count("*").over(Window.partitionBy("full_h")).alias("n_full"),
+        F.count("*").over(Window.partitionBy("pre_h")).alias("n_pre"),
+    )
+    return f.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_full") > 1).cast("long"))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.sum((F.col("n_pre") > 1).cast("long"))
+        .cast("bigint")
+        .alias("n_prefix_dup_docs"),
+        F.sum(((F.col("n_pre") > 1) & (F.col("n_full") == 1)).cast("long"))
+        .cast("bigint")
+        .alias("n_prefix_only"),
+    )
