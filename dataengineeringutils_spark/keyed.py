@@ -57,10 +57,28 @@ class KeyedTable:
         Equivalent to ``MERGE INTO t USING batch ON keys WHEN MATCHED AND
         batch wins THEN UPDATE WHEN NOT MATCHED THEN INSERT`` — expressed
         as one union + one keyed window so plain parquet can run it.
+
+        Ties on the FULL ``order_by`` between the snapshot and the batch
+        go to the BATCH (last writer wins — the standard upsert rule): a
+        recency column a source fails to advance must still apply the
+        newest payload deterministically. Without the explicit
+        precedence column the window tie-break was partitioning
+        luck (caught by the model-based property test).
         """
         merged = self._latest_per_key(batch)
         if self._version >= 0:
-            merged = self._latest_per_key(self.current().unionByName(merged))
+            w = Window.partitionBy(*self.keys).orderBy(
+                *[F.col(c).desc() for c in self.order_by],
+                F.col("__src").desc(),
+            )
+            merged = (
+                self.current()
+                .withColumn("__src", F.lit(0))
+                .unionByName(merged.withColumn("__src", F.lit(1)))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
         # write first, bump after: a failed write must not leave _version
         # pointing at a nonexistent state path
         merged.write.mode("overwrite").parquet(
