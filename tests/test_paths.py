@@ -31,3 +31,30 @@ def test_normalize_read_path():
     assert normalize_read_path("s3://b/k") == "s3a://b/k"
     assert normalize_read_path("/tmp/x") == "/tmp/x"
     assert is_s3_path("s3a://b/k") and not is_s3_path("/tmp/x")
+
+
+def test_ram_scratch_dir_is_pid_keyed_and_usable(tmp_path, monkeypatch):
+    """ram_scratch_dir must be PID-keyed like scratch_dir and fall back
+    to the repo scratch root when /dev/shm is absent (the _RAM_ROOT
+    constant is resolved at import; this pins the invariants both
+    roots share)."""
+    import os
+
+    from dataengineeringutils_spark import paths
+
+    d = paths.ram_scratch_dir("unit_test_ck")
+    assert f"pid-{os.getpid()}" in d
+    assert os.path.isdir(d)
+    # writable (streaming checkpoints create nested dirs + files)
+    p = os.path.join(d, "offsets")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "0"), "w") as f:
+        f.write("x")
+    assert open(os.path.join(p, "0")).read() == "x"
+    # the fallback expression: absent /dev/shm resolves to the repo root
+    fallback = (
+        os.path.join("/dev/shm", "deu_spark_scratch")
+        if os.path.isdir("/dev/shm")
+        else paths._SCRATCH_ROOT
+    )
+    assert paths._RAM_ROOT == fallback
