@@ -2394,3 +2394,58 @@ def customer_segment_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("value_index"),
     )
+
+
+@query(
+    "part_size_price_corr",
+    oracle="""
+    WITH per_brand AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(corr(CAST(p_size AS DOUBLE),
+                          CAST(p_retailprice AS DOUBLE)), 4) AS size_price_r
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n_parts, size_price_r FROM per_brand
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+           ROUND(corr(CAST(p_size AS DOUBLE),
+                      CAST(p_retailprice AS DOUBLE)), 4)
+    FROM part
+    """,
+)
+def part_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size→price correlation per brand (plus the ALL row): does bigger
+    cost more, and is the relationship brand-consistent? A brand whose
+    correlation flips sign against the catalog norm usually has a
+    units/size-encoding defect in its feed — this is the
+    dimension-table cousin of the fact-side DQ audits, and the Simpson's
+    check (per-brand vs pooled) in one table.
+
+    Pure dimension-table aggregates (|parts| rows); per-brand and the
+    pooled row are two map-combined passes over the broadcastable dim.
+    corr is a sample statistic — 4 dp per the oracle conventions.
+    """
+    p = table(spark, sf_dir, "part")
+    per_brand = p.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.corr(
+                F.col("p_size").cast("double"),
+                F.col("p_retailprice").cast("double"),
+            ),
+            4,
+        ).alias("size_price_r"),
+    )
+    overall = p.agg(
+        F.lit("ALL").alias("p_brand"),
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.corr(
+                F.col("p_size").cast("double"),
+                F.col("p_retailprice").cast("double"),
+            ),
+            4,
+        ).alias("size_price_r"),
+    )
+    return per_brand.unionByName(overall)

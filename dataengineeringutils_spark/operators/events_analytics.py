@@ -3374,3 +3374,98 @@ def events_value_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("qq_ratio"),
     )
+
+
+@query(
+    "events_session_depth_cdf",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800 * 1000000
+                         OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM s
+    ),
+    sizes AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS depth
+        FROM sess GROUP BY user_id, sid
+    ),
+    grid AS (SELECT UNNEST([1, 2, 3, 5, 8, 13]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(SUM(CASE WHEN depth >= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_ge_k,
+           ROUND(CAST(SUM(CASE WHEN depth >= k THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM sizes), 6) AS share
+    FROM sizes, grid
+    GROUP BY k
+    """,
+)
+def events_session_depth_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth survival curve: the share of sessions reaching at
+    least 1/2/3/5/8/13 events — the engagement-funnel shape that single
+    averages hide (two products with identical mean depth can have
+    opposite retention cliffs; the k where the curve breaks is where
+    the product loses people).
+
+    The shared 30-minute sessionization kernel collapses events to one
+    DEPTH row per session (all windows on one user exchange); the
+    survival grid is a 6-row cross join against that collapsed frame's
+    conditional counts — adding thresholds costs counters, not passes.
+    """
+    ev = table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.lag("ts").over(w_u).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_u))
+                > 1800 * 1_000_000
+            )
+        )
+        .cast("int")
+        .alias("new_s"),
+    )
+    sess = s.select(
+        "user_id",
+        F.sum("new_s")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    sizes = sess.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("depth")
+    ).select("depth").localCheckpoint(eager=True)
+    tot = sizes.agg(F.count("*").cast("double").alias("t"))
+    grid = sizes.sparkSession.createDataFrame(
+        [(k,) for k in (1, 2, 3, 5, 8, 13)], "k int"
+    )
+    return (
+        sizes.crossJoin(F.broadcast(grid))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("depth") >= F.col("k")).cast("long"))
+            .cast("bigint")
+            .alias("n_sessions_ge_k")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_sessions_ge_k",
+            F.round(
+                F.col("n_sessions_ge_k").cast("double") / F.col("t"), 6
+            ).alias("share"),
+        )
+    )

@@ -1877,3 +1877,58 @@ def documents_length_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("eta_squared"),
     )
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT lang,
+                   UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents
+        )
+        GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_ratio,
+           CAST(SUM(c) AS BIGINT) AS n_tokens
+    FROM counts GROUP BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio per language: the share of each language's
+    vocabulary that occurs exactly once — the corpus-maturity and
+    noise gauge (natural text plateaus near ~40-50% hapax; far above
+    that flags OCR garbage / ID floods inflating the vocab, far below
+    flags template spam), read next to the Heaps curve (B357) before
+    sizing a tokenizer.
+
+    The occurrence stream collapses to |vocab| count rows in one
+    map-combined aggregate keyed by (lang, token); the summary is a
+    per-language second aggregate — token text shuffles once, docs
+    never do.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens_col()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return counts.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("bigint").alias("hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_ratio"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
