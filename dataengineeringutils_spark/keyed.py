@@ -39,14 +39,20 @@ class KeyedTable:
         self.order_by = order_by
         self._version = -1
 
-    def _rank_window(self):
+    def _rank_window(self, df: DataFrame):
+        # Final tie-break: a content hash over every column. Two batch
+        # rows equal on (keys + full order_by) used to be resolved by
+        # partition luck inside row_number; hashing the whole row makes
+        # the winner a pure function of the data (and when the tied rows
+        # are byte-identical the choice is immaterial anyway). ADVICE r4.
         return Window.partitionBy(*self.keys).orderBy(
-            *[F.col(c).desc() for c in self.order_by]
+            *[F.col(c).desc() for c in self.order_by],
+            F.xxhash64(*[F.col(c) for c in df.columns]).desc(),
         )
 
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
         return (
-            df.withColumn("__rn", F.row_number().over(self._rank_window()))
+            df.withColumn("__rn", F.row_number().over(self._rank_window(df)))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )

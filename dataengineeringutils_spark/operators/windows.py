@@ -208,7 +208,13 @@ def two_phase_global_rank(
     val = F.col(value_col)
     bucket = F.lit(0)
     for c in cuts:
-        bucket = bucket + (val > F.lit(c)).cast("int")
+        # coalesce: a NULL value used to yield a NULL bucket, and the
+        # equi-join against the offsets frame silently DROPPED the row
+        # (ADVICE r4). Bucket 0 reproduces plain-window semantics in
+        # both directions: Spark orders NULLS FIRST under asc (bucket 0
+        # is ranked first) and NULLS LAST under desc (bucket 0 is ranked
+        # last), and the within-bucket orderBy applies the same default.
+        bucket = bucket + F.coalesce((val > F.lit(c)).cast("int"), F.lit(0))
     bcol, ocol = f"__bkt_{rn_name}", f"__off_{rn_name}"
     d = df.withColumn(bcol, bucket)
     counts = d.groupBy(bcol).agg(F.count("*").alias("cnt"))

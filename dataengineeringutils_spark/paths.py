@@ -124,9 +124,21 @@ def scratch_dir(name: str) -> str:
 
 def ram_scratch_dir(name: str) -> str:
     """PID-keyed scratch on tmpfs (falls back to ``scratch_dir``'s root
-    when /dev/shm is absent). For ephemeral streaming checkpoints only —
-    see the ``_RAM_ROOT`` note."""
-    return _pid_dir(_RAM_ROOT, name)
+    when /dev/shm is absent OR unwritable). For ephemeral streaming
+    checkpoints only — see the ``_RAM_ROOT`` note.
+
+    The fallback probes by actually creating the pid dir: ``/dev/shm``
+    existing is not enough on a shared host where another uid owns
+    ``deu_spark_scratch`` (mode 0700) — makedirs then raises
+    PermissionError and every streaming op would fail hard (ADVICE r4).
+    """
+    global _RAM_ROOT
+    if _RAM_ROOT != _SCRATCH_ROOT:
+        try:
+            return _pid_dir(_RAM_ROOT, name)
+        except OSError:
+            _RAM_ROOT = _SCRATCH_ROOT  # remember: tmpfs is unusable here
+    return _pid_dir(_SCRATCH_ROOT, name)
 
 
 def process_suffix() -> str:

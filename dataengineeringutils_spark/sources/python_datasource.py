@@ -130,8 +130,9 @@ class JsonlDirWriter(DataSourceWriter):
     the object-store commit protocol in miniature: uniquely-named
     immutable segments + an atomic manifest publish."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = True):
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import json
@@ -151,16 +152,33 @@ class JsonlDirWriter(DataSourceWriter):
         import os
 
         manifest = os.path.join(self.path, "_MANIFEST")
+        lines = []
+        # mode("append") must UNION the new segments with the published
+        # manifest — a wholesale rewrite silently dropped every
+        # previously committed segment from the list readers trust
+        # (ADVICE r4). Overwrite keeps replace semantics; stale segment
+        # files from the replaced manifest are unreferenced, not read.
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest) as f:
+                lines = [ln for ln in f.read().splitlines() if ln]
+        for m in messages:
+            if m is None:
+                continue
+            lines.append(f"{m.path}\t{m.n_rows}")
         tmp = manifest + ".tmp"
         with open(tmp, "w") as f:
-            for m in messages:
-                f.write(f"{m.path}\t{m.n_rows}\n")
+            f.write("".join(ln + "\n" for ln in lines))
         os.replace(tmp, manifest)
 
     def abort(self, messages):
         import os
 
+        # Spark passes None for tasks that never completed; reading
+        # m.path off those raised AttributeError and masked the original
+        # job failure (ADVICE r4).
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.unlink(m.path)
             except FileNotFoundError:
@@ -175,7 +193,7 @@ class JsonlDirDataSource(DataSource):
         return "jsonl_dir"
 
     def writer(self, schema, overwrite: bool):
-        return JsonlDirWriter(self.options)
+        return JsonlDirWriter(self.options, overwrite)
 
 
 @query(
