@@ -666,3 +666,80 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outcome_rate"
         ),
     )
+
+# Shared expression text for ml_target_encoding_loo (same string parses
+# on both engines -> identical IEEE op order).
+_LOO = "(CAST(s1 AS DOUBLE) - o_totalprice) / (n - 1)"
+_SMOOTH = (
+    "(CAST(s1 AS DOUBLE) - o_totalprice + 20.0 * prior) / (n - 1 + 20.0)"
+)
+
+
+@query(
+    "ml_target_encoding_loo",
+    oracle=f"""
+    WITH seg AS (
+        SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    stats AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1
+        FROM seg GROUP BY c_mktsegment
+    ),
+    gstats AS (
+        SELECT CAST(SUM(s1) AS DOUBLE) / SUM(n) AS prior FROM stats
+    )
+    SELECT o_orderkey,
+           c_mktsegment AS segment,
+           o_totalprice AS target,
+           ROUND({_LOO}, 6) AS loo_encoding,
+           ROUND({_SMOOTH}, 6) AS smoothed_encoding
+    FROM seg JOIN stats USING (c_mktsegment) CROSS JOIN gstats
+    WHERE o_orderkey % 101 = 0
+    """,
+)
+def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order value — the categorical-feature encoding that avoids
+    self-leakage by excluding each row's own target from its group mean
+    ((Σ − x)/(n − 1)), plus the m-estimate smoothed variant (m = 20
+    pseudo-observations of the global prior) that tames rare segments.
+    A 1/101 keyed sample of encoded rows returns; statistics use ALL
+    rows.
+
+    Plan: one broadcast dim join tags facts with the segment, one
+    aggregate collapses to |segments| exact-DECIMAL sums, and the
+    encodings are per-row codegen against the broadcast stats — no
+    window over the fact table, no per-row Python. The LOO/smoothing
+    formulas are shared expression text with the oracle, so the 6-dp
+    rounding sits on bit-identical doubles.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_mktsegment"
+    )
+    dp = F.col("o_totalprice").cast("decimal(18,2)")
+    stats = seg.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dp).alias("s1"),
+    )
+    glob = stats.agg(
+        F.expr("CAST(SUM(s1) AS DOUBLE) / SUM(n)").alias("prior")
+    )
+    return (
+        seg.filter(F.col("o_orderkey") % 101 == 0)
+        .join(F.broadcast(stats), "c_mktsegment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("target"),
+            F.expr(f"ROUND({_LOO}, 6)").alias("loo_encoding"),
+            F.expr(f"ROUND({_SMOOTH}, 6)").alias("smoothed_encoding"),
+        )
+    )

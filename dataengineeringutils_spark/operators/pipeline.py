@@ -450,3 +450,154 @@ def dataset_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 10)
         .select("epoch", "pos", "doc_id")
     )
+
+# Temperature-sampling exponents. Restricted to quarter powers so both
+# engines compute the weight base via nested SQRT — IEEE-754 requires
+# sqrt to be correctly rounded, so the doubles are bit-identical across
+# Spark and DuckDB; a general POWER(x, 0.3) is NOT correctly rounded and
+# may differ in the last ulp between libm implementations.
+TEMP_ALPHAS = ((25, "SQRT(SQRT(CAST(n_tokens AS DOUBLE)))"),
+               (50, "SQRT(CAST(n_tokens AS DOUBLE))"),
+               (100, "CAST(n_tokens AS DOUBLE)"))
+
+_TEMP_GRID_SQL = " UNION ALL ".join(
+    f"SELECT source, n_tokens, {a} AS alpha_pct, {expr} AS w_raw FROM counts"
+    for a, expr in TEMP_ALPHAS
+)
+
+
+@query(
+    "dataset_temperature_sampling_weights",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    grid AS ({_TEMP_GRID_SQL}),
+    norm AS (
+        SELECT source, n_tokens, alpha_pct, w_raw,
+               SUM(w_raw) OVER (PARTITION BY alpha_pct) AS z,
+               SUM(n_tokens) OVER (PARTITION BY alpha_pct) AS m
+        FROM grid
+    )
+    SELECT source, CAST(alpha_pct AS INT) AS alpha_pct, n_tokens,
+           ROUND(w_raw / z, 6) AS weight,
+           ROUND((w_raw / z) / (CAST(n_tokens AS DOUBLE) / m), 6)
+               AS upsample_factor
+    FROM norm
+    """,
+)
+def dataset_temperature_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture weights per source: w_s ∝ tokens_s^α
+    for α ∈ {0.25, 0.5, 1.0} — the multilingual/multi-source sampling
+    rule (XLM-R-style α-sampling) that upweights small sources without
+    letting any source dominate; ``upsample_factor`` (weight over
+    natural share) is the repetition multiplier each source would see
+    at that temperature.
+
+    One token-count aggregate collapses the corpus to |sources| rows;
+    the α-grid is a 3-way union of that broadcastable frame and the
+    normalization is a |sources×3|-row window. Exactness: α powers are
+    nested SQRT (correctly rounded per IEEE-754, unlike general POWER),
+    so both engines round identical doubles.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("bigint").alias("n_tokens")
+    )
+    grid = None
+    for a, expr in TEMP_ALPHAS:
+        part = counts.select(
+            "source",
+            "n_tokens",
+            F.lit(a).cast("int").alias("alpha_pct"),
+            F.expr(expr).alias("w_raw"),
+        )
+        grid = part if grid is None else grid.unionByName(part)
+    wz = Window.partitionBy("alpha_pct")
+    return grid.select(
+        "source",
+        "alpha_pct",
+        "n_tokens",
+        F.round(F.col("w_raw") / F.sum("w_raw").over(wz), 6).alias("weight"),
+        F.round(
+            (F.col("w_raw") / F.sum("w_raw").over(wz))
+            / (
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(wz)
+            ),
+            6,
+        ).alias("upsample_factor"),
+    )
+
+
+@query(
+    "dataset_dedup_aware_epoch_plan",
+    oracle="""
+    WITH fam AS (
+        SELECT source, md5(text) AS h,
+               CAST(COUNT(*) AS BIGINT) AS copies,
+               CAST(MIN(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS tok
+        FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS docs,
+           CAST(COUNT(*) AS BIGINT) AS uniq_docs,
+           CAST(SUM(copies * tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(tok) AS BIGINT) AS uniq_tokens,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(copies), 6)
+               AS dup_doc_ratio,
+           ROUND(CAST(SUM(copies * tok) AS DOUBLE) / SUM(tok), 6)
+               AS implied_epochs
+    FROM fam GROUP BY source
+    """,
+)
+def dataset_dedup_aware_epoch_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-aware epoch planning per source: exact-duplicate families
+    (md5 of the text) collapse the corpus to unique documents, and
+    ``implied_epochs`` = raw tokens over unique tokens is the effective
+    repetition a trainer already gets from duplication BEFORE any
+    explicit multi-epoch schedule — the number to subtract when sizing
+    repeats, next to ``dedup_exact``'s removal view.
+
+    Families form in one (source, digest) hash aggregate carrying only
+    the digest and a token count (MIN over identical texts — copies
+    tokenize identically); the per-source plan is a second |families|→
+    |sources| collapse. Text never shuffles, docs never sort.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    fam = d.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(
+        F.count("*").cast("bigint").alias("copies"),
+        F.min(F.size(tokens_col())).cast("bigint").alias("tok"),
+    )
+    return fam.groupBy("source").agg(
+        F.sum("copies").cast("bigint").alias("docs"),
+        F.count("*").cast("bigint").alias("uniq_docs"),
+        F.sum(F.col("copies") * F.col("tok")).cast("bigint").alias(
+            "raw_tokens"
+        ),
+        F.sum("tok").cast("bigint").alias("uniq_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.count("*").cast("double") / F.sum("copies"),
+            6,
+        ).alias("dup_doc_ratio"),
+        F.round(
+            F.sum(F.col("copies") * F.col("tok")).cast("double")
+            / F.sum("tok"),
+            6,
+        ).alias("implied_epochs"),
+    )
