@@ -3469,3 +3469,95 @@ def events_session_depth_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# Shared per-user burstiness arithmetic (identical text on both engines;
+# inputs are exact integers so the doubles are bit-identical). Population
+# moments over the k inter-arrival gaps of one user.
+_B_MEAN = "CAST(s1 AS DOUBLE) / k"
+_B_SD = f"SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * ({_B_MEAN})) / k)"
+_B_SCORE = f"(({_B_SD}) - ({_B_MEAN})) / (({_B_SD}) + ({_B_MEAN}))"
+_B_BAND = (
+    "CASE WHEN k >= 79 THEN '80+' WHEN k >= 69 THEN '70-79' "
+    "WHEN k >= 59 THEN '60-69' ELSE '<60' END"
+)
+
+
+@query(
+    "events_user_burstiness",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               (LEAD(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) - epoch_us(ts)) // 1000000 AS g
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS k,
+               CAST(SUM(g) AS BIGINT) AS s1,
+               SUM(CAST(g AS DECIMAL(38,0)) * g) AS s2
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id HAVING COUNT(g) >= 2
+    ),
+    scored AS (
+        SELECT {_B_BAND} AS activity_band,
+               CAST(FLOOR(({_B_SCORE}) * 1e6) AS BIGINT) AS bq,
+               {_B_SCORE} AS b
+        FROM per_user
+    )
+    SELECT activity_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(bq) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean_b,
+           ROUND(MIN(b), 6) AS min_b,
+           ROUND(MAX(b), 6) AS max_b
+    FROM scored GROUP BY activity_band
+    """,
+)
+def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each user's event stream — Goh-Barabási
+    B = (σ−μ)/(σ+μ) over inter-arrival gaps (B→−1 periodic, ≈0
+    Poisson, →+1 bursty) — summarized per activity band: schedulers
+    and bots sit near −1, organic humans cluster in bursts; the band
+    cut (by event count, fixture users run 45-99 events at every SF)
+    keeps light and heavy users from averaging each other out.
+
+    One keyed window forms gaps under the total order (ts, event_id),
+    one hash aggregate collapses events to |users| exact integer
+    moments (Σg as bigint, Σg² as DECIMAL — µs-scale squares overflow
+    int64), and the band summary is a ≤4-row second collapse. The
+    per-band mean quantizes each user's B at 10⁻⁶ into int64 before
+    summing (order-independent across partitions — raw double sums are
+    not); min/max are exact doubles. Events shuffle once, by user.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        ).alias("g_us"),
+    ).select("user_id", F.expr("g_us div 1000000").alias("g"))
+    per_user = (
+        gaps.filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").cast("bigint").alias("k"),
+            F.sum("g").cast("bigint").alias("s1"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("s2"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    scored = per_user.select(
+        F.expr(_B_BAND).alias("activity_band"),
+        F.expr(f"CAST(FLOOR(({_B_SCORE}) * 1e6) AS BIGINT)").alias("bq"),
+        F.expr(_B_SCORE).alias("b"),
+    )
+    return scored.groupBy("activity_band").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("bq").cast("double") / F.lit(1e6) / F.count("*"), 6)
+        .alias("mean_b"),
+        F.round(F.min("b"), 6).alias("min_b"),
+        F.round(F.max("b"), 6).alias("max_b"),
+    )

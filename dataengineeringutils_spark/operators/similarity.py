@@ -2561,3 +2561,62 @@ def sim_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("largest_cid"),
         )
     )
+
+
+@query(
+    "embeddings_subspace_energy",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label,
+               CAST((i - 1) // {PI_DIM // 4} AS INT) AS block_i,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i)
+    ),
+    blocks AS (
+        SELECT label, block_i,
+               CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS BIGINT)
+                   AS eq
+        FROM dims GROUP BY label, block_i
+    )
+    SELECT label, block_i,
+           ROUND(CAST(eq AS DOUBLE)
+                 / SUM(eq) OVER (PARTITION BY label), 6) AS energy_share
+    FROM blocks
+    """,
+)
+def embeddings_subspace_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-mass (energy) share of each quarter subspace of the
+    embedding, per label — the product-quantization feasibility read:
+    PQ and blockwise int8 schemes assume energy spreads across
+    subspaces, and a block holding most of the mass (or a label whose
+    profile diverges) says the codebook split must be rebalanced or
+    the encoder re-normalized before quantizing.
+
+    One posexplode + one (label, block) map-side-combined aggregate —
+    4·|labels| partial rows shuffle, vectors never do. Squares are
+    floor-quantized at 10⁻¹² into int64 (order-independent sums; raw
+    double sums differ run to run); shares divide exact integers per
+    label, so the 6-dp rounding sits on identical doubles.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "xr")
+    ).select(
+        "label",
+        F.expr(f"CAST(pos div {PI_DIM // 4} AS INT)").alias("block_i"),
+        F.col("xr").cast("double").alias("x"),
+    )
+    blocks = dims.groupBy("label", "block_i").agg(
+        F.sum(F.floor(F.col("x") * F.col("x") * F.lit(1e12)))
+        .cast("bigint")
+        .alias("eq")
+    )
+    wl = Window.partitionBy("label")
+    return blocks.select(
+        "label",
+        "block_i",
+        F.round(F.col("eq").cast("double") / F.sum("eq").over(wl), 6).alias(
+            "energy_share"
+        ),
+    )

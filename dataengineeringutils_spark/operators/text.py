@@ -1932,3 +1932,79 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hapax_ratio"),
         F.sum("c").cast("bigint").alias("n_tokens"),
     )
+
+
+# Fixed-substring artifact counters, shared expression text with the
+# oracle. Substring counts via LENGTH-REPLACE arithmetic (exact integer,
+# identical left-to-right replace semantics on both engines) — no regex,
+# whose dialects differ between engines.
+_OCR_COUNTS = (
+    "CAST((LENGTH(text) - LENGTH(REPLACE(text, '  ', ''))) div 2 "
+    "AS BIGINT) AS ds",
+    "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' - ', '')) AS BIGINT) "
+    "div 3 AS hb",
+    "CAST(LENGTH(text) - LENGTH(REPLACE(text, '�', '')) AS BIGINT) "
+    "AS rc",
+)
+
+
+@query(
+    "text_ocr_artifact_score",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(LENGTH(text) AS BIGINT) AS chars,
+               {", ".join(c.replace(" div ", " // ") for c in _OCR_COUNTS)}
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ds) AS BIGINT) AS double_spaces,
+           CAST(SUM(hb) AS BIGINT) AS hyphen_breaks,
+           CAST(SUM(rc) AS BIGINT) AS replacement_chars,
+           ROUND(CAST(SUM(ds) + SUM(hb) + SUM(rc) AS DOUBLE) * 1000
+                 / SUM(chars), 6) AS artifacts_per_kchar,
+           CAST(SUM(CASE WHEN ds + hb + rc > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS affected_docs
+    FROM per_doc GROUP BY source
+    """,
+)
+def text_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/encoding-artifact density per source: double spaces, broken
+    hyphenation (' - ' mid-line splits), and U+FFFD replacement
+    characters per thousand characters — the triage table that decides
+    which sources need a repair pass (or exclusion) before the quality
+    model ever scores them; regex-free so the counts are identical
+    integers on any engine.
+
+    Pure per-row codegen (LENGTH/REPLACE arithmetic) followed by one
+    map-side-combined aggregate to |sources| rows of exact integer
+    sums — the text column is scanned once and never shuffled; only the
+    counter partials move.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("chars"),
+        *[F.expr(c.replace(" AS ds", "").replace(" AS hb", "").replace(" AS rc", "")).alias(n)
+          for c, n in zip(_OCR_COUNTS, ("ds", "hb", "rc"))],
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum("ds").cast("bigint").alias("double_spaces"),
+        F.sum("hb").cast("bigint").alias("hyphen_breaks"),
+        F.sum("rc").cast("bigint").alias("replacement_chars"),
+        F.round(
+            (F.sum("ds") + F.sum("hb") + F.sum("rc")).cast("double")
+            * 1000
+            / F.sum("chars"),
+            6,
+        ).alias("artifacts_per_kchar"),
+        F.sum(
+            ((F.col("ds") + F.col("hb") + F.col("rc")) > 0).cast("long")
+        )
+        .cast("bigint")
+        .alias("affected_docs"),
+    )
