@@ -765,3 +765,72 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+# session cache for sink_txn_stats_skipping's 7-commit fixture table
+_TXN_SKIP_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "sink_txn_stats_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           CAST(1 AS INT) AS files_scanned,
+           CAST(7 AS INT) AS files_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+    """,
+)
+def sink_txn_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats DATA SKIPPING through the transaction log: each append
+    commits per-file min/max of the skipping column into its ``add``
+    action (write-time stats, the Delta/Iceberg mechanic), and a range
+    scan consults the LOG — metadata, bytes — to open only intersecting
+    files. Orders land as one file per year (7 commits); the 1997 scan
+    must open exactly 1 of 7 files, and that accounting is IN the
+    oracle-pinned output: broken stats or broken pruning flips
+    ``files_scanned`` and fails the value hash, not just a perf gate.
+
+    At 100 TB this is the difference between a full-table scan and a
+    partition-sized read on every time-ranged query — and unlike
+    directory partitioning it composes with any column that has
+    write-order locality (see ``sink_zorder_locality``).
+
+    The 7-commit table is a deterministic function of the fixture and
+    is built once per (session, sf_dir) — the same session-cache rule
+    the shingle/IVF artifacts follow; the skipping scan itself (log
+    read, pruning, file scan, aggregate) re-executes every call.
+    """
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TXN_SKIP_CACHE.get(key)
+    if path is None:
+        import uuid
+
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_totalprice"
+        )
+        path = scratch_dir("txn_skip_" + uuid.uuid4().hex)
+        t = LogTable(spark, path)
+        for y in range(1995, 2002):
+            t.append(
+                o.filter(F.year("o_orderdate") == y),
+                stats_col="o_orderdate",
+            )
+        _TXN_SKIP_CACHE[key] = path
+    t = LogTable(spark, path)
+    hit, n_scanned, n_total = t.scan_where(
+        "o_orderdate", "1997-01-01 00:00:00", "1997-12-31 23:59:59"
+    )
+    return hit.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.lit(n_scanned).cast("int").alias("files_scanned"),
+        F.lit(n_total).cast("int").alias("files_total"),
+    )

@@ -967,3 +967,78 @@ def stream_window_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("w.start").alias("window_start"), "n_users", "n_events"
     )
+
+
+@query(
+    "stream_txn_idempotent_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_txn_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink via transaction-log ``txn`` actions —
+    the Delta idempotent-writer mechanic that engine checkpoints alone
+    cannot give you: ``foreachBatch`` commits each micro-batch's partial
+    counts to a LogTable WITH an (appId, batchId) txn action in the
+    same atomic commit, so when the engine re-delivers a batch (sink
+    write succeeded, checkpoint commit lost — the classic crash window)
+    the replayed append is a no-op. The op replays the LAST batch twice
+    — once directly, once after a log checkpoint (watermarks must
+    survive consolidation) — and the oracle's exact per-type totals
+    prove neither replay double-counted.
+    """
+    import shutil
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = scratch_dir("stream_txn_" + re.sub(r"\W+", "_", sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/src/batch={i}")
+    t = LogTable(spark, f"{base}/table")
+    replay: list = []
+
+    def write_batch(batch_df, batch_id):
+        partial = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+        t.append(partial, txn=("etl", batch_id))
+        replay.append((partial, batch_id))
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/batch=*")
+        .writeStream.foreachBatch(write_batch)
+        # counter-suffixed: a reused checkpoint would mark the (fresh)
+        # batch files processed and deliver nothing on a second call
+        .option(
+            "checkpointLocation",
+            ram_scratch_dir(f"ck_txn_sink_{next(_sink_counter)}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # crash-window replay: the engine re-delivers the last batch
+    last_df, last_id = replay[-1]
+    assert t.append(last_df, txn=("etl", last_id)) == -1
+    t.checkpoint()  # consolidation must keep the txn watermark
+    assert t.append(last_df, txn=("etl", last_id)) == -1
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("pv").cast("double").alias("sum_value"),
+        )
+    )

@@ -97,6 +97,7 @@ class LogTable:
         v = versions[-1]
         live: dict[str, dict] = {}
         schema = None
+        txns: dict[str, int] = {}
         for a in self._read_log(v):
             if "add" in a:
                 live[a["add"]["path"]] = a
@@ -104,9 +105,20 @@ class LogTable:
                 live.pop(a["remove"]["path"], None)
             elif "metaData" in a:
                 schema = a
+            elif "txn" in a:
+                # idempotence watermarks survive consolidation (Delta
+                # checkpoints carry txn actions too) — dropping them
+                # would let a replayed batch duplicate after checkpoint
+                txns[a["txn"]["appId"]] = max(
+                    txns.get(a["txn"]["appId"], -1), int(a["txn"]["version"])
+                )
         consolidated = [live[p] for p in sorted(live)]
         if schema is not None:
             consolidated.append(schema)
+        consolidated.extend(
+            {"txn": {"appId": app, "version": ver}}
+            for app, ver in sorted(txns.items())
+        )
         tmp = os.path.join(self.log_dir, f".{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.writelines(json.dumps(a) + "\n" for a in consolidated)
@@ -165,24 +177,113 @@ class LogTable:
                 live.pop(a["remove"]["path"], None)
         return sorted(live)
 
+    def live_adds(self, version: int | None = None) -> list[dict]:
+        """Live ``add`` actions (with any file stats), path-sorted."""
+        live: dict[str, dict] = {}
+        for a in self._read_log(version):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+        return [live[p] for p in sorted(live)]
+
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn`` action version recorded for ``app_id`` (-1 if
+        none) — the Delta idempotent-writer handshake: a streaming sink
+        records (appId, batchId) IN the data commit, and on retry/replay
+        skips any batch at or below this watermark. Exactly-once without
+        trusting the engine checkpoint to be in lock-step with the sink."""
+        v = -1
+        for a in self._read_log():
+            if "txn" in a and a["txn"]["appId"] == app_id:
+                v = max(v, int(a["txn"]["version"]))
+        return v
+
     # -- table operations --------------------------------------------------
-    def _write_files(self, df: DataFrame, n_files: int) -> list[dict]:
+    @staticmethod
+    def _stats_value(v):
+        """JSON-safe, order-preserving encoding for file stats: datetimes
+        → ISO-8601 strings (lexicographic order == time order), numbers
+        pass through."""
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat(sep=" ")
+        return v
+
+    def _write_files(
+        self, df: DataFrame, n_files: int, stats_col: str | None = None
+    ) -> list[dict]:
         sub = uuid.uuid4().hex
         out = os.path.join(self.base, "data", sub)
         df.repartition(n_files).write.mode("overwrite").parquet(out)
-        return [
-            {
-                "add": {
-                    "path": os.path.join("data", sub, f),
-                    "num_records": None,
+        stats: dict[str, tuple] = {}
+        if stats_col is not None:
+            # per-file min/max of the skipping column — the write-time
+            # stats collection every lakehouse format does; one
+            # footer-cheap scan of the files just written
+            rows = (
+                self.spark.read.parquet(out)
+                .groupBy(F.col("_metadata.file_name").alias("fn"))
+                .agg(
+                    F.min(stats_col).alias("mn"), F.max(stats_col).alias("mx")
+                )
+                .collect()
+            )
+            stats = {r["fn"]: (r["mn"], r["mx"]) for r in rows}
+        actions = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            add = {"path": os.path.join("data", sub, f), "num_records": None}
+            if f in stats:
+                add["stats"] = {
+                    "col": stats_col,
+                    "min": self._stats_value(stats[f][0]),
+                    "max": self._stats_value(stats[f][1]),
                 }
-            }
-            for f in sorted(os.listdir(out))
-            if f.endswith(".parquet")
-        ]
+            actions.append({"add": add})
+        return actions
+
+    def scan_where(self, col: str, lo, hi):
+        """Stats-based DATA SKIPPING: read only live files whose committed
+        [min, max] range for ``col`` intersects [lo, hi] (files without
+        stats for ``col`` are conservatively scanned). Returns
+        ``(DataFrame, n_files_scanned, n_files_total)`` — the snapshot
+        filtered to the predicate, plus the skip accounting a table
+        OPTIMIZE report shows. ``lo``/``hi`` must be in the stats
+        domain (ISO strings for timestamps)."""
+        lo, hi = self._stats_value(lo), self._stats_value(hi)
+        adds = self.live_adds()
+        keep = []
+        for a in adds:
+            st = a.get("stats")
+            if st is not None and st["col"] == col and (
+                st["max"] < lo or st["min"] > hi
+            ):
+                continue
+            keep.append(a["path"])
+        df = self._read_reconciled(keep).drop("_metadata") if keep else None
+        if df is None:
+            df = self.snapshot().limit(0)
+        c = F.col(col)
+        if dict(df.dtypes).get(col) == "timestamp":
+            df = df.filter(
+                (c >= F.lit(lo).cast("timestamp"))
+                & (c <= F.lit(hi).cast("timestamp"))
+            )
+        else:
+            df = df.filter((c >= F.lit(lo)) & (c <= F.lit(hi)))
+        return df, len(keep), len(adds)
 
     def append(
-        self, df: DataFrame, n_files: int = 1, *, evolve_schema: bool = False
+        self,
+        df: DataFrame,
+        n_files: int = 1,
+        *,
+        evolve_schema: bool = False,
+        stats_col: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Blind append: write data files, commit their add actions.
 
@@ -195,7 +296,16 @@ class LogTable:
         writers; schema-changing commits are read-modify-write and
         surface ``ConcurrentCommitError`` instead.
         """
-        actions = self._write_files(df, n_files)
+        if txn is not None and int(txn[1]) <= self.last_txn_version(txn[0]):
+            # idempotent replay: this (appId, version) already committed —
+            # the Delta txn-action dedup that makes foreachBatch sinks
+            # exactly-once even when the engine checkpoint lags the sink
+            return -1
+        actions = self._write_files(df, n_files, stats_col=stats_col)
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1])}}
+            )
         current = self.schema_at()
         if current is None:
             # the FIRST append sets the table schema — that makes it a

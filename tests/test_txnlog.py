@@ -293,3 +293,48 @@ def test_merge_into_empty_table_is_append(spark):
     t = _fresh(spark)
     t.merge(spark.createDataFrame([(1, "a")], "k int, v string"), keys=["k"])
     assert {(r["k"], r["v"]) for r in t.snapshot().collect()} == {(1, "a")}
+
+
+def test_stats_skipping_scan(spark):
+    t = _fresh(spark)
+    for lo, hi in ((0, 9), (10, 19), (20, 29)):
+        t.append(
+            spark.range(lo, hi + 1).selectExpr("id AS k", "id * 2 AS v"),
+            stats_col="k",
+        )
+    df, scanned, total = t.scan_where("k", 12, 17)
+    assert (scanned, total) == (1, 3)
+    assert {r["k"] for r in df.collect()} == set(range(12, 18))
+    # boundary-touching range intersects two files
+    _, scanned2, _ = t.scan_where("k", 9, 10)
+    assert scanned2 == 2
+    # disjoint range scans nothing and returns an empty, schema-stable df
+    empty, scanned3, _ = t.scan_where("k", 100, 200)
+    assert scanned3 == 0 and empty.count() == 0
+    assert empty.columns == ["k", "v"]
+
+
+def test_stats_skipping_conservative_without_stats(spark):
+    t = _fresh(spark)
+    t.append(spark.range(0, 10).selectExpr("id AS k"))  # no stats
+    t.append(spark.range(50, 60).selectExpr("id AS k"), stats_col="k")
+    df, scanned, total = t.scan_where("k", 0, 5)
+    # the stats-less file cannot be pruned; the out-of-range one can
+    assert (scanned, total) == (1, 2)
+    assert df.count() == 6
+
+
+def test_txn_action_idempotence_and_checkpoint(spark):
+    t = _fresh(spark)
+    b = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    assert t.append(b, txn=("app", 0)) >= 0
+    assert t.append(b, txn=("app", 0)) == -1  # replay is a no-op
+    assert t.snapshot().count() == 1
+    assert t.append(b, txn=("app", 1)) >= 0  # next batch commits
+    assert t.append(b, txn=("other", 0)) >= 0  # appIds are independent
+    assert t.last_txn_version("app") == 1
+    t.checkpoint()
+    # watermark survives consolidation: replay below it is still a no-op
+    assert t.append(b, txn=("app", 1)) == -1
+    assert t.append(b, txn=("app", 0)) == -1
+    assert t.snapshot().count() == 3
