@@ -868,3 +868,90 @@ def sample_topk_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+@query(
+    "sql_pipe_syntax_query",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.0's ``|>`` operators, from the
+    SQL-has-problems-we-can-fix-them line of work): the Q1 pricing
+    summary written as a linear FROM → WHERE → AGGREGATE chain instead
+    of the inside-out SELECT nesting. Each ``|>`` stage parses to
+    exactly the relational operator it names, so the optimized plan is
+    IDENTICAL to the classic form — the oracle (classic SQL on DuckDB)
+    pinning the values proves the two surfaces are one engine.
+    """
+    for t in ("lineitem",):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        """
+    ).select("l_returnflag", "l_linestatus", "n", "sum_qty", "revenue")
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders
+    WHERE o_totalprice >= 150000.0
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4.x): named ``:param`` markers bound
+    server-side as TYPED LITERALS — the injection-safe path for every
+    templated query a scheduler stamps out per tenant/date — plus
+    PySpark's ``{df}`` DataFrame interpolation, which threads a Python
+    DataFrame into SQL text without registering a global temp view
+    (no cross-session name collisions, no cleanup). Parameters reach
+    Catalyst as literals BEFORE optimization, so partition pruning and
+    constant folding see them exactly like hand-inlined constants.
+    """
+    import datetime
+
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM {o}
+        WHERE o_totalprice >= :min_price
+          AND o_orderdate >= :since
+        GROUP BY o_orderstatus, o_orderpriority
+        """,
+        args={
+            "min_price": 150000.0,
+            "since": datetime.datetime(1996, 1, 1),
+        },
+        o=o,
+    )

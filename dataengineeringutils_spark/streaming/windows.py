@@ -1042,3 +1042,4 @@ def stream_txn_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pv").cast("double").alias("sum_value"),
         )
     )
+
