@@ -2449,3 +2449,72 @@ def part_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("size_price_r"),
     )
     return per_brand.unionByName(overall)
+
+
+@query(
+    "customer_clv_half_life",
+    oracle="""
+    WITH first_year AS (
+        SELECT o_custkey, MIN(year(o_orderdate)) AS y0
+        FROM orders GROUP BY o_custkey
+    ),
+    disc AS (
+        SELECT c.c_mktsegment,
+               o.o_custkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   * (1 << (6 - (year(o.o_orderdate) - f.y0))) AS w64c
+        FROM orders o
+        JOIN first_year f ON o.o_custkey = f.o_custkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(w64c) AS DOUBLE) / 6400, 2) AS discounted_value,
+           ROUND(CAST(SUM(w64c) AS DOUBLE) / 6400
+                 / COUNT(DISTINCT o_custkey), 6) AS clv_per_customer
+    FROM disc GROUP BY c_mktsegment
+    """,
+)
+def customer_clv_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted customer lifetime value per market segment under an
+    annual HALF-LIFE discount: revenue in year k after a customer's
+    first order is worth 1/2^k — the exponential-decay LTV that favors
+    early, front-loaded revenue. Fixture orders span 7 years, so k ∈
+    [0, 6] exactly.
+
+    Exactness at scale: the discount is computed in INTEGERS — price
+    in cents (exact from DECIMAL) times 64 >> k — so every partial sum
+    is an exact bigint and partition order cannot move a bit; the only
+    doubles are the final shared-text divisions. Two key-partitioned
+    aggregates (first year per customer, then segment rollup with the
+    dim broadcast) and no window over the fact table.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    first_year = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("y0")
+    )
+    disc = (
+        o.join(first_year, "o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_custkey",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " * shiftleft(1, 6 - (year(o_orderdate) - y0))"
+            ).alias("w64c"),
+        )
+    )
+    return disc.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.round(F.sum("w64c").cast("double") / 6400, 2).alias(
+            "discounted_value"
+        ),
+        F.round(
+            F.sum("w64c").cast("double") / 6400 / F.countDistinct("o_custkey"),
+            6,
+        ).alias("clv_per_customer"),
+    )

@@ -1676,3 +1676,74 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_high_outliers"),
         )
     )
+
+
+# Shared weekday-baseline z-score text (exact integer inputs on both
+# engines -> bit-identical doubles).
+_RC_MEAN = "CAST(s1 AS DOUBLE) / n"
+_RC_SD = f"SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * ({_RC_MEAN})) / (n - 1))"
+_RC_Z = f"(CAST(c AS DOUBLE) - ({_RC_MEAN})) / ({_RC_SD})"
+
+
+@query(
+    "dq_row_count_anomaly",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               dayofweek(ts) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS s2
+        FROM daily GROUP BY dow
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           c AS n_rows,
+           ROUND({_RC_MEAN}, 6) AS weekday_mean,
+           ROUND({_RC_Z}, 6) AS z
+    FROM daily JOIN base USING (dow)
+    WHERE n >= 3 AND {_RC_SD} > 0 AND ABS({_RC_Z}) > 1.25
+    """,
+)
+def dq_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly screen on PARTITION ROW COUNTS: each
+    day's event volume is z-scored against its own weekday's baseline
+    (Mondays compare to Mondays — volume has weekly seasonality, and a
+    global mean would flag every weekend), surfacing the half-loaded or
+    double-loaded days that silently poison downstream aggregates
+    (|z| > 1.25 is a loose screen sized to the fixture's ~year of days;
+    production raises it to 3).
+    Complements ``dq_partition_completeness`` (which finds MISSING
+    days) and ``events_zscore_anomaly`` (which scores VALUES, not
+    volumes).
+
+    Two map-side-combined aggregates — |days| rows then 7 baseline
+    rows broadcast back — with exact integer/DECIMAL moments, so both
+    engines z-score identical doubles. Nothing here grows with row
+    width; at 100 TB the daily-count frame is still tiny.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    base = daily.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(base), "dow")
+    return j.filter(
+        (F.col("n") >= 3)
+        & (F.expr(_RC_SD) > 0)
+        & (F.abs(F.expr(_RC_Z)) > 1.25)
+    ).select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.col("c").alias("n_rows"),
+        F.expr(f"ROUND({_RC_MEAN}, 6)").alias("weekday_mean"),
+        F.expr(f"ROUND({_RC_Z}, 6)").alias("z"),
+    )

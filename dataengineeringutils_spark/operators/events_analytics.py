@@ -3561,3 +3561,58 @@ def events_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("b"), 6).alias("min_b"),
         F.round(F.max("b"), 6).alias("max_b"),
     )
+
+
+# Shared Poisson-rate text: n and span_us are exact integers, so both
+# engines derive bit-identical rates and Wald bounds (sqrt is correctly
+# rounded per IEEE-754).
+_PR_T = "(CAST(span_us AS DOUBLE) / 3600000000)"
+_PR_RATE = f"(CAST(n AS DOUBLE) / {_PR_T})"
+_PR_HALF = f"(1.96 * SQRT(CAST(n AS DOUBLE)) / {_PR_T})"
+
+
+@query(
+    "events_poisson_rate_ci",
+    oracle=f"""
+    WITH span AS (
+        SELECT epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us FROM events
+    ),
+    per_type AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND({_PR_RATE}, 6) AS rate_per_hour,
+           ROUND({_PR_RATE} - {_PR_HALF}, 6) AS ci_lo,
+           ROUND({_PR_RATE} + {_PR_HALF}, 6) AS ci_hi
+    FROM per_type CROSS JOIN span
+    """,
+)
+def events_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival rate per event type with a 95% Wald confidence interval
+    under the Poisson model (λ̂ ± 1.96·√n/T over the observed span) —
+    the uncertainty band that separates "clicks really did slow down"
+    from "small-n noise" when two deploy windows are compared. Rates
+    whose CIs don't overlap differ at ~5%.
+
+    One |types|-row aggregate plus a 1-row span frame cross-joined in;
+    every input to the arithmetic is an exact integer (counts, epoch
+    µs), so both engines round identical doubles. Nothing scales with
+    row count but the single map-combined pass.
+    """
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "span_us"
+        )
+    )
+    per_type = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return per_type.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n",
+        F.expr(f"ROUND({_PR_RATE}, 6)").alias("rate_per_hour"),
+        F.expr(f"ROUND({_PR_RATE} - {_PR_HALF}, 6)").alias("ci_lo"),
+        F.expr(f"ROUND({_PR_RATE} + {_PR_HALF}, 6)").alias("ci_hi"),
+    )

@@ -2008,3 +2008,61 @@ def text_ocr_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("affected_docs"),
     )
+
+
+@query(
+    "text_sentence_length_profile",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               1 + (LENGTH(text) - LENGTH(REPLACE(text, '. ', ''))) // 2
+                   AS sents,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sents) AS BIGINT) AS n_sentences,
+           ROUND(CAST(SUM(sents) AS DOUBLE) / COUNT(*), 6)
+               AS sentences_per_doc,
+           ROUND(CAST(SUM(toks) AS DOUBLE) / SUM(sents), 6)
+               AS tokens_per_sentence,
+           CAST(MAX(sents) AS BIGINT) AS max_sentences
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-granularity profile per language: sentences approximated
+    by '. ' boundaries (regex-free LENGTH/REPLACE counting — exact,
+    engine-portable integers), giving sentences/doc and tokens/sentence
+    — the syntactic-complexity axis quality filters read next to raw
+    length (machine-generated spam runs abnormally uniform, OCR noise
+    abnormally long), and the chunker's input for sentence-aware
+    splits.
+
+    Pure per-row codegen then one aggregate to |langs| rows of exact
+    integer sums; the text column never shuffles.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.expr(
+            "1 + CAST((LENGTH(text) - LENGTH(REPLACE(text, '. ', ''))) "
+            "div 2 AS BIGINT)"
+        ).alias("sents"),
+        F.size(tokens_col()).cast("bigint").alias("toks"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("sents").cast("bigint").alias("n_sentences"),
+        F.round(F.sum("sents").cast("double") / F.count("*"), 6).alias(
+            "sentences_per_doc"
+        ),
+        F.round(F.sum("toks").cast("double") / F.sum("sents"), 6).alias(
+            "tokens_per_sentence"
+        ),
+        F.max("sents").cast("bigint").alias("max_sentences"),
+    )
