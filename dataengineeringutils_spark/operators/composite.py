@@ -2518,3 +2518,93 @@ def customer_clv_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clv_per_customer"),
     )
+
+
+# Shared Theil expression text. mu_g and mu come from exact DECIMAL sums;
+# the per-row terms average under ROUND(4) (the repo's established
+# tolerance for ln-based per-row aggregates, cf. text_unigram_logprob).
+_THEIL_G = "(o_totalprice / mu_g) * LN(o_totalprice / mu_g)"
+_THEIL_BETWEEN = "(mu_g / mu) * LN(mu_g / mu)"
+
+
+@query(
+    "orders_theil_inequality",
+    oracle=f"""
+    WITH seg AS (
+        SELECT c.c_mktsegment, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS mu_g
+        FROM seg GROUP BY c_mktsegment
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seg
+    )
+    SELECT g.c_mktsegment AS segment,
+           n_g,
+           ROUND(mu_g, 2) AS mean_value,
+           ROUND((SELECT AVG({_THEIL_G}) FROM seg s
+                  WHERE s.c_mktsegment = g.c_mktsegment), 4)
+               AS theil_within,
+           ROUND({_THEIL_BETWEEN}, 6) AS between_term,
+           ROUND(CAST(n_g AS DOUBLE) / n, 6) AS pop_share
+    FROM g CROSS JOIN tot
+    """,
+)
+def orders_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality DECOMPOSITION of order values by market
+    segment — unlike the Gini (B210), Theil splits exactly into
+    within-group + between-group parts: ``theil_within`` is each
+    segment's internal inequality, ``between_term`` its contribution to
+    cross-segment inequality (Σ over segments, population-share
+    weighted, recovers the total). The concentration-review companion
+    when the question is "is inequality inside segments or between
+    them".
+
+    Means come from exact DECIMAL sums broadcast back; the per-row
+    (x/μ)ln(x/μ) terms reduce map-side per segment and settle at
+    ROUND(4) — the repo's established tolerance for ln-based per-row
+    averages. Facts shuffle once (segment agg); the |segments|-row
+    frames broadcast.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    dp = F.col("o_totalprice").cast("decimal(18,2)")
+    g = seg.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        (F.sum(dp).cast("double") / F.count("*")).alias("mu_g"),
+    )
+    tot = seg.agg(
+        (F.sum(dp).cast("double") / F.count("*")).alias("mu"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    within = (
+        seg.join(F.broadcast(g), "c_mktsegment")
+        .select("c_mktsegment", F.expr(_THEIL_G).alias("tg"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.avg("tg"), 4).alias("theil_within"))
+    )
+    return (
+        g.join(F.broadcast(within), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "n_g",
+            F.round(F.col("mu_g"), 2).alias("mean_value"),
+            "theil_within",
+            F.expr(f"ROUND({_THEIL_BETWEEN}, 6)").alias("between_term"),
+            F.round(F.col("n_g").cast("double") / F.col("n"), 6).alias(
+                "pop_share"
+            ),
+        )
+    )

@@ -678,3 +678,119 @@ def graph_two_hop_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_within_2_hops"),
         )
     )
+
+
+@query(
+    "graph_local_clustering",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT a.p AS a, b.p AS b
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY n
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    tcount AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT x AS n FROM tri UNION ALL
+            SELECT y FROM tri UNION ALL
+            SELECT z FROM tri
+        ) GROUP BY n
+    ),
+    coef AS (
+        SELECT deg.d,
+               CAST(2.0 * COALESCE(t, 0) AS DOUBLE) / (d * (d - 1)) AS c
+        FROM deg LEFT JOIN tcount USING (n)
+        WHERE d >= 2
+    )
+    SELECT CASE WHEN d >= 16 THEN '16+' WHEN d >= 8 THEN '8-15'
+                WHEN d >= 4 THEN '4-7' ELSE '2-3' END AS degree_band,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           ROUND(CAST(SUM(CAST(FLOOR(c * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / COUNT(*), 6) AS mean_clustering
+    FROM coef GROUP BY 1
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient (2·triangles / d(d−1) per node) over
+    the co-purchase graph, summarized per degree band — where
+    ``graph_triangle_count`` gives the global census, this says WHERE
+    the cohesion lives: high coefficients at low degree = tight niche
+    clusters, decay at the hubs = the usual hierarchical structure;
+    flat-high everywhere flags a near-clique (degenerate blocking for
+    any pairwise op downstream).
+
+    Triangle enumeration reuses the canonical a<b<c three-join on the
+    session-cached edge table (hub-safe orientation as in B216); node
+    credit is a 3-way union + count, coefficients are exact integer
+    ratios, and band means quantize each node's coefficient at 10⁻⁹
+    into int64 before summing (order-independent). |V|-sized frames
+    only after the edge joins collapse.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("b2") > F.col("b")))
+        .join(
+            e3,
+            (F.col("a3") == F.col("b")) & (F.col("b3") == F.col("b2")),
+        )
+        .select(
+            F.col("a").alias("x"), F.col("b").alias("y"), F.col("b2").alias("z")
+        )
+    )
+    tcount = (
+        tri.select(F.col("x").alias("n"))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .unionAll(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    coef = (
+        deg.join(tcount, "n", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "d",
+            (
+                F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("c"),
+        )
+    )
+    band = (
+        F.when(F.col("d") >= 16, "16+")
+        .when(F.col("d") >= 8, "8-15")
+        .when(F.col("d") >= 4, "4-7")
+        .otherwise("2-3")
+    )
+    return coef.groupBy(band.alias("degree_band")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.round(
+            F.sum(F.floor(F.col("c") * F.lit(1e9)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e9)
+            / F.count("*"),
+            6,
+        ).alias("mean_clustering"),
+    )

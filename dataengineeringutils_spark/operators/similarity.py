@@ -2620,3 +2620,104 @@ def embeddings_subspace_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_share"
         ),
     )
+
+
+@query(
+    "embeddings_metric_rank_agreement",
+    oracle=f"""
+    WITH panel AS ({o_panel_cte(16)}),
+    q AS (
+        SELECT q_id, embedding AS qe, {o_dot('embedding', 'embedding')} AS qn2
+        FROM panel JOIN embeddings ON vec_id = q_id
+    ),
+    corpus AS (
+        SELECT vec_id, embedding AS ce, {o_dot('embedding', 'embedding')} AS cn2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.q_id, corpus.vec_id,
+               {o_dot('qe', 'ce')} AS dp,
+               qn2, cn2
+        FROM q CROSS JOIN corpus
+        WHERE corpus.vec_id <> q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY dp / (SQRT(qn2) * SQRT(cn2)) DESC, vec_id
+               ) AS rc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY qn2 + cn2 - 2 * dp ASC, vec_id
+               ) AS rd
+        FROM scored
+    )
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(CASE WHEN rc <= 10 AND rd <= 10 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / 10, 6) AS overlap_at_10
+    FROM ranked GROUP BY q_id
+    """,
+)
+def embeddings_metric_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine-vs-Euclidean top-10 agreement per probe query: on
+    UN-normalized embeddings the two metrics rank neighbors differently
+    (L2 mixes in vector magnitude), and overlap@10 measures how much —
+    the diagnostic that decides whether an index built for one metric
+    can serve the other, or the corpus must be re-normalized first.
+
+    The probe side is the md5-ranked FIXED-SIZE panel (16 queries — the
+    round-3 lesson: panels must not grow with the corpus); scoring is
+    |panel|×|corpus| rows — linear in the corpus — with both ranks from
+    ONE dot-product pass (cos = dp/norms, L2² = |q|²+|c|²−2dp), ties
+    broken by vec_id so float-equal scores rank identically on both
+    engines.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    panel = probe_panel(e, 16).select(F.col("vec_id").alias("q_id"))
+    q = (
+        panel.join(e, panel.q_id == e.vec_id)
+        .select(
+            "q_id",
+            F.col("embedding").alias("qe"),
+            dot("embedding", "embedding").alias("qn2"),
+        )
+    )
+    corpus = e.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        dot("embedding", "embedding").alias("cn2"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            dot("qe", "ce").alias("dp"),
+            "qn2",
+            "cn2",
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        (F.col("dp") / (F.sqrt("qn2") * F.sqrt("cn2"))).desc(),
+        F.col("vec_id"),
+    )
+    wd = Window.partitionBy("q_id").orderBy(
+        (F.col("qn2") + F.col("cn2") - 2 * F.col("dp")).asc(),
+        F.col("vec_id"),
+    )
+    ranked = scored.select(
+        "q_id",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    hit = ((F.col("rc") <= 10) & (F.col("rd") <= 10)).cast("long")
+    return ranked.groupBy("q_id").agg(
+        F.sum(hit).cast("bigint").alias("n_overlap"),
+        F.round(F.sum(hit).cast("double") / 10, 6).alias("overlap_at_10"),
+    )
