@@ -2608,3 +2608,66 @@ def orders_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "orders_monthly_zchart",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, ytd_cumulative, moving_annual_total
+    FROM (
+        -- windows BEFORE the display-year filter: the MAT frame must
+        -- see 1999's tail (SQL WHERE would cut it pre-window)
+        SELECT m AS month,
+               CAST(rev AS DOUBLE) AS revenue,
+               CAST(SUM(CASE WHEN year(m) = 2000 THEN rev END) OVER (
+                        ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE) AS ytd_cumulative,
+               CAST(SUM(rev) OVER (
+                        ORDER BY m ROWS BETWEEN 11 PRECEDING AND CURRENT ROW
+                    ) AS DOUBLE) AS moving_annual_total
+        FROM monthly
+    )
+    WHERE year(month) = 2000
+    """,
+)
+def orders_monthly_zchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic Z-CHART for fiscal year 2000: monthly revenue, YTD
+    cumulative, and the 12-month moving annual total on one frame — the
+    three lines whose shape separates growth from seasonality at a
+    glance (MAT rises ⇔ genuine growth; only the cumulative rises ⇔
+    flat year).
+
+    The fact table collapses to |months| exact-DECIMAL rows in one
+    map-combined aggregate; both running sums are windows over that
+    collapsed frame (the MAT window must see 1999's tail, so the
+    filter to the display year applies AFTER the windows). DECIMAL
+    partials make every sum order-independent; doubles appear only in
+    the final casts.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w_ytd = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    w_mat = Window.orderBy("m").rowsBetween(-11, 0)
+    in_year = F.when(F.year("m") == 2000, F.col("rev"))
+    return (
+        monthly.withColumn(
+            "ytd_cumulative", F.sum(in_year).over(w_ytd).cast("double")
+        )
+        .withColumn(
+            "moving_annual_total", F.sum("rev").over(w_mat).cast("double")
+        )
+        .filter(F.year("m") == 2000)
+        .select(
+            F.col("m").alias("month"),
+            F.col("rev").cast("double").alias("revenue"),
+            "ytd_cumulative",
+            "moving_annual_total",
+        )
+    )

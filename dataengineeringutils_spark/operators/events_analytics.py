@@ -3616,3 +3616,61 @@ def events_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_PR_RATE} - {_PR_HALF}, 6)").alias("ci_lo"),
         F.expr(f"ROUND({_PR_RATE} + {_PR_HALF}, 6)").alias("ci_hi"),
     )
+
+
+@query(
+    "events_transition_dwell",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LEAD(event_type) OVER w AS next_type,
+               (LEAD(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000 AS g
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS from_type,
+           next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(g) AS BIGINT) AS total_secs,
+           ROUND(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS mean_dwell_secs,
+           CAST(MAX(g) AS BIGINT) AS max_dwell_secs
+    FROM seq
+    WHERE next_type IS NOT NULL AND g <= 1800
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per behavioral transition: mean seconds spent between
+    consecutive event types within a user stream (gaps over 30 min are
+    session breaks, not dwell — excluded), the timing layer on top of
+    ``events_transition_matrix``'s pure counts: view→purchase dwell is
+    decision latency, purchase→view is re-engagement speed, and a
+    transition whose dwell collapses release-over-release usually means
+    a redirect or bot got into the funnel.
+
+    One keyed window under the total order (ts, event_id) forms
+    (from, to, gap) triples; one map-combined aggregate collapses to
+    |types|² rows of exact integer sums. Events shuffle once, by user.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - unix_micros(ts)) div 1000000"
+        ).alias("g"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull() & (F.col("g") <= 1800))
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("g").cast("bigint").alias("total_secs"),
+            F.round(F.sum("g").cast("double") / F.count("*"), 6).alias(
+                "mean_dwell_secs"
+            ),
+            F.max("g").cast("bigint").alias("max_dwell_secs"),
+        )
+    )

@@ -743,3 +743,126 @@ def ml_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"ROUND({_SMOOTH}, 6)").alias("smoothed_encoding"),
         )
     )
+
+
+# Shared AUC closed form: S1 is twice the positive midrank sum (exact
+# integer), so AUC = (S1/2 - n1(n1+1)/2) / (n1*n0) evaluates from exact
+# integers on both engines.
+_AUC = (
+    "(CAST(s1x2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)"
+    " / (CAST(n1 AS DOUBLE) * n0)"
+)
+
+
+@query(
+    "ml_rank_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    vals AS (
+        SELECT score,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT pos, cnt,
+               SUM(cnt) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cnt + 1 AS min_rank
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(SUM(pos * (2 * min_rank + cnt - 1)) AS BIGINT) AS s1x2,
+               CAST(SUM(pos) AS BIGINT) AS n1,
+               CAST(SUM(cnt - pos) AS BIGINT) AS n0
+        FROM ranked
+    )
+    SELECT n1 AS n_positive, n0 AS n_negative,
+           ROUND({_AUC}, 6) AS auc
+    FROM agg
+    """,
+)
+def ml_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of "event value predicts purchase" via the
+    Mann-Whitney U statistic — rank arithmetic, no threshold sweep, no
+    trapezoids: AUC = (Σ positive midranks − n₁(n₁+1)/2) / n₁n₀, with
+    ties handled by exact midranks so the number is the true
+    probability a random positive outranks a random negative. The
+    model-eval primitive next to ``ml_calibration_bins`` (that one asks
+    "are the scores honest", this one "do they rank").
+
+    Scale shape: scores collapse to a (score → count, positives) frame
+    first; the global cumulative rank over that frame runs through the
+    two-phase bucket-cut pattern (windows.py — no single-partition
+    window even when scores are all-distinct), and
+    midrank sums are exact integers throughout — both engines divide
+    the same bigints.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = e.groupBy(F.col("value").alias("score")).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    # Global cumulative count in score order via the bucket-cut pattern
+    # (windows.two_phase_global_rank's shape, carrying SUM(cnt) instead
+    # of row counts): cuts from a seeded loose sample bucket the frame,
+    # per-bucket cnt totals make a <=33-row prefix scan on the driver,
+    # and the running sum is a per-bucket window — no single-partition
+    # WindowExec even when every score is distinct.
+    cuts = sorted(
+        set(
+            e.sample(0.1, seed=7)
+            .select(F.col("value").alias("score"))
+            .approxQuantile("score", [i / 32 for i in range(1, 32)], 0.01)
+        )
+    )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.coalesce(
+            (F.col("score") > F.lit(c)).cast("int"), F.lit(0)
+        )
+    vb = vals.withColumn("__bkt", bucket)
+    totals = sorted(
+        vb.groupBy("__bkt").agg(F.sum("cnt").alias("bc")).collect(),
+        key=lambda r: r["__bkt"],
+    )
+    data, off = [], 0
+    for r in totals:
+        data.append((r["__bkt"], off))
+        off += r["bc"]
+    offsets = vals.sparkSession.createDataFrame(
+        data, schema="__bkt int, __off long"
+    )
+    from pyspark.sql import Window as W
+
+    wloc = (
+        W.partitionBy("__bkt")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = (
+        vb.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "min_rank",
+            F.col("__off") + F.sum("cnt").over(wloc) - F.col("cnt") + 1,
+        )
+        .drop("__bkt", "__off")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("min_rank") + F.col("cnt") - 1))
+        .cast("bigint")
+        .alias("s1x2"),
+        F.sum("pos").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n0"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        F.expr(f"ROUND({_AUC}, 6)").alias("auc"),
+    )

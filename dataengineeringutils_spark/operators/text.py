@@ -2066,3 +2066,55 @@ def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("sents").cast("bigint").alias("max_sentences"),
     )
+
+
+@query(
+    "text_nonascii_profile",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang, source,
+               CAST(LENGTH(text) AS BIGINT) AS chars,
+               CAST(strlen(text) - LENGTH(text) AS BIGINT) AS extra_bytes
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(extra_bytes) AS BIGINT) AS extra_bytes,
+           ROUND(CAST(SUM(extra_bytes) AS DOUBLE) / SUM(chars), 6)
+               AS extra_bytes_per_char,
+           CAST(SUM(CASE WHEN extra_bytes * 10 > chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS heavy_docs
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_nonascii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script/encoding weight per language via the UTF-8 byte overhead:
+    ``octet_length − char_length`` counts exactly the multi-byte
+    (non-ASCII) character mass — zero for pure-ASCII English, high for
+    CJK — so a language whose byte overhead disagrees with its label
+    (ASCII-flat "zh", byte-heavy "en") flags mislabeled or
+    mojibake-damaged docs before language-conditional filters trust the
+    label. ``heavy_docs`` counts docs whose overhead exceeds 10% of
+    their characters (integer cross-multiplied — no float threshold).
+
+    Per-row codegen on two length functions and one |langs|-row exact
+    integer aggregate; the text never shuffles and no regex runs.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        (F.octet_length("text") - F.length("text"))
+        .cast("bigint")
+        .alias("extra_bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("extra_bytes").cast("bigint").alias("extra_bytes"),
+        F.round(
+            F.sum("extra_bytes").cast("double") / F.sum("chars"), 6
+        ).alias("extra_bytes_per_char"),
+        F.sum((F.col("extra_bytes") * 10 > F.col("chars")).cast("long"))
+        .cast("bigint")
+        .alias("heavy_docs"),
+    )
