@@ -2671,3 +2671,79 @@ def orders_monthly_zchart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "moving_annual_total",
         )
     )
+
+
+@query(
+    "supplier_brand_coverage",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_suppkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_brands AS (SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS nb
+                 FROM part),
+    per_supp AS (
+        SELECT s.s_nationkey,
+               pr.l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS brands_served
+        FROM pairs pr JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey, pr.l_suppkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(brands_served) AS DOUBLE) / COUNT(*), 6)
+               AS mean_brands_served,
+           CAST(MAX(brands_served) AS BIGINT) AS max_brands_served,
+           ROUND(CAST(SUM(brands_served) AS DOUBLE)
+                 / (COUNT(*) * (SELECT nb FROM n_brands)), 6)
+               AS coverage_share
+    FROM per_supp JOIN nation n ON per_supp.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment coverage per supplier nation: how many of the
+    catalog's brands each nation's suppliers actually ship (mean / max
+    per supplier, and the nation's share of the full brand space) —
+    the sourcing-diversification read that says whether a nation's
+    supply base is broad or single-brand-deep before concentration
+    risk (``supplier_concentration_hhi``) is even a question.
+
+    The fact table collapses ONCE to distinct (supplier, brand) pairs
+    — the only shuffle that scales with data; nation and brand-count
+    frames broadcast. Coverage ratios divide exact integers.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_suppkey", "p_brand")
+        .distinct()
+    )
+    nb = p.agg(F.countDistinct("p_brand").cast("bigint").alias("nb"))
+    per_supp = (
+        pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("brands_served"))
+    )
+    return (
+        per_supp.join(
+            F.broadcast(n), per_supp.s_nationkey == n.n_nationkey
+        )
+        .crossJoin(F.broadcast(nb))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.sum("brands_served").cast("double") / F.count("*"), 6
+            ).alias("mean_brands_served"),
+            F.max("brands_served").cast("bigint").alias("max_brands_served"),
+            F.round(
+                F.sum("brands_served").cast("double")
+                / (F.count("*") * F.first("nb")),
+                6,
+            ).alias("coverage_share"),
+        )
+    )

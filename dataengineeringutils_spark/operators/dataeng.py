@@ -1747,3 +1747,145 @@ def dq_row_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_RC_MEAN}, 6)").alias("weekday_mean"),
         F.expr(f"ROUND({_RC_Z}, 6)").alias("z"),
     )
+
+
+@query(
+    "dq_scorecard",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders_null_custkey' AS metric,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                    AS DOUBLE) AS bad,
+               CAST((SELECT COUNT(*) FROM orders) AS DOUBLE) AS total
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS DOUBLE),
+               CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS DOUBLE),
+               CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               CAST((SELECT COALESCE(SUM(c - 1), 0) FROM (
+                         SELECT COUNT(*) AS c FROM orders
+                         GROUP BY o_orderkey) WHERE c > 1)
+                    AS DOUBLE),
+               CAST((SELECT COUNT(*) FROM orders) AS DOUBLE)
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty',
+               CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                    AS DOUBLE),
+               CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 0.9) AS DOUBLE),
+               CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE)
+    )
+    SELECT metric,
+           CAST(bad AS BIGINT) AS n_bad,
+           CAST(total AS BIGINT) AS n_total,
+           ROUND(bad / total, 6) AS bad_rate,
+           CASE WHEN bad = 0 THEN 'pass'
+                WHEN bad / total <= 0.001 THEN 'warn'
+                ELSE 'fail' END AS status
+    FROM checks
+    """,
+)
+def dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-table data-quality SCORECARD: six independent invariants
+    (null keys, two referential-integrity legs, duplicate PKs, domain
+    ranges) each reduced to a (bad, total, rate, status) row with fixed
+    pass/warn/fail thresholds — the contract check a pipeline gates a
+    publish on, where the per-finding ops (``fk_orphan_audit``,
+    ``dq_duplicate_key_audit`` …) are its drill-downs.
+
+    Each check is one aggregate or one anti-join; the scorecard unions
+    six 1-row frames, so the whole table costs a handful of scans that
+    AQE runs concurrently, and nothing but counters crosses the
+    network. At 100 TB the anti-joins ride broadcast key sets (keys
+    only), never payloads.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    def row(name: str, bad, total) -> DataFrame:
+        return bad.crossJoin(total).select(
+            F.lit(name).alias("metric"),
+            F.col("bad").cast("bigint").alias("n_bad"),
+            F.col("total").cast("bigint").alias("n_total"),
+            F.round(
+                F.col("bad").cast("double") / F.col("total"), 6
+            ).alias("bad_rate"),
+            F.when(F.col("bad") == 0, "pass")
+            .when(
+                F.col("bad").cast("double") / F.col("total") <= 0.001,
+                "warn",
+            )
+            .otherwise("fail")
+            .alias("status"),
+        )
+
+    n_orders = o.agg(F.count("*").alias("total"))
+    n_li = li.agg(F.count("*").alias("total"))
+    checks = [
+        row(
+            "orders_null_custkey",
+            o.filter(F.col("o_custkey").isNull()).agg(
+                F.count("*").alias("bad")
+            ),
+            n_orders,
+        ),
+        row(
+            "orders_orphan_custkey",
+            o.join(
+                c.select("c_custkey"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("bad")),
+            n_orders,
+        ),
+        row(
+            "lineitem_orphan_orderkey",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("bad")),
+            n_li,
+        ),
+        row(
+            "orders_dup_orderkey",
+            o.groupBy("o_orderkey")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("bad")),
+            n_orders,
+        ),
+        row(
+            "lineitem_nonpositive_qty",
+            li.filter(F.col("l_quantity") <= 0).agg(
+                F.count("*").alias("bad")
+            ),
+            n_li,
+        ),
+        row(
+            "lineitem_discount_range",
+            li.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.9)
+            ).agg(F.count("*").alias("bad")),
+            n_li,
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

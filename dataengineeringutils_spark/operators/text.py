@@ -2118,3 +2118,87 @@ def text_nonascii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("heavy_docs"),
     )
+
+
+@query(
+    "text_cross_lang_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT lang, tok FROM (
+            SELECT lang,
+                   UNNEST(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS tok
+            FROM documents
+        )
+    ),
+    sizes AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY lang
+    ),
+    inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b, shared,
+           sa.v AS vocab_a, sb.v AS vocab_b,
+           ROUND(CAST(shared AS DOUBLE) / (sa.v + sb.v - shared), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.lang = lang_a
+    JOIN sizes sb ON sb.lang = lang_b
+    """,
+)
+def text_cross_lang_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary Jaccard between every language pair: shared surface
+    tokens come from loanwords, names, numbers — and from MISLABELED
+    documents, so a pair whose overlap jumps release-over-release is
+    the first sign the language classifier drifted (read next to
+    ``text_lang_confusion``). Also the planning input for shared- vs
+    per-language tokenizer vocabularies.
+
+    The corpus collapses once to the distinct (lang, token) frame —
+    the same shuffle key ``text_hapax_ratio`` uses — and the pair
+    overlap is a token-keyed self-join of that collapsed frame
+    (|vocab| rows, never documents), then a |langs|²-row summary with
+    exact integer Jaccards.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(tokens_col()).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    a = vocab.select(F.col("lang").alias("lang_a"), "tok")
+    b = vocab.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("vocab_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "shared",
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
