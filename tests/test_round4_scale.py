@@ -72,7 +72,10 @@ from hypothesis import strategies as st
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=-50, max_value=50),
+            st.one_of(
+                st.none(),  # NULL values must rank, not vanish (ADVICE r4)
+                st.integers(min_value=-50, max_value=50),
+            ),
             st.integers(min_value=0, max_value=9999),
         ),
         min_size=1,
@@ -97,9 +100,9 @@ def test_two_phase_global_rank_matches_window(spark, rows, descending, n_cuts):
     )
 
     df = spark.createDataFrame(rows, "v int, tie int")
-    vals = sorted({v for v, _ in rows})
+    vals = sorted({v for v, _ in rows if v is not None})
     # adversarial cuts: data values themselves plus out-of-range points
-    pool = vals + [-1000, 1000, vals[0], vals[-1]]
+    pool = vals + [-1000, 1000] + (vals[:1] + vals[-1:])
     cuts = sorted(set(pool[:n_cuts]))
     got = {
         (r["tie"], r["rn"], r["n"])
@@ -107,7 +110,14 @@ def test_two_phase_global_rank_matches_window(spark, rows, descending, n_cuts):
             df, "v", "tie", cuts, descending=descending
         ).collect()
     }
-    ordered = sorted(rows, key=lambda t: (-t[0] if descending else t[0], t[1]))
+    # Spark null ordering: NULLS FIRST under asc, NULLS LAST under desc
+    def key(t):
+        v, tie = t
+        if descending:
+            return (1 if v is None else 0, 0 if v is None else -v, tie)
+        return (0 if v is None else 1, 0 if v is None else v, tie)
+
+    ordered = sorted(rows, key=key)
     want = {
         (tie, i + 1, len(rows)) for i, (_, tie) in enumerate(ordered)
     }
