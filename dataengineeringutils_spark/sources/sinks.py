@@ -834,3 +834,92 @@ def sink_txn_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_scanned).cast("int").alias("files_scanned"),
         F.lit(n_total).cast("int").alias("files_total"),
     )
+
+
+# session cache for sink_txn_change_feed's 3-commit fixture table
+_TXN_CDF_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "sink_txn_change_feed",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    s AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                    AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    changes AS (
+        SELECT 'insert' AS _change_type, k, price FROM s
+        WHERE k % 7 <> 0 AND k NOT IN (SELECT k FROM a)
+        UNION ALL
+        SELECT 'delete', k, price FROM a WHERE k % 7 = 0
+        UNION ALL
+        SELECT 'update_preimage', a.k, a.price
+        FROM a JOIN s ON a.k = s.k WHERE a.k % 7 <> 0
+        UNION ALL
+        SELECT 'update_postimage', s.k, s.price
+        FROM a JOIN s ON a.k = s.k WHERE s.k % 7 <> 0
+    )
+    SELECT _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS sum_price
+    FROM changes GROUP BY _change_type
+    """,
+)
+def sink_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED between two table versions — the Delta
+    ``table_changes`` surface: after an append (v0), a MERGE upsert and
+    a DELETE WHERE, ``change_feed(0, latest)`` emits every changed row
+    tagged insert / delete / update_preimage / update_postimage. The
+    oracle reconstructs the identical change set from the input
+    relations, so a wrong diff direction, a missed delete, or a
+    preimage/postimage swap flips the hash.
+
+    This is the COW-format fallback (snapshot diff on keys, shuffling
+    keys+changed rows only); a format with per-commit row tracking
+    reads the feed from the log instead — same output contract. The
+    3-commit table is a deterministic fixture artifact, built once per
+    (session, sf_dir); the change-feed read re-executes every call.
+    """
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TXN_CDF_CACHE.get(key)
+    if path is None:
+        import uuid
+
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        price = F.col("o_totalprice").cast("decimal(18,2)")
+        a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("k"), price.alias("price")
+        )
+        s = o.filter(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            # 1.1 as a DECIMAL literal (a double would route through
+            # float), and ROUND rather than a bare cast: DuckDB's decimal
+            # downcast TRUNCATES while Spark's rounds — ROUND(x, 2) is
+            # half-up on both
+            F.round(price * F.expr("CAST(1.1 AS DECIMAL(2,1))"), 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+        path = scratch_dir("txn_cdf_" + uuid.uuid4().hex)
+        t = LogTable(spark, path)
+        t.append(a)
+        t.merge(s, keys=["k"])
+        t.delete_where("k % 7 = 0")
+        _TXN_CDF_CACHE[key] = path
+    t = LogTable(spark, path)
+    cf = t.change_feed(0, None, keys=["k"])
+    return cf.groupBy("_change_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )

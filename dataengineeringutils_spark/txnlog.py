@@ -524,3 +524,54 @@ class LogTable:
         return self._read_reconciled(
             files, version=version, include_metadata=False
         )
+
+    def change_feed(
+        self, v_from: int, v_to: int | None, keys: list[str]
+    ) -> DataFrame:
+        """Row-level CHANGE DATA FEED between two versions — the Delta
+        CDF read surface (``table_changes``), derived by diffing the two
+        snapshots on ``keys``: emits each changed row tagged
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage}. Columns are reconciled to the LATER version's
+        schema (a column added between the versions reads NULL on the
+        preimage side), and "updated" means any shared non-key column
+        differs (null-safe comparison).
+
+        Scale: two snapshot scans + key-aligned joins that shuffle by
+        ``keys`` — the generic COW fallback a format without per-commit
+        row tracking uses; with file-level stats only files live in
+        exactly one of the two versions even need scanning (that pruning
+        is a metadata filter on ``live_adds`` of both versions).
+        """
+        a = self.snapshot(v_from)
+        b = self.snapshot(v_to)
+        shared = [c for c in b.columns if c in set(a.columns)]
+        a = a.select(*shared)
+        b = b.select(*shared)
+        nonkey = [c for c in shared if c not in keys]
+        ins = b.join(a.select(*keys), keys, "left_anti").select(
+            F.lit("insert").alias("_change_type"), *shared
+        )
+        dele = a.join(b.select(*keys), keys, "left_anti").select(
+            F.lit("delete").alias("_change_type"), *shared
+        )
+        if nonkey:
+            cond = None
+            for c in nonkey:
+                ne = ~F.col(f"__a.{c}").eqNullSafe(F.col(f"__b.{c}"))
+                cond = ne if cond is None else (cond | ne)
+            paired = a.alias("__a").join(b.alias("__b"), keys).filter(cond)
+            pre = paired.select(
+                F.lit("update_preimage").alias("_change_type"),
+                *keys,
+                *[F.col(f"__a.{c}").alias(c) for c in nonkey],
+            ).select("_change_type", *shared)
+            post = paired.select(
+                F.lit("update_postimage").alias("_change_type"),
+                *keys,
+                *[F.col(f"__b.{c}").alias(c) for c in nonkey],
+            ).select("_change_type", *shared)
+            upd = pre.unionByName(post)
+        else:
+            upd = ins.limit(0)
+        return ins.unionByName(dele).unionByName(upd)

@@ -338,3 +338,29 @@ def test_txn_action_idempotence_and_checkpoint(spark):
     assert t.append(b, txn=("app", 1)) == -1
     assert t.append(b, txn=("app", 0)) == -1
     assert t.snapshot().count() == 3
+
+
+def test_change_feed_row_level(spark):
+    t = _fresh(spark)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        )
+    )
+    t.merge(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"),
+        keys=["k"],
+    )
+    t.delete_where("k = 3")
+    got = {
+        (r["_change_type"], r["k"], r["v"])
+        for r in t.change_feed(0, None, keys=["k"]).collect()
+    }
+    assert got == {
+        ("insert", 4, "d"),
+        ("delete", 3, "c"),
+        ("update_preimage", 2, "b"),
+        ("update_postimage", 2, "B"),
+    }
+    # no-op span: identical versions yield an empty feed
+    assert t.change_feed(2, 2, keys=["k"]).count() == 0
