@@ -1144,3 +1144,67 @@ def dedup_fingerprint_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_prefix_only"),
     )
+
+
+@query(
+    "dedup_removal_curve",
+    oracle="""
+    WITH fam AS (
+        SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY md5(text)
+    ),
+    grid AS (
+        SELECT UNNEST([2, 3, 5, 10]) AS k
+    )
+    SELECT k AS min_family_size,
+           CAST(SUM(CASE WHEN sz >= k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_families,
+           CAST(SUM(CASE WHEN sz >= k THEN sz - 1 ELSE 0 END) AS BIGINT)
+               AS docs_removed,
+           ROUND(CAST(SUM(CASE WHEN sz >= k THEN sz - 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / (SELECT SUM(sz) FROM fam), 6) AS removal_fraction
+    FROM grid CROSS JOIN fam
+    GROUP BY k
+    """,
+)
+def dedup_removal_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup REMOVAL CURVE: how much of the corpus keep-one-per-family
+    deduplication deletes as the family-size threshold varies (k = 2
+    removes all exact dups; k = 10 only mass-replicated boilerplate) —
+    the sizing table for the "dedup aggressiveness" decision, read next
+    to ``dedup_exact`` (one fixed policy) and
+    ``dataset_dedup_aware_epoch_plan`` (token view).
+
+    One digest aggregate collapses the corpus to |families| counter
+    rows; the 4-point threshold grid cross-joins THAT frame (4×
+    |families| counter rows, no text anywhere), and every output is an
+    exact integer ratio.
+    """
+    d = table(spark, sf_dir, "documents")
+    fam = d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    total = fam.agg(F.sum("sz").cast("bigint").alias("tot"))
+    grid = None
+    for k in (2, 3, 5, 10):
+        part = fam.crossJoin(F.broadcast(total)).agg(
+            F.lit(k).cast("int").alias("min_family_size"),
+            F.sum((F.col("sz") >= k).cast("long"))
+            .cast("bigint")
+            .alias("n_families"),
+            F.sum(
+                F.when(F.col("sz") >= k, F.col("sz") - 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_removed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("sz") >= k, F.col("sz") - 1).otherwise(0)
+                ).cast("double")
+                / F.first("tot"),
+                6,
+            ).alias("removal_fraction"),
+        )
+        grid = part if grid is None else grid.unionByName(part)
+    return grid

@@ -3674,3 +3674,335 @@ def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("g").cast("bigint").alias("max_dwell_secs"),
         )
     )
+
+
+# Wilson score interval pieces (shared text; inputs exact integers).
+_W_P = "(CAST(c AS DOUBLE) / n)"
+_W_DEN = "(1 + 3.8416 / n)"
+_W_CTR = f"({_W_P} + 1.9208 / n)"
+_W_RAD = f"(1.96 * SQRT(({_W_P} * (1 - {_W_P}) + 0.9604 / n) / n))"
+
+
+@query(
+    "events_wilson_ci_conversion",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS signed_up,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 300
+                        THEN 1 ELSE 0 END) AS big_buyer
+        FROM events GROUP BY user_id
+    ),
+    metrics AS (
+        SELECT 'purchase_rate' AS metric,
+               CAST(SUM(converted) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n FROM per_user
+        UNION ALL
+        SELECT 'signup_rate', CAST(SUM(signed_up) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT) FROM per_user
+        UNION ALL
+        SELECT 'big_buyer_rate', CAST(SUM(big_buyer) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT) FROM per_user
+    )
+    SELECT metric, c AS n_hits, n AS n_users,
+           ROUND({_W_P}, 6) AS rate,
+           ROUND(({_W_CTR} - {_W_RAD}) / {_W_DEN}, 6) AS wilson_lo,
+           ROUND(({_W_CTR} + {_W_RAD}) / {_W_DEN}, 6) AS wilson_hi
+    FROM metrics
+    """,
+)
+def events_wilson_ci_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilson score 95% intervals for per-user conversion proportions
+    (purchase, signup, purchase>300) — the binomial interval that stays
+    inside [0,1] and behaves at small n or extreme rates where the Wald
+    interval collapses (the reason every experimentation platform
+    defaults to Wilson). Complements ``events_poisson_rate_ci`` (rates
+    per time) with rates per user.
+
+    One per-user hash aggregate (the same first shuffle every funnel op
+    shares), three 1-row counter frames unioned, and closed-form Wilson
+    arithmetic from exact integers — the z²=3.8416 constants are spelled
+    in the shared expression text, so both engines round identical
+    doubles.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias(
+            "signed_up"
+        ),
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 300)
+            ).cast("int")
+        ).alias("big_buyer"),
+    )
+    rows = []
+    for name, col in (
+        ("purchase_rate", "converted"),
+        ("signup_rate", "signed_up"),
+        ("big_buyer_rate", "big_buyer"),
+    ):
+        rows.append(
+            per_user.agg(
+                F.lit(name).alias("metric"),
+                F.sum(col).cast("bigint").alias("c"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+        )
+    metrics = rows[0]
+    for r in rows[1:]:
+        metrics = metrics.unionByName(r)
+    return metrics.select(
+        "metric",
+        F.col("c").alias("n_hits"),
+        F.col("n").alias("n_users"),
+        F.expr(f"ROUND({_W_P}, 6)").alias("rate"),
+        F.expr(f"ROUND(({_W_CTR} - {_W_RAD}) / {_W_DEN}, 6)").alias(
+            "wilson_lo"
+        ),
+        F.expr(f"ROUND(({_W_CTR} + {_W_RAD}) / {_W_DEN}, 6)").alias(
+            "wilson_hi"
+        ),
+    )
+
+
+# Runs-test closed forms (n1 = days above median, n0 = at-or-below,
+# r = observed runs): E[R] = 1 + 2 n1 n0 / n, Var[R] per Wald-Wolfowitz.
+_RT_ER = "(1 + CAST(2 AS DOUBLE) * n1 * n0 / (n1 + n0))"
+_RT_VR = (
+    "((CAST(2 AS DOUBLE) * n1 * n0) * (CAST(2 AS DOUBLE) * n1 * n0 - n1 - n0)"
+    " / ((CAST(n1 + n0 AS DOUBLE)) * (n1 + n0) * (n1 + n0 - 1)))"
+)
+
+
+@query(
+    "orders_runs_test_randomness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT rev AS m FROM daily
+        ORDER BY rev
+        LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM daily)
+    ),
+    flags AS (
+        SELECT d, CASE WHEN rev > (SELECT m FROM med) THEN 1 ELSE 0 END AS f
+        FROM daily
+    ),
+    runs AS (
+        SELECT f,
+               CASE WHEN LAG(f) OVER (ORDER BY d) IS NULL
+                         OR LAG(f) OVER (ORDER BY d) <> f
+                    THEN 1 ELSE 0 END AS new_run
+        FROM flags
+    ),
+    agg AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+               CAST(SUM(f) AS BIGINT) AS n1,
+               CAST(SUM(1 - f) AS BIGINT) AS n0
+        FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n0 AS n_below,
+           ROUND({_RT_ER}, 6) AS expected_runs,
+           ROUND((r - {_RT_ER}) / SQRT({_RT_VR}), 6) AS z
+    FROM agg
+    """,
+)
+def orders_runs_test_randomness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wald-Wolfowitz RUNS TEST on daily revenue: is the above/below-
+    median sequence random, or does it trend/cluster? z far below 0 =
+    long runs (momentum, regime shifts — seasonal models required);
+    z above 0 = alternation (overdispersed noise). The one-number
+    sanity check before trusting an i.i.d. assumption in forecast
+    evaluation (``orders_forecast_naive_eval``).
+
+    Daily revenue collapses map-side to |days| DECIMAL rows; the exact
+    median is an ORDER-LIMIT-OFFSET pick (discrete, no interpolation),
+    and runs count through one lag over the tiny frame. All test inputs
+    are exact integers; the z arithmetic is shared text.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    n_days = daily.count()
+    med = (
+        daily.orderBy("rev")
+        .limit((n_days - 1) // 2 + 1)
+        .orderBy(F.col("rev").desc())
+        .limit(1)
+        .select(F.col("rev").alias("m"))
+    )
+    flags = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("rev") > F.col("m")).cast("int").alias("f")
+    )
+    w = Window.orderBy("d")
+    runs = flags.select(
+        "f",
+        F.when(
+            F.lag("f").over(w).isNull() | (F.lag("f").over(w) != F.col("f")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("bigint").alias("r"),
+        F.sum("f").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("f")).cast("bigint").alias("n0"),
+    )
+    return agg.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n0").alias("n_below"),
+        F.expr(f"ROUND({_RT_ER}, 6)").alias("expected_runs"),
+        F.expr(f"ROUND((r - {_RT_ER}) / SQRT({_RT_VR}), 6)").alias("z"),
+    )
+
+
+# CUPED arithmetic from exact per-variant DECIMAL moments (pooled theta).
+_CU_VARX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)"
+_CU_COV = "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)"
+_CU_THETA = f"({_CU_COV} / {_CU_VARX})"
+
+
+@query(
+    "events_ab_cuped",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 2 AS variant,
+               SUM(CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM bounds)
+                        THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS x,
+               SUM(CASE WHEN epoch_us(ts) * 2 >= (SELECT lo + hi FROM bounds)
+                             AND event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) AS y
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+               SUM(CASE WHEN variant = 1 THEN y ELSE CAST(0 AS
+                   DECIMAL(18,2)) END) AS syb,
+               SUM(CASE WHEN variant = 1 THEN x ELSE CAST(0 AS
+                   DECIMAL(18,2)) END) AS sxb
+        FROM per_user
+    )
+    SELECT n AS n_users,
+           CAST(nb AS BIGINT) AS n_treatment,
+           ROUND({_CU_THETA}, 6) AS theta,
+           ROUND(CAST(syb AS DOUBLE) / nb
+                 - CAST(sy - syb AS DOUBLE) / (n - nb), 6) AS diff_raw,
+           ROUND((CAST(syb AS DOUBLE) / nb
+                  - CAST(sy - syb AS DOUBLE) / (n - nb))
+                 - {_CU_THETA} * (CAST(sxb AS DOUBLE) / nb
+                                  - CAST(sx - sxb AS DOUBLE) / (n - nb)),
+                 6) AS diff_cuped
+    FROM mom
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: the pre-period covariate (each user's
+    total event value in the first half of the span) absorbs between-
+    user variance from the experiment metric (purchase revenue in the
+    second half) via y − θ(x − x̄), θ = cov(x,y)/var(x) — the standard
+    variance-reduction every large experimentation platform applies
+    (Deng et al.), here with identity-hash variant assignment shared
+    with ``events_ab_lift``. ``diff_cuped`` vs ``diff_raw`` shows the
+    imbalance the covariate removed.
+
+    One per-user aggregate with exact DECIMAL (x, y) sums, then ONE
+    1-row moment frame (Σx, Σy, Σx², Σxy as DECIMAL — order-independent)
+    feeding closed-form shared-text arithmetic. Nothing scales past the
+    per-user shuffle.
+    """
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))).alias(
+            "lohi"
+        )
+    )
+    dv = F.col("value").cast("decimal(18,2)")
+    per_user = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") * 2 < F.col("lohi"), dv).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.unix_micros("ts") * 2 >= F.col("lohi"))
+                    & (F.col("event_type") == "purchase"),
+                    dv,
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("nb"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("y")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("syb"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("x")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("sxb"),
+    )
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.col("nb").cast("bigint").alias("n_treatment"),
+        F.expr(f"ROUND({_CU_THETA}, 6)").alias("theta"),
+        F.expr(
+            "ROUND(CAST(syb AS DOUBLE) / nb"
+            " - CAST(sy - syb AS DOUBLE) / (n - nb), 6)"
+        ).alias("diff_raw"),
+        F.expr(
+            f"ROUND((CAST(syb AS DOUBLE) / nb"
+            f" - CAST(sy - syb AS DOUBLE) / (n - nb))"
+            f" - {_CU_THETA} * (CAST(sxb AS DOUBLE) / nb"
+            f" - CAST(sx - sxb AS DOUBLE) / (n - nb)), 6)"
+        ).alias("diff_cuped"),
+    )
