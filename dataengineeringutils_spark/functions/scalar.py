@@ -1266,3 +1266,65 @@ def fn_timestamp_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp("slashed", "dd/MM/yyyy").alias("t_slashed"),
         F.try_to_timestamp("compact", F.lit("dd/MM/yyyy")).alias("t_bad"),
     )
+
+
+@query(
+    "fn_array_sort_comparator",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey,
+               l_linenumber,
+               l_quantity,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_linenumber ASC
+               ) AS rn
+        FROM lineitem
+        WHERE l_orderkey % 101 = 0
+    )
+    SELECT l_orderkey AS okey,
+           CAST(n_items AS BIGINT) AS n_items,
+           CAST(l_linenumber AS INT) AS top_line,
+           l_quantity AS top_qty
+    FROM ranked WHERE rn = 1
+    """,
+)
+def fn_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``array_sort`` with a CUSTOM COMPARATOR lambda — the higher-order
+    API for orderings SQL types don't carry natively (here: quantity
+    descending, line number ascending as tie-break, expressed as a
+    (-1, 0, 1) comparator over structs). Each order's lines collect
+    into one array, sort in-place per row — no window, no second
+    shuffle — and the head element is the top line; the oracle computes
+    the same pick with rank windows, so a comparator sign error or
+    unstable tie-break flips the hash.
+
+    One keyed collect (bounded arrays: lines per order ≤ 7) and pure
+    per-row higher-order evaluation after it.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 101 == 0
+    )
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("q"),
+                F.col("l_linenumber").alias("ln"),
+            )
+        ).alias("lines")
+    )
+    cmp_sorted = F.expr(
+        """
+        array_sort(lines, (a, b) -> CASE
+            WHEN a.q > b.q THEN -1 WHEN a.q < b.q THEN 1
+            WHEN a.ln < b.ln THEN -1 WHEN a.ln > b.ln THEN 1
+            ELSE 0 END)
+        """
+    )
+    return arrs.select(
+        F.col("l_orderkey").alias("okey"),
+        F.size("lines").cast("bigint").alias("n_items"),
+        cmp_sorted.getItem(0).getField("ln").cast("int").alias("top_line"),
+        cmp_sorted.getItem(0).getField("q").alias("top_qty"),
+    )

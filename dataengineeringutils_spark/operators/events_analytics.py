@@ -4006,3 +4006,125 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - CAST(sx - sxb AS DOUBLE) / (n - nb)), 6)"
         ).alias("diff_cuped"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH um AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS m
+        FROM events
+    ),
+    first_m AS (
+        SELECT user_id, MIN(m) AS m0 FROM um GROUP BY user_id
+    ),
+    flags AS (
+        SELECT um.user_id, um.m,
+               CASE WHEN um.m = f.m0 THEN 1 ELSE 0 END AS is_new,
+               CASE WHEN prev.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS was_active_prev
+        FROM um
+        JOIN first_m f ON um.user_id = f.user_id
+        LEFT JOIN um prev
+          ON prev.user_id = um.user_id
+         AND prev.m = um.m - INTERVAL 7 DAY
+    ),
+    monthly AS (
+        SELECT m,
+               CAST(SUM(is_new) AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN is_new = 0 AND was_active_prev = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(SUM(CASE WHEN is_new = 0 AND was_active_prev = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM flags GROUP BY m
+    ),
+    churn AS (
+        SELECT cur.m + INTERVAL 7 DAY AS m,
+               CAST(COUNT(*) AS BIGINT) AS churned
+        FROM um cur
+        LEFT JOIN um nxt
+          ON nxt.user_id = cur.user_id
+         AND nxt.m = cur.m + INTERVAL 7 DAY
+        WHERE nxt.user_id IS NULL
+        GROUP BY cur.m
+    )
+    SELECT monthly.m AS week, new_users, retained, resurrected,
+           COALESCE(churn.churned, 0) AS churned_from_prev
+    FROM monthly LEFT JOIN churn ON churn.m = monthly.m
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU GROWTH ACCOUNTING — the standard four-way decomposition every
+    growth team reports: each week's actives split into new (first week
+    ever), retained (active last week too), resurrected (active before,
+    skipped last week), plus the users churned out of the previous
+    week. The identity WAU(t) = new + retained + resurrected and
+    ΔWAU = new + resurrected − churned makes silent double-counting
+    impossible — the oracle pins all four series. (Weekly because the
+    fixture's event stream spans ~30 days; the shape is
+    granularity-agnostic.)
+
+    Events collapse once to distinct (user, week) — the frame every
+    term derives from; adjacency is a self-join on week±7d of that
+    collapsed frame (user-keyed shuffle), never on raw events.
+    """
+    e = table(spark, sf_dir, "events")
+    um = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("m")
+    ).distinct()
+    first_m = um.groupBy("user_id").agg(F.min("m").alias("m0"))
+    prev = um.select(
+        "user_id",
+        F.expr("m + INTERVAL 7 DAY").alias("m"),
+    ).withColumn("was_active_prev", F.lit(1))
+    flags = (
+        um.join(first_m, "user_id")
+        .join(prev, ["user_id", "m"], "left")
+        .select(
+            "m",
+            (F.col("m") == F.col("m0")).cast("int").alias("is_new"),
+            F.coalesce("was_active_prev", F.lit(0)).alias(
+                "was_active_prev"
+            ),
+        )
+    )
+    monthly = flags.groupBy("m").agg(
+        F.sum("is_new").cast("bigint").alias("new_users"),
+        F.sum(
+            ((F.col("is_new") == 0) & (F.col("was_active_prev") == 1)).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            ((F.col("is_new") == 0) & (F.col("was_active_prev") == 0)).cast(
+                "long"
+            )
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    nxt = um.select(
+        "user_id",
+        F.expr("m - INTERVAL 7 DAY").alias("m"),
+    ).withColumn("active_next", F.lit(1))
+    churn = (
+        um.join(nxt, ["user_id", "m"], "left")
+        .filter(F.col("active_next").isNull())
+        .groupBy(F.expr("m + INTERVAL 7 DAY").alias("m"))
+        .agg(F.count("*").cast("bigint").alias("churned"))
+    )
+    return (
+        monthly.join(churn, "m", "left")
+        .select(
+            F.col("m").alias("week"),
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0))
+            .cast("bigint")
+            .alias("churned_from_prev"),
+        )
+    )

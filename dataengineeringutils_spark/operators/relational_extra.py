@@ -955,3 +955,131 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         o=o,
     )
+
+
+# Poisson(1) inverse-CDF thresholds pre-scaled to the 16-bit uniform and
+# hex-encoded: u > CDF_k on the v/65536 uniform is exactly the 4-hex-char
+# LEXICOGRAPHIC compare slice >= hex(floor(CDF_k*65536)+1) — no base
+# conversion, no division, identical string semantics on both engines.
+# Weights cap at 7 (P(X > 7) ~ 1e-5 at lambda=1; tail mass lands on w=7).
+_POIS_HEX = ("5e2e", "bc5b", "eb72", "fb24", "ff11", "ffda", "fffb")
+_POIS_W = " + ".join(
+    f"(CASE WHEN u >= '{h}' THEN 1 ELSE 0 END)" for h in _POIS_HEX
+)
+_BOOT_R = 16
+
+# sd of the R replicate means from 1e-6-quantized integer sums
+_BOOT_MEAN = "(CAST(sm AS DOUBLE) / 1e6 / r)"
+_BOOT_SE = (
+    "SQRT((CAST(smm AS DOUBLE) / 1e12 - "
+    "(CAST(sm AS DOUBLE) / 1e6) * (CAST(sm AS DOUBLE) / 1e6) / r) / (r - 1))"
+)
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT UNNEST(range(0, {_BOOT_R})) AS r),
+    hashed AS (
+        SELECT md5(CAST(o_orderkey AS VARCHAR) || '_a') AS h0,
+               md5(CAST(o_orderkey AS VARCHAR) || '_b') AS h1,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+    ),
+    weighted AS (
+        SELECT r,
+               substr(CASE WHEN r < 8 THEN h0 ELSE h1 END,
+                      (r % 8) * 4 + 1, 4) AS u,
+               x
+        FROM hashed CROSS JOIN reps
+    ),
+    means AS (
+        SELECT r,
+               CAST(SUM(({_POIS_W}) * x) AS DOUBLE)
+                   / SUM({_POIS_W}) AS m
+        FROM weighted GROUP BY r
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS r,
+               CAST(SUM(CAST(FLOOR(m * 1e6) AS BIGINT)) AS BIGINT) AS sm,
+               SUM(CAST(FLOOR(m * 1e6) AS DECIMAL(38,0))
+                   * CAST(FLOOR(m * 1e6) AS BIGINT)) AS smm
+        FROM means
+    ),
+    pt AS (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS point_mean
+        FROM orders
+    )
+    SELECT r AS n_replicates,
+           ROUND(point_mean, 6) AS point_mean,
+           ROUND({_BOOT_SE}, 6) AS boot_se,
+           ROUND(point_mean - 1.96 * {_BOOT_SE}, 6) AS ci_lo,
+           ROUND(point_mean + 1.96 * {_BOOT_SE}, 6) AS ci_hi
+    FROM agg CROSS JOIN pt
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP standard error of the mean order value — the
+    bootstrap that actually distributes: instead of resampling n rows
+    with replacement (which needs global coordination), every row draws
+    an independent Poisson(1) weight per replicate, one streaming pass
+    computes all replicates, and no row ever leaves its partition. The
+    draw is DETERMINISTIC (inverse-CDF on a 16-bit uniform sliced from
+    two per-row md5 digests — 2 hashes serve all 16 replicates), so
+    engines and reruns agree bit-for-bit — a seeded RNG per task would
+    be partition-layout-dependent.
+
+    {_BOOT_R} replicates form in one map-only fan-out (a 16-element
+    grid cross, no shuffle of payloads) and collapse map-side to
+    |replicates| exact-DECIMAL sums; replicate means quantize at 10⁻⁶
+    into int64 so the SE arithmetic is order-independent shared text.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # two md5 digests per ROW (not per draw): each 32-hex digest carries
+    # eight independent 16-bit slices, so the 16 replicate uniforms cost
+    # 2 hashes instead of 16 — the hash is the hot path at 16x fan-out
+    hashed = o.select(
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("_a")))
+        .alias("h0"),
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("_b")))
+        .alias("h1"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
+    weighted = hashed.select("h0", "h1", "x", reps).select(
+        "r",
+        F.expr(
+            "substr(CASE WHEN r < 8 THEN h0 ELSE h1 END,"
+            " (r % 8) * 4 + 1, 4)"
+        ).alias("u"),
+        "x",
+    )
+    means = weighted.groupBy("r").agg(
+        F.expr(
+            f"CAST(SUM(({_POIS_W}) * x) AS DOUBLE) / SUM({_POIS_W})"
+        ).alias("m")
+    )
+    agg = means.agg(
+        F.count("*").cast("bigint").alias("r"),
+        F.sum(F.floor(F.col("m") * F.lit(1e6)).cast("bigint"))
+        .cast("bigint")
+        .alias("sm"),
+        F.sum(
+            F.floor(F.col("m") * F.lit(1e6)).cast("decimal(38,0)")
+            * F.floor(F.col("m") * F.lit(1e6)).cast("bigint")
+        ).alias("smm"),
+    )
+    pt = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("point_mean")
+    )
+    return agg.crossJoin(F.broadcast(pt)).select(
+        F.col("r").alias("n_replicates"),
+        F.round("point_mean", 6).alias("point_mean"),
+        F.expr(f"ROUND({_BOOT_SE}, 6)").alias("boot_se"),
+        F.expr(f"ROUND(point_mean - 1.96 * {_BOOT_SE}, 6)").alias("ci_lo"),
+        F.expr(f"ROUND(point_mean + 1.96 * {_BOOT_SE}, 6)").alias("ci_hi"),
+    )
