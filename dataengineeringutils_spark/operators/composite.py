@@ -2747,3 +2747,93 @@ def supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_share"),
         )
     )
+
+
+# Pooled effect-size arithmetic from exact DECIMAL moments (shared text).
+_ES_V1 = "((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / na) / (na - 1))"
+_ES_V2 = "((CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / nb) / (nb - 1))"
+_ES_SP = (
+    f"SQRT(((na - 1) * {_ES_V1} + (nb - 1) * {_ES_V2}) / (na + nb - 2))"
+)
+_ES_D = (
+    f"((CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb) / {_ES_SP})"
+)
+_ES_J = "(1 - CAST(3 AS DOUBLE) / (4 * (na + nb - 2) - 1))"
+
+
+@query(
+    "orders_cohens_d_effect",
+    oracle=f"""
+    WITH seg AS (
+        SELECT c.c_mktsegment AS g,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    mom AS (
+        SELECT CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               SUM(CASE WHEN g = 'BUILDING' THEN x END) AS s1a,
+               SUM(CASE WHEN g = 'MACHINERY' THEN x END) AS s1b,
+               SUM(CASE WHEN g = 'BUILDING' THEN x * x END) AS s2a,
+               SUM(CASE WHEN g = 'MACHINERY' THEN x * x END) AS s2b
+        FROM seg
+    )
+    SELECT na, nb,
+           ROUND(CAST(s1a AS DOUBLE) / na, 2) AS mean_a,
+           ROUND(CAST(s1b AS DOUBLE) / nb, 2) AS mean_b,
+           ROUND({_ES_D}, 6) AS cohens_d,
+           ROUND({_ES_D} * {_ES_J}, 6) AS hedges_g
+    FROM mom
+    """,
+)
+def orders_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized EFFECT SIZE between two customer segments' order
+    values: Cohen's d from the pooled standard deviation, plus the
+    Hedges-g small-sample correction — the number that says whether a
+    statistically significant difference (cf. the z in
+    ``events_ab_lift``) is actually big enough to matter
+    (|d| < 0.2 = trivial, > 0.8 = large). Significance scales with √n;
+    effect size doesn't — at 100 TB everything is "significant", and
+    this is the metric that survives.
+
+    One broadcast dim join, one 1-row exact-DECIMAL moment frame
+    (Σx, Σx² per group via conditional aggregation — single pass, no
+    per-group shuffle), closed forms in shared expression text.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    mom = seg.agg(
+        F.sum((F.col("g") == "BUILDING").cast("long"))
+        .cast("bigint")
+        .alias("na"),
+        F.sum((F.col("g") == "MACHINERY").cast("long"))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("g") == "BUILDING", F.col("x"))).alias("s1a"),
+        F.sum(F.when(F.col("g") == "MACHINERY", F.col("x"))).alias("s1b"),
+        F.sum(
+            F.when(F.col("g") == "BUILDING", F.col("x") * F.col("x"))
+        ).alias("s2a"),
+        F.sum(
+            F.when(F.col("g") == "MACHINERY", F.col("x") * F.col("x"))
+        ).alias("s2b"),
+    )
+    return mom.select(
+        "na",
+        "nb",
+        F.expr("ROUND(CAST(s1a AS DOUBLE) / na, 2)").alias("mean_a"),
+        F.expr("ROUND(CAST(s1b AS DOUBLE) / nb, 2)").alias("mean_b"),
+        F.expr(f"ROUND({_ES_D}, 6)").alias("cohens_d"),
+        F.expr(f"ROUND({_ES_D} * {_ES_J}, 6)").alias("hedges_g"),
+    )

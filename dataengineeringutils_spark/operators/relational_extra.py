@@ -1083,3 +1083,51 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND(point_mean - 1.96 * {_BOOT_SE}, 6)").alias("ci_lo"),
         F.expr(f"ROUND(point_mean + 1.96 * {_BOOT_SE}, 6)").alias("ci_hi"),
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(start, cur, d) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer
+        UNION ALL
+        SELECT start, cur // 10, d + 1 FROM walk WHERE cur > 0
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (
+        SELECT start, MAX(CASE WHEN cur = 0 THEN d END) AS depth
+        FROM walk GROUP BY start
+    )
+    GROUP BY 1
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE recursive CTE execution (Spark 4.0's ``WITH RECURSIVE``):
+    the ancestor-chain walk over the synthetic parent(k) = k div 10
+    hierarchy runs as one SQL statement INSIDE the engine — each
+    recursion step is a planned iteration over the previous frontier,
+    no driver loop, no manual checkpointing. The complement of
+    ``hierarchy_depth_doubling``, which resolves the same chains in
+    O(log d) pointer-doubling rounds when the engine lacks recursion
+    (or when d is deep enough that log-rounds beat linear recursion);
+    both produce the identical depth histogram, pinned by the same
+    recursive oracle.
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(start, cur, d) AS (
+            SELECT c_custkey, c_custkey, 0 FROM customer
+            UNION ALL
+            SELECT start, cur div 10, d + 1 FROM walk WHERE cur > 0
+        )
+        SELECT CAST(depth AS INT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (
+            SELECT start, MAX(CASE WHEN cur = 0 THEN d END) AS depth
+            FROM walk GROUP BY start
+        )
+        GROUP BY 1
+        """
+    )
