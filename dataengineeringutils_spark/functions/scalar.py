@@ -1328,3 +1328,50 @@ def fn_array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmp_sorted.getItem(0).getField("ln").cast("int").alias("top_line"),
         cmp_sorted.getItem(0).getField("q").alias("top_qty"),
     )
+
+
+@query(
+    "fn_agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE year(o_orderdate) >= 2000) AS DOUBLE)
+               AS recent_revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+               / COUNT(*) FILTER (WHERE o_orderstatus = 'O')
+               AS avg_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``FILTER (WHERE …)`` aggregate modifier: per-aggregate
+    predicates in one pass — the standard (and self-documenting) form
+    of the CASE-WHEN-inside-SUM idiom, with correct NULL semantics for
+    free (a filtered-out row contributes nothing, where CASE's ELSE 0
+    would drag a mean); the conditional mean is an exact-DECIMAL
+    filtered SUM over a filtered COUNT, engine-identical. One scan, one group-by; every conditional
+    metric shares the same partial aggregation.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE year(o_orderdate) >= 2000) AS DOUBLE)
+                   AS recent_revenue,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                   / COUNT(*) FILTER (WHERE o_orderstatus = 'O')
+                   AS avg_open_price
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

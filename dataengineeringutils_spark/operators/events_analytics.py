@@ -4128,3 +4128,132 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned_from_prev"),
         )
     )
+
+
+@query(
+    "events_quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 2 AS variant,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT variant, y,
+               ROW_NUMBER() OVER (PARTITION BY variant
+                                  ORDER BY y ASC, user_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY variant) AS n
+        FROM per_user
+    ),
+    qs AS (
+        SELECT variant,
+               MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                        THEN y END) AS q25,
+               MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                        THEN y END) AS q50,
+               MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                        THEN y END) AS q75,
+               MIN(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                        THEN y END) AS q90
+        FROM ranked GROUP BY variant
+    )
+    SELECT p, CAST(qa AS DOUBLE) AS control_q,
+           CAST(qb AS DOUBLE) AS treatment_q,
+           CAST(qb - qa AS DOUBLE) AS qte
+    FROM (
+        SELECT 25 AS p, a.q25 AS qa, b.q25 AS qb FROM qs a, qs b
+        WHERE a.variant = 0 AND b.variant = 1
+        UNION ALL
+        SELECT 50, a.q50, b.q50 FROM qs a, qs b
+        WHERE a.variant = 0 AND b.variant = 1
+        UNION ALL
+        SELECT 75, a.q75, b.q75 FROM qs a, qs b
+        WHERE a.variant = 0 AND b.variant = 1
+        UNION ALL
+        SELECT 90, a.q90, b.q90 FROM qs a, qs b
+        WHERE a.variant = 0 AND b.variant = 1
+    )
+    """,
+)
+def events_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects for the hash-assigned A/B experiment:
+    the per-user revenue difference at the 25/50/75/90th percentiles —
+    where mean lift (``events_ab_lift``) hides WHO moved, the QTE curve
+    shows whether a treatment lifted the median user or only stretched
+    the top decile (the long-tail question every revenue experiment
+    ends with).
+
+    Per-user metric and variant come from the shared identity-hash
+    aggregate; each variant's discrete quantiles are exact
+    (rank = ceil(p·n) under a total order, the ``agg_percentile_disc``
+    machinery) over the |users|-per-variant collapsed frame, and the
+    4-row QTE grid joins two 1-row quantile frames.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("y")
+        )
+        .withColumn(
+            "variant",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ),
+        )
+    )
+    w = Window.partitionBy("variant").orderBy(
+        F.col("y").asc(), F.col("user_id").asc()
+    )
+    ranked = per_user.select(
+        "variant",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("variant")).alias("n"),
+    )
+    qs = ranked.groupBy("variant").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(p / 100.0) * F.col("n")).cast("bigint"),
+                    F.col("y"),
+                )
+            ).alias(f"q{p}")
+            for p in (25, 50, 75, 90)
+        ]
+    )
+    a = qs.filter(F.col("variant") == 0)
+    b = qs.filter(F.col("variant") == 1)
+    grid = None
+    for p in (25, 50, 75, 90):
+        part = (
+            a.select(F.col(f"q{p}").alias("qa"))
+            .crossJoin(b.select(F.col(f"q{p}").alias("qb")))
+            .select(
+                F.lit(p).cast("int").alias("p"),
+                F.col("qa").cast("double").alias("control_q"),
+                F.col("qb").cast("double").alias("treatment_q"),
+                (F.col("qb") - F.col("qa")).cast("double").alias("qte"),
+            )
+        )
+        grid = part if grid is None else grid.unionByName(part)
+    return grid

@@ -2202,3 +2202,93 @@ def text_cross_lang_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "documents_lang_source_mi",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell),
+    margins AS (
+        SELECT cell.lang, cell.source, c, n,
+               SUM(c) OVER (PARTITION BY lang) AS cl,
+               SUM(c) OVER (PARTITION BY source) AS cs
+        FROM cell CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT CAST(FLOOR((CAST(c AS DOUBLE) / n)
+                    * log2(CAST(c AS DOUBLE) * n
+                           / (CAST(cl AS DOUBLE) * cs)) * 1e12) AS BIGINT)
+                   AS tq,
+               CAST(FLOOR(-(CAST(cl AS DOUBLE) / n)
+                    * log2(CAST(cl AS DOUBLE) / n) * 1e12 / cnt_s) AS BIGINT)
+                   AS hq
+        FROM margins
+        CROSS JOIN (SELECT COUNT(DISTINCT source) AS cnt_s FROM cell)
+    )
+    SELECT ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) AS mi_bits,
+           ROUND(CAST(SUM(hq) AS DOUBLE) / 1e12, 6) AS h_lang_bits,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / SUM(hq), 6)
+               AS normalized_mi
+    FROM terms
+    """,
+)
+def documents_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in bits — how much knowing the
+    source tells you about the language (and vice versa). NMI ≈ 0 means
+    the mixture is well stirred (every source contributes every
+    language at the global ratio); NMI → 1 means sources ARE languages,
+    so any source-level filter silently becomes a language filter — the
+    single number to check before per-source quality cuts.
+
+    The corpus collapses to the |langs×sources| contingency frame; MI
+    and H(lang) terms evaluate per cell from exact integers and
+    quantize at 10⁻¹² into int64 before the final sums (the tiny frame
+    still sums order-independently). H(lang) is replicated across the
+    per-lang cells and divided by the source count so the window frame
+    stays one pass.
+    """
+    d = table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    n_src = cell.agg(F.countDistinct("source").alias("cnt_s"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    margins = (
+        cell.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            "c",
+            "n",
+            "cnt_s",
+            F.sum("c").over(wl).alias("cl"),
+            F.sum("c").over(ws).alias("cs"),
+        )
+    )
+    terms = margins.select(
+        F.expr(
+            "CAST(FLOOR((CAST(c AS DOUBLE) / n)"
+            " * log2(CAST(c AS DOUBLE) * n"
+            " / (CAST(cl AS DOUBLE) * cs)) * 1e12) AS BIGINT)"
+        ).alias("tq"),
+        F.expr(
+            "CAST(FLOOR(-(CAST(cl AS DOUBLE) / n)"
+            " * log2(CAST(cl AS DOUBLE) / n) * 1e12 / cnt_s) AS BIGINT)"
+        ).alias("hq"),
+    )
+    return terms.agg(
+        F.round(F.sum("tq").cast("double") / F.lit(1e12), 6).alias(
+            "mi_bits"
+        ),
+        F.round(F.sum("hq").cast("double") / F.lit(1e12), 6).alias(
+            "h_lang_bits"
+        ),
+        F.round(
+            F.sum("tq").cast("double") / F.sum("hq"), 6
+        ).alias("normalized_mi"),
+    )

@@ -923,3 +923,78 @@ def sink_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("price").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "sink_csv_dialect_matrix",
+    oracle="""
+    SELECT 'semicolon' AS dialect, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    UNION ALL
+    SELECT 'pipe_backslash', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT), CAST(COUNT(DISTINCT source)
+           AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'tab_nullmarker', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT), CAST(COUNT(DISTINCT source)
+           AS BIGINT)
+    FROM documents
+    """,
+)
+def sink_csv_dialect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV DIALECT round-trip matrix: the same frame written and re-read
+    under three hostile dialects — semicolon-separated with all-quoted
+    fields, pipe-separated with backslash escapes, and tab-separated
+    with a custom NULL marker — each verified by exact row/char/source
+    counts against the parquet truth. CSV is where data dies silently;
+    the matrix pins that the writer and reader agree on QUOTING,
+    ESCAPING, and NULL semantics per dialect, not just the happy
+    comma path (``sink_csv_roundtrip``) or embedded newlines
+    (``sink_csv_quoted_multiline``).
+
+    Three independent write→read→aggregate legs unioned; each is one
+    scan out, one scan back, counters only across the network.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    schema = "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT"
+    dialects = {
+        "semicolon": {
+            "sep": ";",
+            "quoteAll": "true",
+        },
+        "pipe_backslash": {
+            "sep": "|",
+            "escape": "\\",
+        },
+        "tab_nullmarker": {
+            "sep": "\t",
+            "nullValue": "__NULL__",
+        },
+    }
+    out_frames = []
+    for name, opts in dialects.items():
+        path = scratch_dir(f"sink_csv_dialect_{name}")
+        w = d.write.mode("overwrite").option("header", True)
+        r = spark.read.schema(schema).option("header", True)
+        for k, v in opts.items():
+            w = w.option(k, v)
+            r = r.option(k, v)
+        w.csv(path)
+        back = r.csv(path)
+        out_frames.append(
+            back.agg(
+                F.lit(name).alias("dialect"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.countDistinct("source").cast("bigint").alias("n_sources"),
+            )
+        )
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionByName(fr)
+    return out
