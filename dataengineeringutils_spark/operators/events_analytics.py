@@ -4130,6 +4130,12 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# events-count threshold below which QTE ranks via a plain 2-partition
+# window (fixed cost beats the two-phase machinery's extra jobs on small
+# frames); above it, per-variant two-phase bucket-cut ranks take over.
+QTE_LOCAL_ROWS = 2_000_000
+
+
 @query(
     "events_quantile_treatment_effect",
     oracle="""
@@ -4191,9 +4197,11 @@ def events_quantile_treatment_effect(
 
     Per-user metric and variant come from the shared identity-hash
     aggregate; each variant's discrete quantiles are exact
-    (rank = ceil(p·n) under a total order, the ``agg_percentile_disc``
-    machinery) over the |users|-per-variant collapsed frame, and the
-    4-row QTE grid joins two 1-row quantile frames.
+    (rank = ceil(p·n) under a total order) with the rank produced by
+    the two-phase bucket-cut machinery per variant — a
+    Window.partitionBy(variant) would be a 2-partition single-task
+    sort of |users|/2 at scale. The 4-row QTE grid joins two 1-row
+    quantile frames.
     """
     e = table(spark, sf_dir, "events")
     per_user = (
@@ -4220,15 +4228,48 @@ def events_quantile_treatment_effect(
             ),
         )
     )
-    w = Window.partitionBy("variant").orderBy(
-        F.col("y").asc(), F.col("user_id").asc()
-    )
-    ranked = per_user.select(
-        "variant",
-        "y",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("variant")).alias("n"),
-    )
+    # Size-adaptive ranking (the events_rfm_segments pattern): a
+    # Window.partitionBy(variant) is 2 partitions — a single-task sort
+    # of |users|/2, fine below QTE_LOCAL_ROWS, a WindowExec pathology
+    # past it — where each variant instead ranks through the two-phase
+    # bucket-cut machinery (cuts only balance buckets, never the
+    # answer). Path equality is pinned by a unit test.
+    if table(spark, sf_dir, "events").count() <= QTE_LOCAL_ROWS:
+        w = Window.partitionBy("variant").orderBy(
+            F.col("y").asc(), F.col("user_id").asc()
+        )
+        ranked = per_user.select(
+            "variant",
+            "y",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("variant")).alias("n"),
+        )
+    else:
+        from dataengineeringutils_spark.operators.windows import (
+            two_phase_global_rank,
+        )
+
+        # materialize the |users|-row frame once: the cuts sample and
+        # both variant branches would otherwise recompute the events agg
+        per_user = per_user.localCheckpoint(eager=True)
+        cuts = sorted(
+            set(
+                per_user.sample(0.2, seed=7)
+                .select(F.col("y").cast("double").alias("yd"))
+                .approxQuantile("yd", [i / 16 for i in range(1, 16)], 0.02)
+            )
+        )
+        ranked = None
+        for v in (0, 1):
+            part = two_phase_global_rank(
+                per_user.filter(F.col("variant") == v).select(
+                    "user_id", "y", "variant"
+                ),
+                "y",
+                "user_id",
+                cuts,
+            )
+            ranked = part if ranked is None else ranked.unionByName(part)
     qs = ranked.groupBy("variant").agg(
         *[
             F.min(

@@ -137,3 +137,17 @@ def test_rfm_two_phase_path_matches_local_path(spark, monkeypatch):
     two_phase = ea.events_rfm_segments(spark, SF)
     rows_two = {tuple(r) for r in two_phase.collect()}
     assert rows_local == rows_two
+
+
+def test_qte_two_phase_path_matches_local_path(spark, monkeypatch):
+    """events_quantile_treatment_effect picks a 2-partition window rank
+    below QTE_LOCAL_ROWS and per-variant two-phase bucket-cut ranks
+    above it — both paths must produce identical rows."""
+    import dataengineeringutils_spark.operators.events_analytics as ea
+
+    local = ea.events_quantile_treatment_effect(spark, SF)
+    rows_local = {tuple(r) for r in local.collect()}
+    monkeypatch.setattr(ea, "QTE_LOCAL_ROWS", 0)
+    two_phase = ea.events_quantile_treatment_effect(spark, SF)
+    rows_two = {tuple(r) for r in two_phase.collect()}
+    assert rows_local == rows_two
