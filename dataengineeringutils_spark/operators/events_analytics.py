@@ -4298,3 +4298,116 @@ def events_quantile_treatment_effect(
         )
         grid = part if grid is None else grid.unionByName(part)
     return grid
+
+
+@query(
+    "events_did_estimator",
+    oracle="""
+    WITH bounds AS (
+        SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+    ),
+    cells AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT
+                   % 2 AS variant,
+               CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM bounds)
+                    THEN 0 ELSE 1 END AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev
+        FROM events
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN variant = 0 AND period = 0
+                   THEN CAST(rev AS DOUBLE) / n END) AS a_pre,
+          MAX(CASE WHEN variant = 0 AND period = 1
+                   THEN CAST(rev AS DOUBLE) / n END) AS a_post,
+          MAX(CASE WHEN variant = 1 AND period = 0
+                   THEN CAST(rev AS DOUBLE) / n END) AS b_pre,
+          MAX(CASE WHEN variant = 1 AND period = 1
+                   THEN CAST(rev AS DOUBLE) / n END) AS b_post
+        FROM cells
+    )
+    SELECT ROUND(a_pre, 6) AS control_pre,
+           ROUND(a_post, 6) AS control_post,
+           ROUND(b_pre, 6) AS treat_pre,
+           ROUND(b_post, 6) AS treat_post,
+           ROUND((b_post - b_pre) - (a_post - a_pre), 6) AS did
+    FROM wide
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: per-event purchase revenue in the 2×2
+    (variant × pre/post) grid, with DiD = (treatΔ − controlΔ) — the
+    causal readout when assignment isn't randomized at the metric's
+    grain (or a launch hit everyone and the 'control' is a parallel
+    trend). The pre-period columns make the parallel-trends assumption
+    INSPECTABLE: control_pre ≈ treat_pre is the sanity check, and the
+    oracle pins all four cells, not just the headline.
+
+    One pass: events aggregate directly to the 4-cell grid (variant by
+    identity hash, period by the span midpoint — both derived in-query,
+    no second scan), exact DECIMAL revenue sums, shared-text division.
+    """
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))).alias(
+            "lohi"
+        )
+    )
+    cells = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+            ).alias("variant"),
+            F.when(F.unix_micros("ts") * 2 < F.col("lohi"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("rev"),
+        )
+    )
+    wide = cells.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("variant") == v) & (F.col("period") == p),
+                    F.col("rev").cast("double") / F.col("n"),
+                )
+            ).alias(name)
+            for v, p, name in (
+                (0, 0, "a_pre"),
+                (0, 1, "a_post"),
+                (1, 0, "b_pre"),
+                (1, 1, "b_post"),
+            )
+        ]
+    )
+    return wide.select(
+        F.round("a_pre", 6).alias("control_pre"),
+        F.round("a_post", 6).alias("control_post"),
+        F.round("b_pre", 6).alias("treat_pre"),
+        F.round("b_post", 6).alias("treat_post"),
+        F.round(
+            (F.col("b_post") - F.col("b_pre"))
+            - (F.col("a_post") - F.col("a_pre")),
+            6,
+        ).alias("did"),
+    )

@@ -613,3 +613,64 @@ def join_runtime_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in prev.items():
             spark.conf.set(k, v)
     return out
+
+
+@query(
+    "join_strategy_hints_equivalence",
+    oracle="""
+    SELECT strategy, n_regions, CAST(n_orders AS BIGINT) AS n_orders,
+           total
+    FROM (
+        SELECT CAST(COUNT(DISTINCT r.r_name) AS BIGINT) AS n_regions,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
+    )
+    CROSS JOIN (SELECT UNNEST(['broadcast', 'merge', 'shuffle_hash'])
+                AS strategy)
+    """,
+)
+def join_strategy_hints_equivalence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JOIN STRATEGY HINTS as a correctness contract: the same
+    orders→customer→nation→region rollup executed under BROADCAST,
+    MERGE (sort-merge), and SHUFFLE_HASH hints must be value-identical
+    — physical strategy is Catalyst's business, never the answer's.
+    The three labeled rows hash against one oracle result, so a hint
+    that changed semantics (or an engine regression where a strategy
+    drops rows) fails the gate loudly.
+
+    This is also the documented knob surface: at 100 TB you override
+    the planner exactly here — broadcast a dim AQE missized, force
+    shuffle-hash where sorts dominate — and this op pins that the
+    override is safe.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    out = None
+    for strategy in ("broadcast", "merge", "shuffle_hash"):
+        j = (
+            o.join(c.hint(strategy), o.o_custkey == c.c_custkey)
+            .join(n.hint(strategy), c.c_nationkey == n.n_nationkey)
+            .join(r.hint(strategy), n.n_regionkey == r.r_regionkey)
+        )
+        agg = j.agg(
+            F.lit(strategy).alias("strategy"),
+            F.countDistinct("r_name").cast("bigint").alias("n_regions"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
