@@ -2837,3 +2837,183 @@ def orders_cohens_d_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_ES_D}, 6)").alias("cohens_d"),
         F.expr(f"ROUND({_ES_D} * {_ES_J}, 6)").alias("hedges_g"),
     )
+
+
+@query(
+    "customer_supplier_switching",
+    oracle="""
+    WITH cps AS (
+        SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_supp,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, l.l_partkey
+        HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_pairs,
+           CAST(SUM(CASE WHEN n_supp > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_switching,
+           ROUND(CAST(SUM(CASE WHEN n_supp > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS switching_rate,
+           ROUND(CAST(SUM(n_supp) AS DOUBLE) / COUNT(*), 6)
+               AS mean_suppliers_per_pair
+    FROM cps
+    """,
+)
+def customer_supplier_switching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier-SWITCHING behavior: among (customer, part) pairs bought
+    more than once, how many sourced from multiple suppliers — the
+    loyalty/fungibility read procurement teams use to tell contractual
+    relationships (one supplier per pair) from spot-market buying
+    (whoever's cheapest), which in turn calibrates how much of the
+    basket a supplier outage actually threatens.
+
+    One fact-to-fact join (lineitem→orders on the order key — AQE
+    picks the strategy; at 100 TB both sides pre-bucket on orderkey,
+    cf. ``sink_bucketed_join``), one (cust, part) collapse carrying
+    only two counters, and a 1-row summary of exact integers.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cps = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
+    return cps.agg(
+        F.count("*").cast("bigint").alias("n_repeat_pairs"),
+        F.sum((F.col("n_supp") > 1).cast("long"))
+        .cast("bigint")
+        .alias("n_switching"),
+        F.round(
+            F.sum((F.col("n_supp") > 1).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("switching_rate"),
+        F.round(F.sum("n_supp").cast("double") / F.count("*"), 6).alias(
+            "mean_suppliers_per_pair"
+        ),
+    )
+
+
+# Syntetos-Boylan demand-classification thresholds (shared text).
+_SB_CLASS = (
+    "CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth' "
+    "WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent' "
+    "WHEN adi < 1.32 THEN 'erratic' ELSE 'lumpy' END"
+)
+
+
+@query(
+    "part_demand_classification",
+    oracle=f"""
+    WITH daily AS (
+        SELECT l_partkey,
+               CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+            AS n_days
+        FROM daily
+    ),
+    per_part AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               SUM(CAST(q AS DECIMAL(38,0)) * q) AS s2
+        FROM daily GROUP BY l_partkey HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+        SELECT CAST(n_days AS DOUBLE) / k AS adi,
+               ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                / (k - 1))
+               / ((CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k))
+                   AS cv2
+        FROM per_part CROSS JOIN span
+    )
+    SELECT {_SB_CLASS} AS demand_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(CAST(FLOOR(adi * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / COUNT(*), 6) AS mean_adi,
+           ROUND(CAST(SUM(CAST(FLOOR(cv2 * 1e6) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / COUNT(*), 6) AS mean_cv2
+    FROM scored GROUP BY 1
+    """,
+)
+def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan DEMAND CLASSIFICATION per part: ADI (average days
+    between demand) × CV² (squared variation of demand size) cut at the
+    canonical (1.32, 0.49) thresholds into smooth / intermittent /
+    erratic / lumpy — the first question of any inventory-forecasting
+    pipeline, because each quadrant gets a different model (exponential
+    smoothing vs Croston vs bootstrap) and pooling them wrecks all
+    four. Parts with a single demand day are unclassifiable and drop.
+
+    Two collapses (part-day, then part) of exact integer moments —
+    demand squares ride DECIMAL(38,0) — and the per-class means
+    quantize each part's ADI/CV² at 10⁻⁶ into int64 before summing
+    (order-independent). Facts shuffle twice, both times as counters.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    daily = li.groupBy(
+        "l_partkey",
+        F.date_trunc("day", "l_shipdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("bigint")
+        .alias("q")
+    )
+    span = daily.agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("bigint")
+        .alias("n_days")
+    )
+    per_part = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("q").cast("bigint").alias("s1"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias(
+                "s2"
+            ),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    scored = per_part.crossJoin(F.broadcast(span)).select(
+        F.expr("CAST(n_days AS DOUBLE) / k").alias("adi"),
+        F.expr(
+            "((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) / (k - 1))"
+            " / ((CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k))"
+        ).alias("cv2"),
+    )
+    return scored.groupBy(F.expr(_SB_CLASS).alias("demand_class")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum(F.floor(F.col("adi") * F.lit(1e6)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+            / F.count("*"),
+            6,
+        ).alias("mean_adi"),
+        F.round(
+            F.sum(F.floor(F.col("cv2") * F.lit(1e6)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+            / F.count("*"),
+            6,
+        ).alias("mean_cv2"),
+    )

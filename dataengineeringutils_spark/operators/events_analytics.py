@@ -4411,3 +4411,96 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did"),
     )
+
+
+@query(
+    "events_retention_halflife",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT f.cohort_day,
+               DATE_DIFF('day', f.cohort_day,
+                         CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                   AS week_n,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    rates AS (
+        SELECT g.week_n,
+               CAST(g.active AS DOUBLE) / g0.active AS r
+        FROM grid g
+        JOIN grid g0
+          ON g0.cohort_day = g.cohort_day AND g0.week_n = 0
+        WHERE g.week_n >= 1 AND g.cohort_day =
+              (SELECT MIN(cohort_day) FROM first_seen)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
+           ROUND(regr_slope(ln(r), CAST(week_n AS DOUBLE)), 6) AS decay_slope,
+           ROUND(-0.6931471805599453
+                 / regr_slope(ln(r), CAST(week_n AS DOUBLE)), 6)
+               AS halflife_weeks
+    FROM rates
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention HALF-LIFE of the oldest cohort: fit ln(retention) ~
+    week (exponential-decay model) by least squares and report
+    −ln2/slope — the single number that compresses the retention curve
+    for cross-release comparison ("the March cohort's half-life fell
+    from 5.1 to 3.8 weeks" reads where a matrix doesn't). Read next to
+    ``retention_cohort`` (the full matrix this summarizes).
+
+    The cohort grid collapses from events once (the shared
+    first-seen/week shape); the regression runs over the ≤|weeks|-row
+    rate frame via ``regr_slope`` — the ln-based-aggregate convention
+    (ROUND 6, off-grid irrational) the Zipf-slope op established.
+    """
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    grid = (
+        e.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_day"),
+                )
+                / 7
+            ).alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active"))
+    )
+    oldest = first_seen.agg(F.min("cohort_day").alias("c0"))
+    g0 = grid.filter(F.col("week_n") == 0).select(
+        F.col("cohort_day").alias("cd0"), F.col("active").alias("base")
+    )
+    rates = (
+        grid.crossJoin(F.broadcast(oldest))
+        .filter(
+            (F.col("cohort_day") == F.col("c0")) & (F.col("week_n") >= 1)
+        )
+        .join(F.broadcast(g0), F.col("cohort_day") == F.col("cd0"))
+        .select(
+            F.col("week_n").cast("double").alias("week_n"),
+            (F.col("active").cast("double") / F.col("base")).alias("r"),
+        )
+    )
+    return rates.agg(
+        F.count("*").cast("bigint").alias("n_weeks"),
+        F.round(F.regr_slope(F.log("r"), F.col("week_n")), 6).alias(
+            "decay_slope"
+        ),
+        F.round(
+            F.lit(-0.6931471805599453)
+            / F.regr_slope(F.log("r"), F.col("week_n")),
+            6,
+        ).alias("halflife_weeks"),
+    )
