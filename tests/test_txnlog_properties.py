@@ -119,3 +119,51 @@ def test_merge_after_evolution_preserves_null_fill(spark, evolve):
     else:
         t.merge(src, keys=["k"])
         assert t.snapshot().count() == 4
+
+
+@given(ops=ops_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_change_feed_reconstructs_snapshots(spark, ops):
+    """Algebraic contract of the CDF: for any version pair on a
+    key-unique table, (snapshot(v0) − deletes − preimages) ∪ inserts ∪
+    postimages == snapshot(v1). Appends are funneled through merge to
+    keep keys unique (the change-feed precondition, as in Delta)."""
+    t = LogTable(spark, scratch_dir("txncdf_" + uuid.uuid4().hex))
+    versions = []
+    for op in ops:
+        if op[0] in ("append", "merge"):
+            rows = list({k: (k, v) for k, v in op[1]}.values())
+            versions.append(
+                t.merge(
+                    spark.createDataFrame(rows, "k int, v int"), keys=["k"]
+                )
+            )
+        elif op[0] == "delete":
+            if not versions:
+                continue
+            try:
+                versions.append(t.delete_where(f"v > {op[1]}"))
+            except ValueError:
+                continue
+        else:
+            if not versions:
+                continue
+            versions.append(t.compact(n_files=1))
+    if len(versions) < 2:
+        return
+    v0, v1 = versions[0], versions[-1]
+    start = {(r["k"], r["v"]) for r in t.snapshot(v0).collect()}
+    end = {(r["k"], r["v"]) for r in t.snapshot(v1).collect()}
+    removed, added = set(), set()
+    for r in t.change_feed(v0, v1, keys=["k"]).collect():
+        row = (r["k"], r["v"])
+        if r["_change_type"] in ("delete", "update_preimage"):
+            removed.add(row)
+        else:
+            added.add(row)
+    assert removed <= start, "removed rows must exist in the old snapshot"
+    assert (start - removed) | added == end
