@@ -908,3 +908,48 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("weighted_median_price"),
     )
+
+
+@query(
+    "agg_geometric_mean",
+    oracle="""
+    WITH terms AS (
+        SELECT o_orderpriority,
+               CAST(FLOOR(LN(o_totalprice) * 1e12) AS BIGINT) AS lq
+        FROM orders WHERE o_totalprice > 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(EXP(CAST(SUM(lq) AS DOUBLE) / 1e12 / COUNT(*)), 4)
+               AS geo_mean
+    FROM terms GROUP BY o_orderpriority
+    """,
+)
+def agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRIC mean of order value per priority — the right average
+    for multiplicative quantities (growth factors, skewed prices):
+    exp(mean(ln x)), immune to the heavy tail that drags the
+    arithmetic mean. The ln terms floor-quantize at 10⁻¹² into int64
+    before summing — the repo's order-independence rule — so both
+    engines exponentiate the identical double; the 4-dp rounding sits
+    off-grid (ln/exp results are irrational).
+
+    One map-side-combined aggregate to |priorities| rows; no window,
+    no second pass.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    terms = o.select(
+        "o_orderpriority",
+        F.floor(F.log(F.col("o_totalprice")) * F.lit(1e12))
+        .cast("bigint")
+        .alias("lq"),
+    )
+    return terms.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.exp(
+                F.sum("lq").cast("double") / F.lit(1e12) / F.count("*")
+            ),
+            4,
+        ).alias("geo_mean"),
+    )

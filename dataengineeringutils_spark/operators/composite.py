@@ -3017,3 +3017,98 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_cv2"),
     )
+
+
+@query(
+    "nation_trade_matrix",
+    oracle="""
+    WITH flows AS (
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+          AND ns.n_regionkey = 2 AND nc.n_regionkey = 2
+        GROUP BY ns.n_name, nc.n_name
+    )
+    SELECT f.supp_nation, f.cust_nation,
+           CAST(f.rev AS DOUBLE) AS export_value,
+           CAST(COALESCE(r.rev, 0) AS DOUBLE) AS import_value,
+           CAST(f.rev - COALESCE(r.rev, 0) AS DOUBLE) AS net_balance
+    FROM flows f
+    LEFT JOIN flows r
+      ON r.supp_nation = f.cust_nation AND r.cust_nation = f.supp_nation
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-region TRADE MATRIX (region 2): revenue flowing from each
+    supplier nation to each customer nation, with the REVERSE flow
+    joined on so every pair carries its net balance — the
+    generalization of TPC-H Q7's two-nation volume to the full
+    directed matrix, and the standard "who funds whom" view of any
+    marketplace (sellers×buyers, teams×teams, DCs×stores).
+
+    One five-table star join (dims broadcast, facts shuffle once on
+    the order key), collapsed to the ≤|nations|² flow frame; the
+    net-balance self-join runs on that tiny frame. Exact DECIMAL
+    revenue into the final double casts.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(rev).alias("rev"))
+    )
+    rflows = flows.select(
+        F.col("supp_nation").alias("r_supp"),
+        F.col("cust_nation").alias("r_cust"),
+        F.col("rev").alias("r_rev"),
+    )
+    return (
+        flows.join(
+            rflows,
+            (F.col("r_supp") == F.col("cust_nation"))
+            & (F.col("r_cust") == F.col("supp_nation")),
+            "left",
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("rev").cast("double").alias("export_value"),
+            F.coalesce(F.col("r_rev"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("import_value"),
+            (
+                F.col("rev")
+                - F.coalesce(F.col("r_rev"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("net_balance"),
+        )
+    )

@@ -4504,3 +4504,86 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("halflife_weeks"),
     )
+
+
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS u
+        FROM tu GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, shared,
+           sa.u AS users_a, sb.u AS users_b,
+           ROUND(CAST(shared AS DOUBLE) / (sa.u + sb.u - shared), 6)
+               AS jaccard,
+           ROUND(CAST(shared AS DOUBLE)
+                 / LEAST(sa.u, sb.u), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix between behaviors: Jaccard and
+    containment of the user sets behind each event-type pair — the
+    targeting/cannibalization read ("purchasers are a subset of
+    clickers" vs "signups are a disjoint crowd") that decides whether
+    two funnels compete for the same users. Containment is the
+    asymmetric companion Jaccard hides when set sizes differ wildly.
+
+    Events collapse once to the distinct (type, user) frame; the pair
+    overlap is a user-keyed self-join of that collapsed frame — at
+    100 TB the frame is |users|·|types| at most, and only counters
+    leave the join. Exact integer ratios throughout.
+    """
+    e = table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("u")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("u").alias("users_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("u").alias("users_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "shared",
+            "users_a",
+            "users_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("users_a") + F.col("users_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("users_a", "users_b"),
+                6,
+            ).alias("containment"),
+        )
+    )
