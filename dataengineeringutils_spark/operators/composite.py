@@ -3112,3 +3112,64 @@ def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("net_balance"),
         )
     )
+
+
+@query(
+    "part_price_ladder_gaps",
+    oracle="""
+    WITH ladder AS (
+        SELECT DISTINCT p_brand, p_retailprice AS price FROM part
+    ),
+    steps AS (
+        SELECT p_brand, price,
+               LEAD(price) OVER (PARTITION BY p_brand ORDER BY price)
+                   AS next_price
+        FROM ladder
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_price_points,
+           ROUND(MIN(price), 2) AS min_price,
+           ROUND(MAX(next_price), 2) AS max_price,
+           ROUND(MAX(next_price - price), 2) AS max_gap,
+           ROUND(MAX((next_price - price) / price), 6) AS max_gap_ratio
+    FROM steps
+    WHERE next_price IS NOT NULL
+    GROUP BY p_brand
+    """,
+)
+def part_price_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE LADDER analysis per brand: the distinct retail prices form
+    each brand's ladder, and the largest absolute and relative step
+    between consecutive rungs is where a price tier is MISSING — the
+    merchandising gap competitors walk into, and (as a data check) the
+    signature of a feed that dropped a price band. A healthy ladder
+    steps ~uniformly; max_gap_ratio ≫ the median step is the flag.
+
+    The dimension collapses to distinct (brand, price) — tiny and
+    sublinear in fact data; the consecutive-step LEAD window partitions
+    by brand (many brands, bounded rungs per brand — the benign window
+    shape). Prices are exact doubles from the dimension; gaps subtract
+    exactly; ROUND(2) matches the 2-dp price grid... exact because the
+    inputs sit ON the grid and subtraction of grid values is exact in
+    doubles at this magnitude.
+    """
+    p = table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    ladder = p.distinct().select(
+        "p_brand", F.col("p_retailprice").alias("price")
+    )
+    w = Window.partitionBy("p_brand").orderBy("price")
+    steps = ladder.select(
+        "p_brand", "price", F.lead("price").over(w).alias("next_price")
+    ).filter(F.col("next_price").isNotNull())
+    return steps.groupBy("p_brand").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_price_points"),
+        F.round(F.min("price"), 2).alias("min_price"),
+        F.round(F.max("next_price"), 2).alias("max_price"),
+        F.round(F.max(F.col("next_price") - F.col("price")), 2).alias(
+            "max_gap"
+        ),
+        F.round(
+            F.max((F.col("next_price") - F.col("price")) / F.col("price")),
+            6,
+        ).alias("max_gap_ratio"),
+    )

@@ -4587,3 +4587,98 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "events_ks_two_sample",
+    oracle="""
+    WITH vals AS (
+        SELECT value AS v,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM events
+        WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+        GROUP BY value
+    ),
+    cum AS (
+        SELECT SUM(c1) OVER w AS k1, SUM(c2) OVER w AS k2,
+               (SELECT SUM(c1) FROM vals) AS n1,
+               (SELECT SUM(c2) FROM vals) AS n2
+        FROM vals
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dmax AS (
+        SELECT n1, n2,
+               MAX(ABS(CAST(k1 * n2 - k2 * n1 AS DOUBLE))) AS dnum
+        FROM cum GROUP BY n1, n2
+    )
+    SELECT n1, n2,
+           ROUND(dnum / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d,
+           ROUND(1.358 * SQRT((CAST(n1 AS DOUBLE) + n2)
+                              / (CAST(n1 AS DOUBLE) * n2)), 6)
+               AS critical_05,
+           dnum / (CAST(n1 AS DOUBLE) * n2)
+               > 1.358 * SQRT((CAST(n1 AS DOUBLE) + n2)
+                              / (CAST(n1 AS DOUBLE) * n2)) AS reject_05
+    FROM dmax
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test between the value
+    distributions of views and clicks: D = sup|ECDF₁ − ECDF₂| computed
+    EXACTLY — the supremum runs over the distinct-value frame with the
+    ECDF difference kept in INTEGERS (|k₁n₂ − k₂n₁| over the common
+    denominator n₁n₂), so no float accumulates before the single final
+    division. The distribution-shift screen that mean/variance tests
+    miss (same mean, different shape), with the α=0.05 critical value
+    and verdict in the output.
+
+    Values collapse to one (value → c₁, c₂) frame; cumulative counts
+    run over that collapsed frame (distinct values ≪ rows; were they
+    not, the ml_rank_auc bucket-cut cumsum drops in unchanged); the
+    supremum is one map-combined MAX.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull()
+    )
+    vals = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = vals.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    cum = vals.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    ).crossJoin(F.broadcast(tot))
+    dmax = cum.groupBy("n1", "n2").agg(
+        F.max(
+            F.abs(
+                (F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1"))
+                .cast("double")
+            )
+        ).alias("dnum")
+    )
+    crit = (
+        "1.358 * SQRT((CAST(n1 AS DOUBLE) + n2)"
+        " / (CAST(n1 AS DOUBLE) * n2))"
+    )
+    return dmax.select(
+        "n1",
+        "n2",
+        F.expr("ROUND(dnum / (CAST(n1 AS DOUBLE) * n2), 6)").alias("ks_d"),
+        F.expr(f"ROUND({crit}, 6)").alias("critical_05"),
+        F.expr(f"dnum / (CAST(n1 AS DOUBLE) * n2) > {crit}").alias(
+            "reject_05"
+        ),
+    )
