@@ -1889,3 +1889,67 @@ def dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@query(
+    "dq_modality_alignment",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM documents d
+                 WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                                   WHERE e.vec_id = d.doc_id))
+                AS BIGINT) AS docs_without_vectors,
+           CAST((SELECT COUNT(*) FROM embeddings e
+                 WHERE NOT EXISTS (SELECT 1 FROM documents d
+                                   WHERE d.doc_id = e.vec_id))
+                AS BIGINT) AS vectors_without_docs,
+           CAST((SELECT COUNT(*) FROM (
+                     SELECT vec_id FROM embeddings
+                     GROUP BY vec_id HAVING COUNT(*) > 1))
+                AS BIGINT) AS duplicated_vec_ids
+    FROM (SELECT 1)
+    """,
+)
+def dq_modality_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MODALITY alignment audit between the text corpus and its
+    embedding table: documents missing vectors (encoder backlog — they
+    silently vanish from retrieval), vectors missing documents (deleted
+    docs whose embeddings still serve — the stale-retrieval bug), and
+    duplicated vector ids (two embeddings claiming one doc — undefined
+    serving behavior). The invariant every RAG/multimodal pipeline
+    assumes and almost none checks.
+
+    Two anti-join counts over id columns only (keys broadcast at dim
+    scale, shuffled as keys at 100 TB) plus one id-keyed dup count;
+    five counters leave the executors, nothing else.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    n_docs = d.agg(F.count("*").alias("c1"))
+    n_vec = e.agg(F.count("*").alias("c2"))
+    no_vec = d.join(e, d.doc_id == e.vec_id, "left_anti").agg(
+        F.count("*").alias("c3")
+    )
+    no_doc = e.join(d, e.vec_id == d.doc_id, "left_anti").agg(
+        F.count("*").alias("c4")
+    )
+    dup = (
+        e.groupBy("vec_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("c5"))
+    )
+    return (
+        n_docs.crossJoin(n_vec)
+        .crossJoin(no_vec)
+        .crossJoin(no_doc)
+        .crossJoin(dup)
+        .select(
+            F.col("c1").cast("bigint").alias("n_docs"),
+            F.col("c2").cast("bigint").alias("n_vectors"),
+            F.col("c3").cast("bigint").alias("docs_without_vectors"),
+            F.col("c4").cast("bigint").alias("vectors_without_docs"),
+            F.col("c5").cast("bigint").alias("duplicated_vec_ids"),
+        )
+    )

@@ -2721,3 +2721,53 @@ def embeddings_metric_rank_agreement(
         F.sum(hit).cast("bigint").alias("n_overlap"),
         F.round(F.sum(hit).cast("double") / 10, 6).alias("overlap_at_10"),
     )
+
+
+@query(
+    "embeddings_exact_dup_vectors",
+    oracle="""
+    WITH fam AS (
+        SELECT embedding, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM embeddings GROUP BY embedding
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_families,
+           CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+               AS dup_vectors,
+           CAST(MAX(sz) AS BIGINT) AS max_family
+    FROM fam
+    """,
+)
+def embeddings_exact_dup_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-duplicate vector census: group by the raw embedding array
+    (bitwise float equality — no tolerance) and count families. Distinct
+    documents mapping to byte-identical vectors is almost never
+    semantics; it's an encoder bug (a cache key collision, a truncated
+    batch re-emitted, a zero-vector fallback) — and because near-dup
+    cosine thresholds (``dedup_embedding_cosine``) can't distinguish
+    "identical by accident" from "legitimately similar", the exact
+    census is the first screen an embedding refresh runs.
+
+    One hash aggregate keyed by the array value itself (Spark hashes
+    arrays natively — the 64-float key shuffles once), collapsed to a
+    1-row census of exact integers.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    fam = e.groupBy("embedding").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    return fam.agg(
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum((F.col("sz") > 1).cast("long"))
+        .cast("bigint")
+        .alias("dup_families"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_vectors"),
+        F.max("sz").cast("bigint").alias("max_family"),
+    )
