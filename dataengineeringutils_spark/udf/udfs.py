@@ -416,3 +416,71 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT * FROM deu_lang_summary("
         f"TABLE({view}) PARTITION BY lang ORDER BY doc_id)"
     )
+
+
+@query(
+    "udtf_analyze_polymorphic",
+    oracle="""
+    WITH src AS (
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    ),
+    unpivoted AS (
+        SELECT 'n_nationkey' AS col_name,
+               CAST(n_nationkey AS VARCHAR) AS val FROM src
+        UNION ALL
+        SELECT 'n_name', n_name FROM src
+        UNION ALL
+        SELECT 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM src
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           MIN(val) AS min_val
+    FROM unpivoted GROUP BY col_name
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at PLAN time from the argument's type — this
+    generic row-unpivoter emits (col_name, val) pairs for WHATEVER
+    struct it is handed, no per-table registration, the mechanism
+    behind reusable profiling/explode utilities. The per-column
+    profile it feeds (counts, distincts, lexicographic min as strings)
+    is pinned by a hand-unpivoted oracle over the same three columns.
+
+    The UDTF crosses to Python once per row with a 3-field struct —
+    acceptable for a dimension profile; fact-scale unpivoting stays in
+    ``unpivot_long`` (pure stack(), no Python).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class UnpivotRow:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            # schema derived from the ARGUMENT type at plan time
+            return AnalyzeResult(
+                StructType().add("col_name", "string").add("val", "string")
+            )
+
+        def eval(self, row):
+            for name in row.__fields__:
+                v = row[name]
+                yield (name, None if v is None else str(v))
+
+    spark.udtf.register("deu_unpivot_row", udtf(UnpivotRow))
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    view = f"nation_poly_{abs(hash(sf_dir)) % 10**8}"
+    n.createOrReplaceTempView(view)
+    pairs = spark.sql(
+        f"SELECT f.* FROM {view} t, LATERAL deu_unpivot_row("
+        f"struct(t.n_nationkey, t.n_name, t.n_regionkey)) f"
+    )
+    return pairs.groupBy("col_name").agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+    )
