@@ -4442,7 +4442,7 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks,
            ROUND(regr_slope(ln(r), CAST(week_n AS DOUBLE)), 6) AS decay_slope,
            ROUND(-0.6931471805599453
-                 / regr_slope(ln(r), CAST(week_n AS DOUBLE)), 6)
+                 / NULLIF(regr_slope(ln(r), CAST(week_n AS DOUBLE)), 0), 6)
                AS halflife_weeks
     FROM rates
     """,
@@ -4453,7 +4453,10 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     −ln2/slope — the single number that compresses the retention curve
     for cross-release comparison ("the March cohort's half-life fell
     from 5.1 to 3.8 weeks" reads where a matrix doesn't). Read next to
-    ``retention_cohort`` (the full matrix this summarizes).
+    ``retention_cohort`` (the full matrix this summarizes). A zero
+    slope (no decay — every user retained at every observed week, the
+    sf0.001 fixture's case) yields NULL: the half-life is undefined,
+    not infinite-by-crash (NULLIF on both engines).
 
     The cohort grid collapses from events once (the shared
     first-seen/week shape); the regression runs over the ≤|weeks|-row
@@ -4500,7 +4503,9 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.lit(-0.6931471805599453)
-            / F.regr_slope(F.log("r"), F.col("week_n")),
+            / F.nullif(
+                F.regr_slope(F.log("r"), F.col("week_n")), F.lit(0.0)
+            ),
             6,
         ).alias("halflife_weeks"),
     )
