@@ -9,7 +9,13 @@ import os
 
 import pytest
 
-EXAMPLES = ["metadata_etl", "dedup_pipeline", "ann_serving", "streaming_queue"]
+EXAMPLES = [
+    "metadata_etl",
+    "dedup_pipeline",
+    "ann_serving",
+    "streaming_queue",
+    "lakehouse_txn",
+]
 
 
 def _load(name: str):
