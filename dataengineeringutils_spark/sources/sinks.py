@@ -998,3 +998,71 @@ def sink_csv_dialect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in out_frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@query(
+    "sink_txn_restore_vacuum",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_restored,
+           CAST(SUM(price) AS DOUBLE) AS total_restored,
+           CAST(1 AS INT) AS restore_is_metadata_only,
+           CAST(1 AS INT) AS vacuumed_some
+    FROM a
+    """,
+)
+def sink_txn_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + VACUUM through the transaction log: load → destructive
+    DELETE WHERE → ``restore(v0)`` rolls the live set back as ONE
+    metadata commit (no data rewrite — pinned by asserting zero new
+    data files appear), then ``vacuum(keep_versions=1)`` physically
+    drops the files only the undone delete-version references. The
+    oracle pins the restored table's exact contents; the
+    metadata-only and files-removed facts ride as asserted flags.
+
+    This closes the lakehouse verb set (append / merge / delete /
+    compact / checkpoint / time travel / CDF / skipping / restore /
+    vacuum) — a user of a real format can run this whole lifecycle
+    against LogTable with the same call shapes.
+    """
+    import os
+    import uuid
+
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    base = scratch_dir("txn_restore_" + uuid.uuid4().hex)
+    t = LogTable(spark, base)
+    v0 = t.append(a, n_files=2)
+    t.delete_where("k % 2 = 0")  # COW rewrite: drops half the rows
+
+    def n_data_files() -> int:
+        root = os.path.join(base, "data")
+        return sum(
+            1
+            for sub in os.listdir(root)
+            for f in os.listdir(os.path.join(root, sub))
+            if f.endswith(".parquet")
+        )
+
+    before = n_data_files()
+    t.restore(v0)
+    metadata_only = int(n_data_files() == before)
+    restored = t.snapshot()
+    # the delete-version's rewrite files are now unreferenced within
+    # the 1-version horizon; vacuum must remove at least them
+    vacuumed = t.vacuum(keep_versions=1)
+    return restored.agg(
+        F.count("*").cast("bigint").alias("n_rows_restored"),
+        F.sum("price").cast("double").alias("total_restored"),
+        F.lit(metadata_only).cast("int").alias("restore_is_metadata_only"),
+        F.lit(int(vacuumed > 0)).cast("int").alias("vacuumed_some"),
+    )

@@ -575,3 +575,50 @@ class LogTable:
         else:
             upd = ins.limit(0)
         return ins.unionByName(dele).unionByName(upd)
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION AS OF — one commit whose remove/add
+        actions reset the LIVE FILE SET to ``version``'s (Delta RESTORE):
+        history is preserved (the restore is itself a new version, and
+        the undone versions still replay), data files are reused, not
+        rewritten — a metadata-only rollback no matter how large the
+        table. The schema committed at ``version`` is re-logged so
+        readers reconcile restored files exactly as they did then."""
+        target = set(self.live_files(version))
+        current = set(self.live_files())
+        actions: list[dict] = [
+            {"remove": {"path": p}} for p in sorted(current - target)
+        ]
+        old_adds = {a["path"]: a for a in self.live_adds(version)}
+        actions.extend(
+            {"add": old_adds[p]} for p in sorted(target - current)
+        )
+        schema = self.schema_at(version)
+        if schema is not None and schema != self.schema_at():
+            actions.append({"metaData": {"schema": schema.jsonValue()}})
+        if not actions:
+            actions.append({"metaData": {"schema": schema.jsonValue()}})
+        return self._commit(actions)
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """VACUUM: physically delete data files referenced by NO version
+        within the retention horizon (the newest ``keep_versions``
+        versions stay fully time-travelable; older versions may lose
+        files — exactly Delta's retention trade-off, expressed in
+        versions rather than hours). Returns the number of files
+        removed. The log itself is never touched."""
+        versions = self._versions()
+        keep = versions[-keep_versions:] if keep_versions > 0 else []
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self.live_files(v))
+        removed = 0
+        data_root = os.path.join(self.base, "data")
+        for sub in os.listdir(data_root):
+            subdir = os.path.join(data_root, sub)
+            for f in os.listdir(subdir):
+                rel = os.path.join("data", sub, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.unlink(os.path.join(subdir, f))
+                    removed += 1
+        return removed

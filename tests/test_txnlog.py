@@ -364,3 +364,98 @@ def test_change_feed_row_level(spark):
     }
     # no-op span: identical versions yield an empty feed
     assert t.change_feed(2, 2, keys=["k"]).count() == 0
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark):
+    t = _fresh(spark)
+    v0 = t.append(
+        spark.createDataFrame([(i, i * 2) for i in range(10)], "k int, v int"),
+        n_files=2,
+    )
+    t.delete_where("k >= 5")
+    assert t.snapshot().count() == 5
+    import os
+
+    def files():
+        root = os.path.join(t.base, "data")
+        return {
+            os.path.join(sub, f)
+            for sub in os.listdir(root)
+            for f in os.listdir(os.path.join(root, sub))
+            if f.endswith(".parquet")
+        }
+
+    before = files()
+    v_restore = t.restore(v0)
+    assert files() == before, "restore must not write data files"
+    assert t.snapshot().count() == 10
+    # the undone state is still time-travelable pre-vacuum
+    assert t.snapshot(v_restore - 1).count() == 5
+    assert t.snapshot(v0).count() == 10
+
+
+def test_restore_after_schema_evolution_relogs_old_schema(spark):
+    t = _fresh(spark)
+    v0 = t.append(spark.createDataFrame([(1,)], "k int"))
+    t.append(
+        spark.createDataFrame([(2, "x")], "k int, tag string"),
+        evolve_schema=True,
+    )
+    t.restore(v0)
+    assert t.snapshot().columns == ["k"]
+    assert t.snapshot().count() == 1
+
+
+def test_vacuum_drops_only_out_of_horizon_files(spark):
+    t = _fresh(spark)
+    t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+    t.delete_where("k = 1")  # COW rewrite; v0's file now historical
+    # horizon = latest version only: v0's original file is vacuumable
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1
+    assert {r["k"] for r in t.snapshot().collect()} == {2}
+    # a wide horizon removes nothing further
+    assert t.vacuum(keep_versions=10) == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=90),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    lo=st.integers(min_value=-10, max_value=110),
+    width=st.integers(min_value=0, max_value=60),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_scan_where_equals_full_filter(spark, spans, lo, width):
+    """Stats skipping must NEVER change results: for any file layout and
+    any range, scan_where == full snapshot filtered to the range."""
+    t = _fresh(spark)
+    for start, n in spans:
+        t.append(
+            spark.range(start, start + n + 1).selectExpr("id AS k"),
+            stats_col="k",
+        )
+    hi = lo + width
+    df, scanned, total = t.scan_where("k", lo, hi)
+    got = sorted(r["k"] for r in df.collect())
+    want = sorted(
+        r["k"]
+        for r in t.snapshot()
+        .filter(f"k >= {lo} AND k <= {hi}")
+        .collect()
+    )
+    assert got == want
+    assert 0 <= scanned <= total == len(spans)
