@@ -3173,3 +3173,137 @@ def part_price_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_gap_ratio"),
     )
+
+
+@query(
+    "customer_order_streaks",
+    oracle="""
+    WITH cm AS (
+        SELECT DISTINCT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m
+        FROM orders
+    ),
+    isl AS (
+        SELECT o_custkey,
+               m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m)
+                   AS grp
+        FROM cm
+    ),
+    streaks AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY o_custkey, grp
+    ),
+    best AS (
+        SELECT o_custkey, MAX(len) AS best_streak
+        FROM streaks GROUP BY o_custkey
+    )
+    SELECT CAST(LEAST(best_streak, 6) AS INT) AS streak_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM best GROUP BY 1
+    """,
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-month ORDERING STREAK per customer, banded
+    (6+ capped) — the habit-formation metric subscription and
+    replenishment businesses watch: a fat 1-band is a one-shot
+    acquisition problem, mass at 6+ is a loyalty base. The classic
+    gap-islands identity (month − row_number is constant within a run)
+    applied per customer.
+
+    Orders collapse to distinct (customer, month) — the only
+    data-scale shuffle; the island window partitions by customer
+    (bounded months per customer), and two tiny collapses band the
+    result. Exact integers throughout.
+    """
+    o = table(spark, sf_dir, "orders")
+    cm = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    isl = cm.select(
+        "o_custkey", (F.col("m") - F.row_number().over(w)).alias("grp")
+    )
+    streaks = isl.groupBy("o_custkey", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("o_custkey").agg(
+        F.max("len").alias("best_streak")
+    )
+    return best.groupBy(
+        F.least(F.col("best_streak"), F.lit(6)).cast("int").alias(
+            "streak_band"
+        )
+    ).agg(F.count("*").cast("bigint").alias("n_customers"))
+
+
+# Within-order dispersion arithmetic (exact DECIMAL moments, shared text).
+_OD_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_OD_CV = (
+    f"SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * ({_OD_MEAN}))"
+    f" / (n - 1)) / ({_OD_MEAN})"
+)
+
+
+@query(
+    "lineitem_intra_order_price_dispersion",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s1,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS s2
+        FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+        SELECT CAST(LEAST(n, 5) AS INT) AS basket_band,
+               CAST(FLOOR(({_OD_CV}) * 1e9) AS BIGINT) AS cvq
+        FROM per_order
+    )
+    SELECT basket_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(cvq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+               AS mean_price_cv
+    FROM scored GROUP BY basket_band
+    """,
+)
+def lineitem_intra_order_price_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price dispersion INSIDE each basket: the coefficient of variation
+    of line prices within multi-line orders, summarized per basket-size
+    band — low CV = homogeneous restock baskets (price-tier pricing
+    works), high CV = mixed big-ticket/accessory baskets (bundle and
+    shipping rules behave differently). Also a feed check: a near-zero
+    CV spike means a source started duplicating one line's price across
+    the basket.
+
+    One order-keyed collapse to exact DECIMAL moments (n, Σp, Σp²),
+    per-order CV from shared text, quantized at 10⁻⁹ into int64 for the
+    order-independent band means. Single-line orders are skipped (CV
+    undefined).
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dp).alias("s1"),
+            F.sum(dp * dp).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    scored = per_order.select(
+        F.least(F.col("n"), F.lit(5)).cast("int").alias("basket_band"),
+        F.expr(f"CAST(FLOOR(({_OD_CV}) * 1e9) AS BIGINT)").alias("cvq"),
+    )
+    return scored.groupBy("basket_band").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum("cvq").cast("double") / F.lit(1e9) / F.count("*"), 6
+        ).alias("mean_price_cv"),
+    )
