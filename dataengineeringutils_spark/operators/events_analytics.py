@@ -4687,3 +4687,94 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_05"
         ),
     )
+
+
+# Pearson r from exact integer/decimal moments (shared text).
+_OC_R = (
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+)
+
+
+@query(
+    "events_onboarding_ltv_corr",
+    oracle=f"""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               CAST(SUM(CASE WHEN e.ts < t0.first_ts + INTERVAL 1 HOUR
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               SUM(CASE WHEN e.ts >= t0.first_ts + INTERVAL 1 HOUR
+                             AND e.event_type = 'purchase'
+                        THEN CAST(e.value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        FROM events e JOIN t0 ON e.user_id = t0.user_id
+        GROUP BY e.user_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM per_user
+    )
+    SELECT n AS n_users,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_first_hour_events,
+           ROUND(sy / n, 6) AS mean_later_revenue,
+           ROUND({_OC_R}, 6) AS onboarding_ltv_r
+    FROM mom
+    """,
+)
+def events_onboarding_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does FIRST-HOUR activity predict later value? Pearson r between
+    each user's event count in their first hour and their purchase
+    revenue AFTER that hour — the activation-metric validation every
+    growth team needs before anointing a "magic number" onboarding
+    KPI (r ≈ 0 means the ritual metric is a superstition).
+
+    Two passes over events (first-timestamp collapse broadcast back,
+    then the per-user (x, y) aggregate) and ONE 1-row moment frame:
+    x-moments are exact integers, y-moments exact DECIMALs until the
+    final shared-text doubles, so both engines round identical values.
+    """
+    e = table(spark, sf_dir, "events")
+    t0 = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    dv = F.col("value").cast("decimal(18,2)")
+    cutoff = F.col("first_ts") + F.expr("INTERVAL 1 HOUR")
+    per_user = (
+        e.join(t0, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts") < cutoff).cast("long"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= cutoff)
+                    & (F.col("event_type") == "purchase"),
+                    dv,
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            ).alias("y"),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").alias("n_users"),
+        F.expr("ROUND(CAST(sx AS DOUBLE) / n, 6)").alias(
+            "mean_first_hour_events"
+        ),
+        F.expr("ROUND(sy / n, 6)").alias("mean_later_revenue"),
+        F.expr(f"ROUND({_OC_R}, 6)").alias("onboarding_ltv_r"),
+    )
