@@ -3307,3 +3307,59 @@ def lineitem_intra_order_price_dispersion(
             F.sum("cvq").cast("double") / F.lit(1e9) / F.count("*"), 6
         ).alias("mean_price_cv"),
     )
+
+
+@query(
+    "supplier_dual_sourcing_coverage",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_supp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dual_sourced_parts,
+           ROUND(CAST(SUM(CASE WHEN n_supp >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS part_coverage,
+           ROUND(CAST(SUM(CASE WHEN n_supp >= 2 THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS revenue_coverage
+    FROM ps
+    """,
+)
+def supplier_dual_sourcing_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUAL-SOURCING coverage: the share of parts — and, the number that
+    matters, the share of REVENUE — flowing through parts with at least
+    two active suppliers. The supply-side resilience complement of
+    ``customer_supplier_switching`` (demand side) and the denominator
+    for any "what does losing supplier X cost" scenario: revenue on
+    single-sourced parts has no fallback by definition.
+
+    One part-keyed collapse carrying a distinct-supplier count and an
+    exact DECIMAL revenue sum; the 1-row summary divides exact values.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    dual = F.col("n_supp") >= 2
+    zero = F.lit(0).cast("decimal(18,2)")
+    return ps.agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(dual.cast("long")).cast("bigint").alias("dual_sourced_parts"),
+        F.round(
+            F.sum(dual.cast("long")).cast("double") / F.count("*"), 6
+        ).alias("part_coverage"),
+        F.round(
+            F.sum(F.when(dual, F.col("rev")).otherwise(zero)).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("revenue_coverage"),
+    )

@@ -4778,3 +4778,72 @@ def events_onboarding_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ROUND(sy / n, 6)").alias("mean_later_revenue"),
         F.expr(f"ROUND({_OC_R}, 6)").alias("onboarding_ltv_r"),
     )
+
+
+@query(
+    "events_weekend_value_gap",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN wkd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_we,
+               CAST(SUM(CASE WHEN wkd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_wd,
+               SUM(CASE WHEN wkd = 1 THEN v ELSE CAST(0 AS DECIMAL(18,2))
+                   END) AS s_we,
+               SUM(CASE WHEN wkd = 0 THEN v ELSE CAST(0 AS DECIMAL(18,2))
+                   END) AS s_wd
+        FROM tagged GROUP BY event_type
+    )
+    SELECT event_type, n_we AS weekend_events, n_wd AS weekday_events,
+           ROUND(CAST(s_we AS DOUBLE) / n_we, 6) AS weekend_mean_value,
+           ROUND(CAST(s_wd AS DOUBLE) / n_wd, 6) AS weekday_mean_value,
+           ROUND((CAST(s_we AS DOUBLE) / n_we)
+                 / (CAST(s_wd AS DOUBLE) / n_wd), 6) AS value_ratio
+    FROM cells
+    """,
+)
+def events_weekend_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday VALUE gap per event type: the mean-value ratio
+    that says whether weekend traffic is browse-heavy (ratio < 1 on
+    purchases — defer campaigns) or intent-heavy (ratio > 1 — staff the
+    fulfillment queue), the dollar-weighted companion to the volume
+    punchcard (``events_punchcard`` counts, this values). Weekend =
+    Saturday/Sunday; the dow tag is internal, so the engines' different
+    weekday numberings cannot leak into results.
+
+    One pass to |types| cells of exact integers and DECIMAL sums;
+    shared-text divisions round identical doubles.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # Spark dayofweek: 1=Sun..7=Sat → weekend is {1, 7}
+    wkd = F.dayofweek("ts").isin(1, 7).cast("int")
+    dv = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    cells = e.groupBy("event_type").agg(
+        F.sum(wkd).cast("bigint").alias("n_we"),
+        F.sum(1 - wkd).cast("bigint").alias("n_wd"),
+        F.sum(F.when(wkd == 1, dv).otherwise(zero)).alias("s_we"),
+        F.sum(F.when(wkd == 0, dv).otherwise(zero)).alias("s_wd"),
+    )
+    return cells.select(
+        "event_type",
+        F.col("n_we").alias("weekend_events"),
+        F.col("n_wd").alias("weekday_events"),
+        F.expr("ROUND(CAST(s_we AS DOUBLE) / n_we, 6)").alias(
+            "weekend_mean_value"
+        ),
+        F.expr("ROUND(CAST(s_wd AS DOUBLE) / n_wd, 6)").alias(
+            "weekday_mean_value"
+        ),
+        F.expr(
+            "ROUND((CAST(s_we AS DOUBLE) / n_we)"
+            " / (CAST(s_wd AS DOUBLE) / n_wd), 6)"
+        ).alias("value_ratio"),
+    )

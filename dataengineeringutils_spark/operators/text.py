@@ -2292,3 +2292,46 @@ def documents_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tq").cast("double") / F.sum("hq"), 6
         ).alias("normalized_mi"),
     )
+
+
+@query(
+    "text_token_length_distribution",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               LEAST(LENGTH(UNNEST(list_filter(string_split(text, ' '),
+                                               t -> t <> ''))), 15) AS tl
+        FROM documents
+    )
+    SELECT lang,
+           CAST(tl AS INT) AS token_len,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM toks GROUP BY lang, tl
+    """,
+)
+def text_token_length_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-LENGTH histogram per language (capped at 15+): the
+    tokenizer-planning curve — a long tail says agglutinative
+    morphology or URL/id junk that a word-level vocab will shatter into
+    UNKs, and a cross-language comparison shows where one shared BPE
+    under-serves a language (read next to ``text_hapax_ratio`` and the
+    BPE merge table). Regex-free and exact.
+
+    Tokens explode in-row and collapse immediately to the
+    (lang, length) histogram — ≤ |langs|×16 counter rows shuffle; the
+    token text itself never does (length is computed pre-shuffle).
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.transform(tokens_col(), lambda t: F.least(F.length(t), F.lit(15)))
+        ).alias("tl"),
+    )
+    return toks.groupBy("lang", F.col("tl").cast("int").alias("token_len")).agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
