@@ -3363,3 +3363,110 @@ def supplier_dual_sourcing_coverage(
             6,
         ).alias("revenue_coverage"),
     )
+
+
+@query(
+    "orders_first_vs_repeat_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT c.c_mktsegment AS segment,
+               o.o_custkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               CASE WHEN o.o_orderdate = m.d0 THEN 1 ELSE 0 END
+                   AS is_first_day
+        FROM orders o
+        JOIN (SELECT o_custkey, MIN(o_orderdate) AS d0
+              FROM orders GROUP BY o_custkey) m
+          ON o.o_custkey = m.o_custkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(is_first_day) AS BIGINT) AS first_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CASE WHEN is_first_day = 1 THEN price
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS first_rev,
+               SUM(price) AS total_rev
+        FROM ranked GROUP BY segment
+    ),
+    oad AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS one_day_customers
+        FROM (
+            SELECT segment, o_custkey
+            FROM ranked GROUP BY segment, o_custkey
+            HAVING COUNT(*) = SUM(is_first_day)
+        ) GROUP BY segment
+    )
+    SELECT seg.segment,
+           n_customers,
+           ROUND(CAST(first_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+               AS first_day_revenue_share,
+           ROUND(CAST(COALESCE(one_day_customers, 0) AS DOUBLE)
+                 / n_customers, 6) AS one_and_done_rate
+    FROM seg LEFT JOIN oad ON oad.segment = seg.segment
+    """,
+)
+def orders_first_vs_repeat_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-vs-REPEAT economics per segment: the revenue share earned
+    on each customer's first order DAY, and the one-and-done rate
+    (customers who never returned after that day) — the two numbers
+    that say whether a segment is an acquisition treadmill (high first
+    share, high one-and-done) or an annuity. First-DAY, not
+    first-order, so same-day multi-orders don't inflate "repeat".
+
+    One min-date collapse broadcast back onto orders, a broadcast dim
+    join, then two |segments|-scale aggregates over exact integers and
+    DECIMAL revenue. Facts shuffle on the customer key once.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    ranked = (
+        o.join(m, "o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            (F.col("o_orderdate") == F.col("d0")).cast("int").alias(
+                "is_first_day"
+            ),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    seg = ranked.groupBy("segment").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(
+            F.when(F.col("is_first_day") == 1, F.col("price")).otherwise(
+                zero
+            )
+        ).alias("first_rev"),
+        F.sum("price").alias("total_rev"),
+    )
+    oad = (
+        ranked.groupBy("segment", "o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_first_day").alias("nf"),
+        )
+        .filter(F.col("n") == F.col("nf"))
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("one_day_customers"))
+    )
+    return seg.join(oad, "segment", "left").select(
+        "segment",
+        "n_customers",
+        F.expr(
+            "ROUND(CAST(first_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)"
+        ).alias("first_day_revenue_share"),
+        F.round(
+            F.coalesce(F.col("one_day_customers"), F.lit(0)).cast("double")
+            / F.col("n_customers"),
+            6,
+        ).alias("one_and_done_rate"),
+    )
