@@ -1953,3 +1953,79 @@ def dq_modality_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c5").cast("bigint").alias("duplicated_vec_ids"),
         )
     )
+
+
+@query(
+    "dq_money_precision_check",
+    oracle="""
+    SELECT col_name,
+           CAST(n_values AS BIGINT) AS n_values,
+           CAST(n_subcent AS BIGINT) AS n_subcent,
+           CAST(n_negative AS BIGINT) AS n_negative
+    FROM (
+        SELECT 'o_totalprice' AS col_name,
+               COUNT(*) AS n_values,
+               SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,4))
+                             <> CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                     AS DECIMAL(18,4))
+                        THEN 1 ELSE 0 END) AS n_subcent,
+               SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                   AS n_negative
+        FROM orders
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*),
+               SUM(CASE WHEN CAST(l_extendedprice AS DECIMAL(18,4))
+                             <> CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                     AS DECIMAL(18,4))
+                        THEN 1 ELSE 0 END),
+               SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'c_acctbal', COUNT(*),
+               SUM(CASE WHEN CAST(c_acctbal AS DECIMAL(18,4))
+                             <> CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                                     AS DECIMAL(18,4))
+                        THEN 1 ELSE 0 END),
+               SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        FROM customer
+    )
+    """,
+)
+def dq_money_precision_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONEY-PRECISION audit: values in the money columns that carry
+    sub-cent precision (a currency-conversion or unit bug upstream —
+    legitimate ledgers post in cents) and negative values (refund rows
+    leaking into a sales feed, or sign-flip corruption). The sub-cent
+    probe compares a 4-dp decimal cast against the 2-dp round-trip —
+    exact on both engines because the SAME double feeds both casts;
+    no float-grid arithmetic is involved.
+
+    Three independent column scans reduced to counters, unioned —
+    the scorecard-style shape (cf. ``dq_scorecard``), here for the
+    numeric-precision class of feed defects.
+    """
+    checks = []
+    for label, tbl, col in (
+        ("o_totalprice", "orders", "o_totalprice"),
+        ("l_extendedprice", "lineitem", "l_extendedprice"),
+        ("c_acctbal", "customer", "c_acctbal"),
+    ):
+        t = table(spark, sf_dir, tbl)
+        sub = (
+            F.col(col).cast("decimal(18,4)")
+            != F.col(col).cast("decimal(18,2)").cast("decimal(18,4)")
+        ).cast("long")
+        checks.append(
+            t.agg(
+                F.lit(label).alias("col_name"),
+                F.count("*").cast("bigint").alias("n_values"),
+                F.sum(sub).cast("bigint").alias("n_subcent"),
+                F.sum((F.col(col) < 0).cast("long"))
+                .cast("bigint")
+                .alias("n_negative"),
+            )
+        )
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

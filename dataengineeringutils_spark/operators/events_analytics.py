@@ -4847,3 +4847,63 @@ def events_weekend_value_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(s_wd AS DOUBLE) / n_wd), 6)"
         ).alias("value_ratio"),
     )
+
+
+@query(
+    "events_dormancy_reactivation_lag",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               CAST(date_diff('day', LAG(d) OVER (
+                   PARTITION BY user_id ORDER BY d), d) AS BIGINT)
+                   AS gap_days
+        FROM ud
+    )
+    SELECT CAST(gap_days AS INT) AS dormant_days,
+           CAST(COUNT(*) AS BIGINT) AS n_returns,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM gaps
+    WHERE gap_days >= 2
+    GROUP BY gap_days
+    """,
+)
+def events_dormancy_reactivation_lag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How long do RESURRECTED users stay away? The distribution of
+    dormancy lengths (days between consecutive active days, ≥2 = at
+    least one fully dark day; the 30-day fixture stream makes DAYS the
+    natural grain — the shape is granularity-agnostic) — the number
+    that sizes reactivation campaigns: mass at 2-3 days means
+    win-backs inside the week still land; a flat tail means the
+    'resurrected' bucket in ``events_growth_accounting`` is mostly
+    accidental returns.
+
+    The shared distinct (user, day) collapse feeds one per-user lag
+    window (fine-grained partitioning); the histogram is a tiny second
+    collapse of exact integers.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    gaps = ud.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(d, lag(d) OVER (PARTITION BY user_id "
+            "ORDER BY d)) AS BIGINT)"
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.filter(F.col("gap_days") >= 2)
+        .groupBy(F.col("gap_days").cast("int").alias("dormant_days"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_returns"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
