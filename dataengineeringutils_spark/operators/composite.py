@@ -3470,3 +3470,101 @@ def orders_first_vs_repeat_split(
             6,
         ).alias("one_and_done_rate"),
     )
+
+
+@query(
+    "lineitem_brand_mix_psi",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS m,
+               p.p_brand,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    months AS (
+        SELECT m, SUM(rev) AS tot FROM cells GROUP BY m
+    ),
+    m0 AS (SELECT MIN(m) AS base_m FROM cells),
+    base AS (
+        SELECT p_brand,
+               CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS p0
+        FROM cells JOIN months USING (m)
+        WHERE m = (SELECT base_m FROM m0)
+    ),
+    terms AS (
+        SELECT c.m,
+               CAST(FLOOR(
+                   (CAST(c.rev AS DOUBLE) / CAST(mo.tot AS DOUBLE) - b.p0)
+                   * LN((CAST(c.rev AS DOUBLE) / CAST(mo.tot AS DOUBLE))
+                        / b.p0) * 1e12) AS BIGINT) AS tq
+        FROM cells c
+        JOIN months mo ON mo.m = c.m
+        JOIN base b ON b.p_brand = c.p_brand
+        WHERE c.m > (SELECT base_m FROM m0)
+    )
+    SELECT m AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) AS psi
+    FROM terms GROUP BY m
+    """,
+)
+def lineitem_brand_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the BRAND REVENUE MIX, monthly
+    against the first month: PSI = Σ(p_m − p₀)·ln(p_m/p₀) — the drift
+    metric ML monitoring standardized on (<0.1 stable, >0.25 act),
+    here watching whether the revenue composition a model or a buying
+    plan was calibrated on still holds. Longitudinal companion to the
+    two-window ``dq_category_drift``.
+
+    One (month, brand) DECIMAL collapse; base-month shares broadcast
+    onto every later month's cells; each PSI term floor-quantizes at
+    10⁻¹² into int64 so the per-month sums are order-independent (the
+    ln convention). Brands present in both windows contribute; the
+    fixture's 25 brands appear every month.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("m"), "p_brand"
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+    )
+    months = cells.groupBy("m").agg(F.sum("rev").alias("tot"))
+    m0 = cells.agg(F.min("m").alias("base_m"))
+    base = (
+        cells.join(months, "m")
+        .crossJoin(F.broadcast(m0))
+        .filter(F.col("m") == F.col("base_m"))
+        .select(
+            "p_brand",
+            (F.col("rev").cast("double") / F.col("tot").cast("double"))
+            .alias("p0"),
+        )
+    )
+    terms = (
+        cells.join(months, "m")
+        .crossJoin(F.broadcast(m0))
+        .filter(F.col("m") > F.col("base_m"))
+        .join(F.broadcast(base), "p_brand")
+        .select(
+            "m",
+            F.expr(
+                "CAST(FLOOR((CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) - p0)"
+                " * LN((CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)) / p0)"
+                " * 1e12) AS BIGINT)"
+            ).alias("tq"),
+        )
+    )
+    return terms.groupBy(F.col("m").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_brands"),
+        F.round(F.sum("tq").cast("double") / F.lit(1e12), 6).alias("psi"),
+    )
