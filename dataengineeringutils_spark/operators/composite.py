@@ -3537,6 +3537,10 @@ def lineitem_brand_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rev"
             )
         )
+        # materialize the |months×brands| collapse once: three consumers
+        # (month totals, base shares, PSI terms) would each re-scan the
+        # fact join otherwise — Catalyst does not share duplicate subtrees
+        .localCheckpoint(eager=True)
     )
     months = cells.groupBy("m").agg(F.sum("rev").alias("tot"))
     m0 = cells.agg(F.min("m").alias("base_m"))
