@@ -2335,3 +2335,76 @@ def text_token_length_distribution(
     return toks.groupBy("lang", F.col("tl").cast("int").alias("token_len")).agg(
         F.count("*").cast("bigint").alias("n_tokens")
     )
+
+
+@query(
+    "text_term_burstiness",
+    oracle="""
+    WITH occ AS (
+        SELECT lang, doc_id,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    stats AS (
+        SELECT lang, tok,
+               CAST(COUNT(*) AS BIGINT) AS cf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM occ GROUP BY lang, tok
+        HAVING COUNT(*) >= 20
+    )
+    SELECT lang, tok, cf, df,
+           ROUND(CAST(cf AS DOUBLE) / df, 6) AS burstiness, rk
+    FROM (
+        SELECT lang, tok, cf, df,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(cf AS DOUBLE) / df DESC, tok ASC
+               ) AS INT) AS rk
+        FROM stats
+    )
+    WHERE rk <= 10
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term BURSTINESS (collection frequency over document frequency)
+    for frequent terms, top-10 per language: cf/df ≈ 1 means a term
+    sprinkles evenly (stopword-like); high cf/df means it CLUMPS into
+    few documents — topical or boilerplate mass that TF-IDF's df alone
+    can't separate, and the feature that flags template spam (one
+    phrase, hammered in a handful of docs) before it poisons n-gram
+    stats.
+
+    One (lang, token) collapse carrying both counts (the hapax/tfidf
+    shuffle shape — token text shuffles once, docs never), a ≥20-cf
+    frequency floor, and a per-language top-10 window over the
+    collapsed vocabulary (Heaps-sublinear per partition).
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    occ = d.select("lang", "doc_id", F.explode(tokens_col()).alias("tok"))
+    stats = (
+        occ.groupBy("lang", "tok")
+        .agg(
+            F.count("*").cast("bigint").alias("cf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .filter(F.col("cf") >= 20)
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("cf").cast("double") / F.col("df")).desc(), F.col("tok").asc()
+    )
+    return (
+        stats.select(
+            "lang",
+            "tok",
+            "cf",
+            "df",
+            F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+    )
