@@ -3572,3 +3572,100 @@ def lineitem_brand_mix_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_brands"),
         F.round(F.sum("tq").cast("double") / F.lit(1e12), 6).alias("psi"),
     )
+
+
+@query(
+    "orders_lorenz_curve_points",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT spend,
+               ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS i,
+               COUNT(*) OVER () AS n
+        FROM per_cust
+    ),
+    deciled AS (
+        -- the exact NTILE closed form shared with the Spark side
+        SELECT CASE WHEN i <= (n % 10) * ((n // 10) + 1)
+                    THEN (i + (n // 10)) // ((n // 10) + 1)
+                    ELSE (n % 10)
+                         + (i - (n % 10) * ((n // 10) + 1)
+                            + (n // 10) - 1) // (n // 10)
+               END AS decile,
+               spend
+        FROM ranked
+    ),
+    per_decile AS (
+        SELECT decile, SUM(spend) AS dec_spend
+        FROM deciled GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           ROUND(CAST(SUM(dec_spend) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE)
+                 / CAST((SELECT SUM(spend) FROM per_cust) AS DOUBLE), 6)
+               AS cum_revenue_share
+    FROM per_decile
+    """,
+)
+def orders_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE decile points: cumulative revenue share held by the
+    bottom 10%, 20%, … of customers (spend-ascending) — the curve
+    behind the Gini number (``orders_gini_coefficient``), read directly
+    when the question is "how much would losing the bottom half cost"
+    or "how deep does the whale dependency go" (the top decile's
+    complement).
+
+    Per-customer spend collapses first; the global ascending rank runs
+    through the two-phase bucket-cut (no single-task sort of
+    |customers|), deciles come from the exact NTILE closed form over
+    (rank, n), and the cumulative shares are a window over the 10-row
+    decile frame. DECIMAL spend end to end; two final divisions.
+    """
+    from dataengineeringutils_spark.operators.windows import (
+        ntile_closed_form,
+        two_phase_global_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "spend"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    cuts = per_cust.select(
+        F.col("spend").cast("double").alias("spend_d")
+    ).stat.approxQuantile("spend_d", qs, 0.01)
+    ranked = two_phase_global_rank(
+        per_cust, "spend", "o_custkey", sorted(set(cuts)), rn_name="i"
+    )
+    deciled = ranked.select(
+        "spend", ntile_closed_form("i", "n", 10).alias("decile")
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.sum("spend").alias("dec_spend")
+    )
+    total = per_cust.agg(F.sum("spend").alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(F.broadcast(total))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.round(
+                F.sum("dec_spend").over(w).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_revenue_share"),
+        )
+    )
