@@ -2771,3 +2771,88 @@ def embeddings_exact_dup_vectors(
         .alias("dup_vectors"),
         F.max("sz").cast("bigint").alias("max_family"),
     )
+
+
+@query(
+    "embeddings_label_separation",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12)
+                    AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS c
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i)
+        GROUP BY label, i
+    ),
+    gcent AS (
+        SELECT i,
+               CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12)
+                    AS BIGINT)) AS DOUBLE) / 1e12
+                   / (SELECT COUNT(*) FROM embeddings) AS g
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, {PI_DIM + 1})) AS i)
+        GROUP BY i
+    ),
+    norms AS (
+        SELECT cent.label,
+               SUM(c * c) AS cc, SUM(g * g) AS gg, SUM(c * g) AS cg
+        FROM cent JOIN gcent ON cent.i = gcent.i
+        GROUP BY cent.label
+    )
+    SELECT label,
+           ROUND(SQRT(cc), 6) AS centroid_norm,
+           ROUND(cg / (SQRT(cc) * SQRT(gg)), 6) AS cos_to_global,
+           ROUND(SQRT(cc + gg - 2 * cg), 6) AS dist_to_global
+    FROM norms
+    """,
+)
+def embeddings_label_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label SEPARATION geometry: each label's centroid measured against
+    the global centroid (cosine and L2) — the classifier-feasibility
+    read before anyone trains on these labels: centroids hugging the
+    global mean (cos→1, dist→0) mean the labels are not linearly
+    separable in this space and a kNN eval (``embeddings_knn_
+    classifier_eval``) will disappoint; one label far off-axis flags a
+    modality or preprocessing split. Companion to
+    ``sim_centroid_per_label`` (which ships the centroids themselves).
+
+    Per-dimension sums floor-quantize at 10⁻¹² into int64 (the repo's
+    order-independence rule) before the |labels|×64 centroid frame
+    forms; all geometry then runs on that tiny frame. The 64-dim sums
+    over the ≤|labels|×64 frame are exact-input double ops in matching
+    order on both engines.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    n_all = e.count()
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "xr")).select(
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("xr").cast("double") * F.lit(1e12))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    cent = dims.groupBy("label", "i").agg(
+        (F.sum("xq").cast("double") / F.lit(1e12) / F.count("*")).alias("c")
+    )
+    gcent = dims.groupBy("i").agg(
+        (F.sum("xq").cast("double") / F.lit(1e12) / F.lit(n_all)).alias("g")
+    )
+    norms = (
+        cent.join(gcent, "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+            F.sum(F.col("c") * F.col("g")).alias("cg"),
+        )
+    )
+    return norms.select(
+        "label",
+        F.expr("ROUND(SQRT(cc), 6)").alias("centroid_norm"),
+        F.expr("ROUND(cg / (SQRT(cc) * SQRT(gg)), 6)").alias(
+            "cos_to_global"
+        ),
+        F.expr("ROUND(SQRT(cc + gg - 2 * cg), 6)").alias("dist_to_global"),
+    )

@@ -2408,3 +2408,76 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 10)
     )
+
+
+@query(
+    "text_token_class_share",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    classed AS (
+        SELECT source,
+               CASE
+                 WHEN LENGTH(translate(tok, '0123456789', '')) = 0
+                   THEN 'numeric'
+                 WHEN LENGTH(translate(tok, '0123456789', ''))
+                      < LENGTH(tok) THEN 'mixed'
+                 WHEN LENGTH(translate(LOWER(tok),
+                      'abcdefghijklmnopqrstuvwxyz', '')) = 0 THEN 'alpha'
+                 ELSE 'other'
+               END AS cls
+        FROM toks
+    )
+    SELECT source, cls,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS share
+    FROM classed GROUP BY source, cls
+    """,
+)
+def text_token_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token CLASS composition per source — numeric, alphabetic, mixed
+    alphanumeric, other — the junk-token census that catches id floods,
+    serial-number dumps and table-as-text pages before they enter the
+    training mix (a source whose numeric+mixed share spikes is
+    structured data wearing a text costume). Classification is
+    ``translate``-based character-set arithmetic — exact, regex-free,
+    engine-portable.
+
+    Tokens classify in-row and collapse straight to |sources|×4 counter
+    rows (the class label, not the token, is the shuffle key); shares
+    divide exact integers per source.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col()).alias("tok"))
+    no_digits = F.length(F.translate(F.col("tok"), "0123456789", ""))
+    no_alpha = F.length(
+        F.translate(
+            F.lower(F.col("tok")), "abcdefghijklmnopqrstuvwxyz", ""
+        )
+    )
+    cls = (
+        F.when(no_digits == 0, "numeric")
+        .when(no_digits < F.length("tok"), "mixed")
+        .when(no_alpha == 0, "alpha")
+        .otherwise("other")
+    )
+    classed = toks.select("source", cls.alias("cls"))
+    counts = classed.groupBy("source", "cls").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "cls",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("share"),
+    )
