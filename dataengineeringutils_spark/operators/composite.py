@@ -3682,3 +3682,79 @@ def orders_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share"),
         )
     )
+
+
+@query(
+    "supplier_price_index",
+    oracle="""
+    WITH lines AS (
+        SELECT s.s_nationkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+    ),
+    world AS (
+        SELECT CAST(SUM(rev) AS DOUBLE) / CAST(SUM(qty) AS DOUBLE)
+            AS unit_global
+        FROM lines
+    )
+    SELECT n.n_name AS nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 6)
+               AS unit_price,
+           ROUND((CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE))
+                 / unit_global, 6) AS price_index
+    FROM lines
+    JOIN nation n ON lines.s_nationkey = n.n_nationkey
+    CROSS JOIN world
+    """,
+)
+def supplier_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-PRICE INDEX per supplier nation: revenue-per-unit indexed to
+    the global unit price — the sourcing-cost comparison that says
+    which nations' supply runs premium vs discount BEFORE mix effects
+    are disentangled (read with ``nation_trade_matrix`` for who buys
+    it and ``supplier_concentration_hhi`` for how captive the lane is).
+    Index ≈ 1 everywhere means price dispersion is product mix, not
+    geography.
+
+    One fact pass collapsed by supplier nation (dims broadcast), exact
+    DECIMAL revenue/quantity sums, and a 1-row global frame joined
+    back; ratios divide identical doubles on both engines.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lines = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "rev"
+            ),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+    )
+    world = lines.agg(
+        (F.sum("rev").cast("double") / F.sum("qty").cast("double")).alias(
+            "unit_global"
+        )
+    )
+    return (
+        lines.join(F.broadcast(n), lines.s_nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(world))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.expr(
+                "ROUND(CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE), 6)"
+            ).alias("unit_price"),
+            F.expr(
+                "ROUND((CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE))"
+                " / unit_global, 6)"
+            ).alias("price_index"),
+        )
+    )

@@ -4907,3 +4907,125 @@ def events_dormancy_reactivation_lag(
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@query(
+    "events_spike_attribution",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS s2
+        FROM daily
+    ),
+    spike AS (
+        SELECT d FROM daily CROSS JOIN stats
+        ORDER BY ABS(CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n) DESC,
+                 d ASC
+        LIMIT 1
+    ),
+    mix AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                                  = (SELECT d FROM spike)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_spike,
+               CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                                  <> (SELECT d FROM spike)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_spike) AS BIGINT) AS ts_,
+               CAST(SUM(n_base) AS BIGINT) AS tb FROM mix
+    )
+    SELECT CAST((SELECT d FROM spike) AS TIMESTAMP) AS spike_day,
+           event_type,
+           n_spike,
+           ROUND(CAST(n_spike AS DOUBLE) / ts_, 6) AS spike_share,
+           ROUND(CAST(n_base AS DOUBLE) / tb, 6) AS baseline_share,
+           ROUND(CAST(n_spike AS DOUBLE) / ts_
+                 - CAST(n_base AS DOUBLE) / tb, 6) AS share_delta
+    FROM mix CROSS JOIN tot
+    """,
+)
+def events_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike ATTRIBUTION: find the most anomalous day (largest absolute
+    deviation from the mean daily volume, deterministic date
+    tie-break), then decompose WHO caused it — each event type's share
+    on the spike day vs its all-other-days baseline. ``share_delta`` is
+    the incident-review answer ("the spike was 90% clicks — a crawler,
+    not a launch") that the anomaly DETECTORS (``dq_row_count_anomaly``,
+    ``events_zscore_anomaly``) deliberately stop short of.
+
+    One daily collapse + 1-row moments pick the spike day (a bounded
+    ORDER-LIMIT over |days| counters); one conditional aggregate per
+    type splits spike vs baseline in a single events pass. Exact
+    integers into shared-text shares.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+    )
+    spike = (
+        daily.crossJoin(F.broadcast(stats))
+        .orderBy(
+            F.abs(
+                F.col("c").cast("double")
+                - F.col("s1").cast("double") / F.col("n")
+            ).desc(),
+            F.col("d").asc(),
+        )
+        .limit(1)
+        .select(F.col("d").alias("spike_d"))
+    )
+    mix = (
+        e.crossJoin(F.broadcast(spike))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (
+                    F.date_trunc("day", "ts").cast("date")
+                    == F.col("spike_d")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_spike"),
+            F.sum(
+                (
+                    F.date_trunc("day", "ts").cast("date")
+                    != F.col("spike_d")
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_base"),
+            F.first("spike_d").alias("spike_d"),
+        )
+    )
+    tot = mix.agg(
+        F.sum("n_spike").cast("bigint").alias("ts_"),
+        F.sum("n_base").cast("bigint").alias("tb"),
+    )
+    return mix.crossJoin(F.broadcast(tot)).select(
+        F.col("spike_d").cast("timestamp").alias("spike_day"),
+        "event_type",
+        "n_spike",
+        F.expr("ROUND(CAST(n_spike AS DOUBLE) / ts_, 6)").alias(
+            "spike_share"
+        ),
+        F.expr("ROUND(CAST(n_base AS DOUBLE) / tb, 6)").alias(
+            "baseline_share"
+        ),
+        F.expr(
+            "ROUND(CAST(n_spike AS DOUBLE) / ts_"
+            " - CAST(n_base AS DOUBLE) / tb, 6)"
+        ).alias("share_delta"),
+    )
