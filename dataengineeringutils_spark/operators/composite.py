@@ -3758,3 +3758,142 @@ def supplier_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_index"),
         )
     )
+
+
+@query(
+    "orders_share_of_parent_hierarchy",
+    oracle="""
+    WITH leaf AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+               AS share_of_region,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+               AS region_share_of_world
+    FROM leaf
+    """,
+)
+def orders_share_of_parent_hierarchy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHARE-OF-PARENT at two hierarchy levels in one frame: each
+    nation's share of its region and each region's share of the world —
+    the drill-down invariant every OLAP report needs (shares sum to 1
+    at every level, multiplying down the path gives the leaf's world
+    share). The flat companion ``agg_ratio_to_report`` shares one
+    level; this walks the tree.
+
+    The fact table collapses once to the |nations|-row leaf frame (dims
+    broadcast); both share levels are windows over that collapsed frame
+    — the unpartitioned world window sees ≤ |nations| rows by
+    construction. DECIMAL sums end to end.
+    """
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    leaf = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    ww = Window.partitionBy()
+    return leaf.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev").over(wr).cast("double")
+            / F.sum("rev").over(ww).cast("double"),
+            6,
+        ).alias("region_share_of_world"),
+    )
+
+
+@query(
+    "orders_revenue_calendarization",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS active_days
+        FROM orders GROUP BY 1
+    ),
+    with_cal AS (
+        SELECT m, rev, active_days,
+               CAST(day(last_day(CAST(m AS DATE))) AS BIGINT) AS cal_days
+        FROM monthly
+    )
+    SELECT m AS month, CAST(rev AS DOUBLE) AS revenue,
+           active_days, cal_days,
+           ROUND(CAST(rev AS DOUBLE) / active_days, 6)
+               AS revenue_per_active_day,
+           ROUND(CAST(rev AS DOUBLE) / active_days * cal_days, 2)
+               AS calendarized_revenue
+    FROM with_cal
+    WHERE year(m) = 2001
+    """,
+)
+def orders_revenue_calendarization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue CALENDARIZATION for the partial final year: revenue per
+    ACTIVE day and the full-month run-rate projection — the
+    normalization that stops a 28-day February or a mid-month data
+    cutoff (the fixture's 2001 ends in August) from reading as a
+    crash. ``active_days`` vs ``cal_days`` also exposes silent feed
+    gaps: a 31-day month with 22 active days lost a week of data.
+
+    One month-keyed collapse carrying DECIMAL revenue and a distinct-
+    day count; calendar-day counts are pure date arithmetic on the
+    |months| frame.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.countDistinct(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+    )
+    monthly = monthly.withColumn(
+        "cal_days",
+        F.dayofmonth(F.last_day(F.col("m").cast("date"))).cast("bigint"),
+    )
+    return monthly.filter(F.year("m") == 2001).select(
+        F.col("m").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        "active_days",
+        "cal_days",
+        F.expr("ROUND(CAST(rev AS DOUBLE) / active_days, 6)").alias(
+            "revenue_per_active_day"
+        ),
+        F.expr(
+            "ROUND(CAST(rev AS DOUBLE) / active_days * cal_days, 2)"
+        ).alias("calendarized_revenue"),
+    )
