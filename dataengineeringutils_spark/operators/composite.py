@@ -3897,3 +3897,66 @@ def orders_revenue_calendarization(
             "ROUND(CAST(rev AS DOUBLE) / active_days * cal_days, 2)"
         ).alias("calendarized_revenue"),
     )
+
+
+@query(
+    "customer_whale_dependency",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    topk AS (
+        SELECT o_custkey, spend,
+               CAST(ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey ASC)
+                    AS INT) AS rk
+        FROM per_cust
+        ORDER BY spend DESC, o_custkey ASC LIMIT 10
+    )
+    SELECT rk, o_custkey AS custkey,
+           CAST(spend AS DOUBLE) AS spend,
+           ROUND(CAST(SUM(spend) OVER (
+                     ORDER BY rk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE)
+                 / CAST((SELECT SUM(spend) FROM per_cust) AS DOUBLE), 6)
+               AS cum_revenue_share
+    FROM topk
+    """,
+)
+def customer_whale_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHALE dependency, named: the top-10 customers by lifetime spend
+    with the cumulative revenue share at each rank — the identified
+    companion to the anonymous curve (``orders_lorenz_curve_points``):
+    account teams and risk reviews need names ("losing our single
+    biggest account costs X%"), not deciles.
+
+    Per-customer spend reuses the shared session-cached collapse; the
+    top-10 plans as TakeOrderedAndProject (per-partition top-k, never a
+    global sort), and the cumulative share windows over 10 rows.
+    """
+    per_cust, _ = _per_customer_spend(spark, sf_dir)
+    topk = (
+        per_cust.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+        .limit(10)
+        .select("o_custkey", "spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    total = per_cust.agg(F.sum("spend").alias("tot"))
+    return (
+        topk.withColumn("rk", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rk",
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend").cast("double").alias("spend"),
+            F.round(
+                F.sum("spend")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_revenue_share"),
+        )
+    )

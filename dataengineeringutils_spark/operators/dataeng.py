@@ -2029,3 +2029,77 @@ def dq_money_precision_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@query(
+    "dq_enum_domain_check",
+    oracle="""
+    SELECT col_name, n_values, n_violations, sample_violation
+    FROM (
+        SELECT 'o_orderstatus' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_values,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               MIN(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                   THEN o_orderstatus END) AS sample_violation
+        FROM orders
+        UNION ALL
+        SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                   THEN l_returnflag END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_linestatus NOT IN ('F', 'O')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(CASE WHEN l_linestatus NOT IN ('F', 'O')
+                   THEN l_linestatus END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN event_type NOT IN
+                        ('view', 'click', 'purchase', 'signup', 'share')
+                        THEN 1 ELSE 0 END) AS BIGINT),
+               MIN(CASE WHEN event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup', 'share')
+                   THEN event_type END)
+        FROM events
+    )
+    """,
+)
+def dq_enum_domain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM-DOMAIN audit: every declared categorical column checked
+    against its contract value set, with a deterministic sample
+    violation (lexicographic MIN) for the incident ticket — the feed
+    check that catches an upstream enum rename ('RETURNED' arriving
+    where 'R' is expected) the day it ships instead of the day a CASE
+    expression silently routes it to ELSE.
+
+    Four independent column scans collapsed to counters and unioned;
+    violations never leave the executors except as one sample string.
+    """
+    specs = [
+        ("o_orderstatus", "orders", "o_orderstatus", ("F", "O", "P")),
+        ("l_returnflag", "lineitem", "l_returnflag", ("A", "N", "R")),
+        ("l_linestatus", "lineitem", "l_linestatus", ("F", "O")),
+        (
+            "event_type",
+            "events",
+            "event_type",
+            ("view", "click", "purchase", "signup", "share"),
+        ),
+    ]
+    out = None
+    for label, tbl, col, domain in specs:
+        t = table(spark, sf_dir, tbl)
+        bad = ~F.col(col).isin(*domain)
+        frame = t.agg(
+            F.lit(label).alias("col_name"),
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(bad.cast("long")).cast("bigint").alias("n_violations"),
+            F.min(F.when(bad, F.col(col))).alias("sample_violation"),
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out
