@@ -3960,3 +3960,84 @@ def customer_whale_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share"),
         )
     )
+
+
+@query(
+    "orders_next_order_gap_baseline",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
+                    AS BIGINT) AS gap
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    pairs AS (
+        SELECT o_custkey, gap,
+               LAG(gap) OVER (PARTITION BY o_custkey ORDER BY gap_seq)
+                   AS prev_gap
+        FROM (
+            SELECT o_custkey, gap,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap)
+                       AS gap_seq
+            FROM seq WHERE gap IS NOT NULL
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_predictions,
+           ROUND(CAST(SUM(ABS(gap - prev_gap)) AS DOUBLE) / COUNT(*), 6)
+               AS mae_days,
+           CAST(SUM(CASE WHEN ABS(gap - prev_gap) <= 7 THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_week,
+           ROUND(CAST(SUM(CASE WHEN ABS(gap - prev_gap) <= 7
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS within_week_rate
+    FROM pairs WHERE prev_gap IS NOT NULL
+    """,
+)
+def orders_next_order_gap_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERSISTENCE BASELINE for next-order timing: predict each
+    customer's next inter-order gap as their previous gap and score the
+    MAE plus the within-a-week hit rate — the floor any churn-risk or
+    replenishment-reminder model must beat before it ships (the same
+    role ``orders_forecast_naive_eval`` plays for volume, here for
+    per-customer timing).
+
+    CAVEAT pinned in the oracle: prediction pairs are formed over gaps
+    in SORTED order per customer (a deterministic total order both
+    engines share), which slightly flatters the baseline vs strict
+    arrival order — fine for a floor metric, stated so nobody mistakes
+    it for one. Per-customer windows (fine partitioning), exact integer
+    day arithmetic throughout.
+    """
+    o = table(spark, sf_dir, "orders")
+    w0 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w0)
+        )
+        .cast("bigint")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    wseq = Window.partitionBy("o_custkey").orderBy("gap")
+    pairs = seq.select(
+        "o_custkey",
+        "gap",
+        F.lag("gap").over(wseq).alias("prev_gap"),
+    ).filter(F.col("prev_gap").isNotNull())
+    hit = (F.abs(F.col("gap") - F.col("prev_gap")) <= 7).cast("long")
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_predictions"),
+        F.round(
+            F.sum(F.abs(F.col("gap") - F.col("prev_gap"))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mae_days"),
+        F.sum(hit).cast("bigint").alias("within_week"),
+        F.round(F.sum(hit).cast("double") / F.count("*"), 6).alias(
+            "within_week_rate"
+        ),
+    )
