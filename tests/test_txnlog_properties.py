@@ -41,6 +41,8 @@ ops_strategy = st.lists(
             ),
         ),
         st.tuples(st.just("compact")),
+        # ("restore", k): roll back to the k-th recorded version (mod len)
+        st.tuples(st.just("restore"), st.integers(min_value=0, max_value=5)),
     ),
     min_size=1,
     max_size=6,
@@ -89,10 +91,16 @@ def test_logtable_agrees_with_model(spark, ops):
             )
             src = dict(rows)
             model = [(k, x) for (k, x) in model if k not in src] + rows
-        else:
+        elif op[0] == "compact":
             if not history:
                 continue  # compacting an empty table raises by contract
             v = t.compact(n_files=1)
+        else:  # restore
+            if not history:
+                continue
+            v_target, state = history[op[1] % len(history)]
+            v = t.restore(v_target)
+            model = list(state)
         history.append((v, sorted(model)))
         assert _snapshot_set(t) == sorted(model), op
     # time travel: every recorded version replays its state exactly
