@@ -2481,3 +2481,86 @@ def text_token_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
         ).alias("share"),
     )
+
+
+@query(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT lang,
+                   UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS tok
+            FROM documents
+        )
+        GROUP BY lang, tok
+    ),
+    tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY lang
+    ),
+    terms AS (
+        SELECT counts.lang,
+               CAST(FLOOR(-(CAST(c AS DOUBLE) / n)
+                    * log2(CAST(c AS DOUBLE) / n) * 1e12) AS BIGINT) AS hq
+        FROM counts JOIN tot ON counts.lang = tot.lang
+    )
+    SELECT terms.lang,
+           ROUND(CAST(SUM(hq) AS DOUBLE) / 1e12, 6) AS entropy_bits,
+           ROUND(POWER(2, CAST(SUM(hq) AS DOUBLE) / 1e12), 2)
+               AS effective_vocab,
+           CAST((SELECT COUNT(*) FROM counts c2
+                 WHERE c2.lang = terms.lang) AS BIGINT) AS raw_vocab
+    FROM terms GROUP BY terms.lang
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram ENTROPY and effective vocabulary (2^H — the perplexity of
+    the language's own unigram model) per language: where ``raw_vocab``
+    counts every surface form once, ``effective_vocab`` weights by use —
+    the gap between them is how top-heavy the distribution is, the
+    one-number diversity index that moves when boilerplate floods a
+    language (raw vocab barely changes, effective vocab collapses).
+    Reads next to the Zipf slope and hapax ratio.
+
+    The (lang, token) collapse is the shared text shuffle; −p·log₂p
+    terms floor-quantize at 10⁻¹² into int64 before the per-language
+    sums (order-independent), and 2^H is computed from the identical
+    quantized total on both engines (POWER(2, x) is exp2-exact enough
+    off-grid at 2 dp — H is irrational).
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens_col()).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tot = counts.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = counts.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("raw_vocab")
+    )
+    terms = counts.join(F.broadcast(tot), "lang").select(
+        "lang",
+        F.expr(
+            "CAST(FLOOR(-(CAST(c AS DOUBLE) / n)"
+            " * log2(CAST(c AS DOUBLE) / n) * 1e12) AS BIGINT)"
+        ).alias("hq"),
+    )
+    return (
+        terms.groupBy("lang")
+        .agg(
+            F.round(F.sum("hq").cast("double") / F.lit(1e12), 6).alias(
+                "entropy_bits"
+            ),
+            F.round(
+                F.pow(
+                    F.lit(2.0), F.sum("hq").cast("double") / F.lit(1e12)
+                ),
+                2,
+            ).alias("effective_vocab"),
+        )
+        .join(F.broadcast(vocab), "lang")
+        .select("lang", "entropy_bits", "effective_vocab", "raw_vocab")
+    )
