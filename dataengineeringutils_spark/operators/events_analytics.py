@@ -5029,3 +5029,96 @@ def events_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(n_base AS DOUBLE) / tb, 6)"
         ).alias("share_delta"),
     )
+
+
+# MDE closed form (80% power, two-sided alpha=.05): z constants spelled
+# in shared text; inputs are exact integers.
+_MDE_P = "(CAST(c AS DOUBLE) / n)"
+_MDE = (
+    f"((1.959964 + 0.841621) * SQRT(2 * {_MDE_P} * (1 - {_MDE_P})"
+    " / (CAST(n AS DOUBLE) / 2)))"
+)
+
+
+@query(
+    "events_ab_mde",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 200
+                        THEN 1 ELSE 0 END) AS big,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS signed
+        FROM events GROUP BY user_id
+    ),
+    metrics AS (
+        SELECT 'purchase_rate' AS metric,
+               CAST(SUM(converted) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n FROM per_user
+        UNION ALL
+        SELECT 'big_purchase_rate', CAST(SUM(big) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT) FROM per_user
+        UNION ALL
+        SELECT 'signup_rate', CAST(SUM(signed) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT) FROM per_user
+    )
+    SELECT metric,
+           ROUND({_MDE_P}, 6) AS baseline_rate,
+           n AS n_users,
+           ROUND({_MDE}, 6) AS mde_absolute,
+           ROUND({_MDE} / {_MDE_P}, 6) AS mde_relative
+    FROM metrics
+    """,
+)
+def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT at the current audience size: for each
+    conversion metric, the smallest absolute (and relative) lift a
+    50/50 A/B test on this population can detect at 80% power /
+    two-sided α = .05 — the experiment-DESIGN number that belongs
+    before ``events_ab_lift`` ever runs: a planned 2% lift against a
+    12% MDE is a test that cannot succeed, and this table says so
+    before the traffic is spent.
+
+    The shared per-user funnel aggregate plus three 1-row counter
+    frames; the z-constant closed form evaluates from exact integers
+    in shared expression text.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 200)
+            ).cast("int")
+        ).alias("big"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias(
+            "signed"
+        ),
+    )
+    rows = []
+    for name, col in (
+        ("purchase_rate", "converted"),
+        ("big_purchase_rate", "big"),
+        ("signup_rate", "signed"),
+    ):
+        rows.append(
+            per_user.agg(
+                F.lit(name).alias("metric"),
+                F.sum(col).cast("bigint").alias("c"),
+                F.count("*").cast("bigint").alias("n"),
+            )
+        )
+    metrics = rows[0]
+    for r in rows[1:]:
+        metrics = metrics.unionByName(r)
+    return metrics.select(
+        "metric",
+        F.expr(f"ROUND({_MDE_P}, 6)").alias("baseline_rate"),
+        F.col("n").alias("n_users"),
+        F.expr(f"ROUND({_MDE}, 6)").alias("mde_absolute"),
+        F.expr(f"ROUND({_MDE} / {_MDE_P}, 6)").alias("mde_relative"),
+    )

@@ -601,3 +601,72 @@ def dataset_dedup_aware_epoch_plan(
             6,
         ).alias("implied_epochs"),
     )
+
+
+@query(
+    "dataset_padding_waste",
+    oracle="""
+    WITH toks AS (
+        SELECT len(list_filter(string_split(text, ' '), t -> t <> ''))
+            AS tok
+        FROM documents
+    ),
+    grid AS (SELECT UNNEST([128, 256, 512]) AS cap),
+    scored AS (
+        SELECT cap,
+               LEAST(tok, cap) AS kept,
+               CASE WHEN tok > cap THEN tok - cap ELSE 0 END AS truncated,
+               cap - LEAST(tok, cap) AS padding
+        FROM toks CROSS JOIN grid
+    )
+    SELECT cap AS context_len,
+           CAST(SUM(kept) AS BIGINT) AS tokens_kept,
+           CAST(SUM(truncated) AS BIGINT) AS tokens_truncated,
+           ROUND(CAST(SUM(truncated) AS DOUBLE)
+                 / (SUM(kept) + SUM(truncated)), 6) AS truncation_loss,
+           ROUND(CAST(SUM(padding) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE) * cap), 6) AS padding_waste
+    FROM scored GROUP BY cap
+    """,
+)
+def dataset_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-LENGTH economics: at caps of 128/256/512 tokens, how much
+    of the corpus is TRUNCATED away (long docs cut at the cap) vs how
+    much compute is PADDED away (short docs in pad-to-cap batches) —
+    the two losses that move in opposite directions as the cap grows,
+    and the table that justifies sequence PACKING
+    (``text_pack_sequences`` drives padding_waste to ~0) or a
+    length-bucketed loader over naive fixed-length batching.
+
+    One token-count projection crossed with a 3-row cap grid, collapsed
+    map-side to exact integer sums per cap — the corpus scans once.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.size(tokens_col()).cast("bigint").alias("tok"))
+    grid = F.explode(F.array(*[F.lit(c) for c in (128, 256, 512)])).alias(
+        "cap"
+    )
+    scored = toks.select("tok", grid).select(
+        "cap",
+        F.least("tok", "cap").alias("kept"),
+        F.when(F.col("tok") > F.col("cap"), F.col("tok") - F.col("cap"))
+        .otherwise(0)
+        .alias("truncated"),
+        (F.col("cap") - F.least("tok", "cap")).alias("padding"),
+    )
+    return scored.groupBy("cap").agg(
+        F.sum("kept").cast("bigint").alias("tokens_kept"),
+        F.sum("truncated").cast("bigint").alias("tokens_truncated"),
+        F.round(
+            F.sum("truncated").cast("double")
+            / (F.sum("kept") + F.sum("truncated")),
+            6,
+        ).alias("truncation_loss"),
+        F.round(
+            F.sum("padding").cast("double")
+            / (F.count("*").cast("double") * F.first("cap")),
+            6,
+        ).alias("padding_waste"),
+    ).withColumnRenamed("cap", "context_len")
