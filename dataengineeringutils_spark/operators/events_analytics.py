@@ -5122,3 +5122,82 @@ def events_ab_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"ROUND({_MDE}, 6)").alias("mde_absolute"),
         F.expr(f"ROUND({_MDE} / {_MDE_P}, 6)").alias("mde_relative"),
     )
+
+
+@query(
+    "events_feature_adoption_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) AS t0,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_share
+        FROM events GROUP BY user_id
+    ),
+    adopters AS (
+        SELECT CAST(date_diff('day', t0, t_share) AS BIGINT) AS d
+        FROM firsts WHERE t_share IS NOT NULL
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_adopters,
+               CAST((SELECT COUNT(*) FROM firsts) AS BIGINT) AS n_users
+        FROM adopters
+    )
+    SELECT CAST(d AS INT) AS days_to_adoption,
+           CAST(COUNT(*) AS BIGINT) AS n_adopted,
+           ROUND(CAST(SUM(COUNT(*)) OVER (
+                     ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / n_adopters, 6) AS cum_share_of_adopters,
+           ROUND(CAST(SUM(COUNT(*)) OVER (
+                     ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS DOUBLE) / n_users, 6) AS cum_share_of_users
+    FROM adopters CROSS JOIN tot
+    GROUP BY d, n_adopters, n_users
+    """,
+)
+def events_feature_adoption_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FEATURE-ADOPTION latency curve for the signup conversion: of the
+    users who ever sign up, what fraction did so within d days of their
+    first activity (plus the same curve over ALL users) — the
+    activation-team read that separates "discoverability problem"
+    (adopters exist but take weeks) from "appeal problem" (the
+    all-users curve plateaus low) — two different fixes.
+
+    One per-user first-timestamps aggregate (a conditional MIN rides
+    the same pass), a |days|-scale histogram, and cumulative windows
+    over that tiny frame. Exact integer day arithmetic.
+    """
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_share"),
+    )
+    adopters = firsts.filter(F.col("t_share").isNotNull()).select(
+        F.datediff(
+            F.col("t_share").cast("date"), F.col("t0").cast("date")
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    n_users = firsts.count()
+    hist = adopters.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_adopted")
+    )
+    tot = hist.agg(F.sum("n_adopted").cast("bigint").alias("n_adopters"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("d").cast("int").alias("days_to_adoption"),
+        "n_adopted",
+        F.round(
+            F.sum("n_adopted").over(w).cast("double") / F.col("n_adopters"),
+            6,
+        ).alias("cum_share_of_adopters"),
+        F.round(
+            F.sum("n_adopted").over(w).cast("double") / F.lit(n_users), 6
+        ).alias("cum_share_of_users"),
+    )
