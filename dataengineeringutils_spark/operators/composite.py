@@ -4041,3 +4041,54 @@ def orders_next_order_gap_baseline(
             "within_week_rate"
         ),
     )
+
+
+@query(
+    "lineitem_line_position_effects",
+    oracle="""
+    SELECT CAST(l_linenumber AS INT) AS line_position,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_quantity
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+def lineitem_line_position_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LINE-POSITION profile: volume, revenue and mean price/quantity by
+    line number within the order — the feed-forensics view: line
+    counts must decay monotonically (every order has a line 1; only
+    multi-line orders have a line 5), and a mean-price TREND across
+    positions reveals ordering artifacts (a source that sorts lines by
+    value before emitting) that silently bias any "first line as
+    representative" shortcut downstream.
+
+    One map-side-combined aggregate to ≤7 position rows of exact
+    DECIMAL sums; no joins, no windows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_linenumber").cast("int").alias("line_position")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_price"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quantity"),
+    )

@@ -2856,3 +2856,69 @@ def embeddings_label_separation(
         ),
         F.expr("ROUND(SQRT(cc + gg - 2 * cg), 6)").alias("dist_to_global"),
     )
+
+
+@query(
+    "sim_threshold_sweep",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+        SELECT vec_id, embedding, {o_norm('embedding')} AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                   AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE {o_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+              >= 0.95
+    ),
+    grid AS (SELECT UNNEST([95, 97, 99]) AS thr)
+    SELECT CAST(thr AS INT) AS threshold_pct,
+           CAST(SUM(CASE WHEN cos_sim * 100 >= thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST((SELECT COUNT(*) FROM (
+                SELECT DISTINCT v FROM (
+                    SELECT vec_a AS v FROM pairs p2
+                    WHERE p2.cos_sim * 100 >= grid.thr
+                    UNION ALL
+                    SELECT vec_b FROM pairs p3
+                    WHERE p3.cos_sim * 100 >= grid.thr
+                ))) AS BIGINT) AS n_vectors_involved
+    FROM grid LEFT JOIN pairs ON TRUE
+    GROUP BY thr
+    """,
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD SWEEP: pair counts and distinct vectors
+    involved at cosine ≥ 0.95 / 0.97 / 0.99 — the sizing table for the
+    dedup-aggressiveness decision on the EMBEDDING side (the text-side
+    twin is ``dedup_removal_curve``): how many merges each tightening
+    of the threshold gives up, read before committing a cluster pass.
+
+    Consumes the session-cached blocked pair table (cosine ≥ 0.95 —
+    the block-GEMM scan already materialized for the components op),
+    so the sweep itself is three counter passes over |pairs| rows;
+    nothing rescans the corpus.
+    """
+    pairs = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select("vec_a", "vec_b", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for thr in (95, 97, 99):
+        hit = pairs.filter(F.col("cos_sim") * 100 >= thr)
+        involved = (
+            hit.select(F.col("vec_a").alias("v"))
+            .unionAll(hit.select(F.col("vec_b").alias("v")))
+            .distinct()
+            .count()
+        )
+        frame = hit.agg(
+            F.lit(thr).cast("int").alias("threshold_pct"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.lit(involved).cast("bigint").alias("n_vectors_involved"),
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out

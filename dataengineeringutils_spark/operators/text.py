@@ -2564,3 +2564,74 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab), "lang")
         .select("lang", "entropy_bits", "effective_vocab", "raw_vocab")
     )
+
+
+@query(
+    "text_casing_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS tok
+        FROM documents
+    ),
+    classed AS (
+        SELECT source,
+               CASE
+                 WHEN tok = LOWER(tok) THEN 'lower'
+                 WHEN tok = UPPER(tok) THEN 'upper'
+                 WHEN tok = UPPER(SUBSTRING(tok, 1, 1))
+                          || LOWER(SUBSTRING(tok, 2)) THEN 'title'
+                 ELSE 'mixed'
+               END AS casing
+        FROM toks
+    )
+    SELECT source, casing,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS share
+    FROM classed GROUP BY source, casing
+    """,
+)
+def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token CASING composition per source (lower / UPPER / Title /
+    miXed): shouting boilerplate and headline scrapes skew UPPER,
+    code and camelCase identifiers skew mixed, clean prose sits near
+    the language's natural title/lower ratio — the style census that
+    catches a source flipping from articles to press releases before
+    perplexity does. (Case-INSENSITIVE dedup decisions also read this
+    first: high UPPER share means casefolding will merge real mass.)
+
+    Tokens classify in-row via case-transform equality (exact,
+    locale-free on ASCII-dominant fixtures) and collapse straight to
+    |sources|×4 counters; shares divide exact integers per source.
+    """
+    from dataengineeringutils_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col()).alias("tok"))
+    casing = (
+        F.when(F.col("tok") == F.lower("tok"), "lower")
+        .when(F.col("tok") == F.upper("tok"), "upper")
+        .when(
+            F.col("tok")
+            == F.concat(
+                F.upper(F.substring("tok", 1, 1)),
+                F.lower(F.expr("substring(tok, 2)")),
+            ),
+            "title",
+        )
+        .otherwise("mixed")
+    )
+    counts = toks.select("source", casing.alias("casing")).groupBy(
+        "source", "casing"
+    ).agg(F.count("*").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "casing",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
+        ).alias("share"),
+    )
