@@ -4092,3 +4092,116 @@ def lineitem_line_position_effects(
             6,
         ).alias("mean_quantity"),
     )
+
+
+@query(
+    "orders_status_value_mix",
+    oracle="""
+    WITH banded AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_totalprice < 100000 THEN 'lt_100k'
+                    WHEN o_totalprice < 200000 THEN '100k_200k'
+                    ELSE 'gte_200k' END AS value_band,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    )
+    SELECT o_orderstatus, value_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY o_orderstatus), 6)
+               AS band_share_within_status
+    FROM banded GROUP BY o_orderstatus, value_band
+    """,
+)
+def orders_status_value_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-STATUS × VALUE-BAND mix: does fulfillment state correlate
+    with ticket size? A big-ticket skew in the open (O) band is capital
+    tied up in unfilled large orders — a working-capital flag the flat
+    status counts hide; band shares WITHIN each status make the
+    comparison scale-free.
+
+    One pass to the ≤9-cell grid with exact DECIMAL revenue; the
+    within-status share is a window over that tiny frame.
+    """
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "lt_100k")
+        .when(F.col("o_totalprice") < 200000, "100k_200k")
+        .otherwise("gte_200k")
+    )
+    cells = o.groupBy(
+        "o_orderstatus", band.alias("value_band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = Window.partitionBy("o_orderstatus")
+    return cells.select(
+        "o_orderstatus",
+        "value_band",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w), 6
+        ).alias("band_share_within_status"),
+    )
+
+
+@query(
+    "lineitem_discount_depth_mix",
+    oracle="""
+    WITH banded AS (
+        SELECT CASE WHEN l_discount = 0 THEN 'none'
+                    WHEN l_discount <= 0.05 THEN 'shallow'
+                    WHEN l_discount <= 0.08 THEN 'medium'
+                    ELSE 'deep' END AS depth,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2)) AS given_up,
+               CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        FROM lineitem
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(gross) AS DOUBLE) AS gross_revenue,
+           CAST(SUM(given_up) AS DOUBLE) AS discount_given,
+           ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6)
+               AS mean_quantity
+    FROM banded GROUP BY depth
+    """,
+)
+def lineitem_discount_depth_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISCOUNT-DEPTH census: line volume, gross revenue, dollars given
+    up, and mean basket quantity per promo-depth band (none / ≤5% /
+    ≤8% / deeper) — the promo-spend accounting that pairs with the
+    elasticity read (``lineitem_discount_response``): depth tells you
+    WHERE the discount budget goes, elasticity whether it worked;
+    rising mean quantity with depth is the minimum sanity signal.
+
+    One pass to 4 band rows of exact DECIMAL sums (the discount-dollar
+    product stays decimal until the final cast); no joins, no windows.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    depth = (
+        F.when(F.col("l_discount") == 0, "none")
+        .when(F.col("l_discount") <= 0.05, "shallow")
+        .when(F.col("l_discount") <= 0.08, "medium")
+        .otherwise("deep")
+    )
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy(depth.alias("depth")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(dp).cast("double").alias("gross_revenue"),
+        F.sum(dp * dd).cast("double").alias("discount_given"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quantity"),
+    )
