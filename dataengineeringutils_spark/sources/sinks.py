@@ -1059,7 +1059,8 @@ def sink_txn_restore_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     restored = t.snapshot()
     # the delete-version's rewrite files are now unreferenced within
     # the 1-version horizon; vacuum must remove at least them
-    vacuumed = t.vacuum(keep_versions=1)
+    # grace waived: this op is the table's only writer (stop-the-world)
+    vacuumed = t.vacuum(keep_versions=1, grace_seconds=0)
     return restored.agg(
         F.count("*").cast("bigint").alias("n_rows_restored"),
         F.sum("price").cast("double").alias("total_restored"),

@@ -207,8 +207,11 @@ class LogTable:
         pass through."""
         import datetime
 
-        if isinstance(v, (datetime.datetime, datetime.date)):
+        if isinstance(v, datetime.datetime):
             return v.isoformat(sep=" ")
+        if isinstance(v, datetime.date):
+            # datetime.date.isoformat() takes no arguments
+            return v.isoformat()
         return v
 
     def _write_files(
@@ -258,8 +261,14 @@ class LogTable:
         keep = []
         for a in adds:
             st = a.get("stats")
-            if st is not None and st["col"] == col and (
-                st["max"] < lo or st["min"] > hi
+            # None min/max (all-NULL stats column in that file) means the
+            # stats carry no range information — conservatively scan.
+            if (
+                st is not None
+                and st["col"] == col
+                and st["min"] is not None
+                and st["max"] is not None
+                and (st["max"] < lo or st["min"] > hi)
             ):
                 continue
             keep.append(a["path"])
@@ -534,7 +543,8 @@ class LogTable:
         ``_change_type`` ∈ {insert, delete, update_preimage,
         update_postimage}. Columns are reconciled to the LATER version's
         schema (a column added between the versions reads NULL on the
-        preimage side), and "updated" means any shared non-key column
+        preimage side; a column dropped between them is absent from the
+        feed), and "updated" means any later-schema non-key column
         differs (null-safe comparison).
 
         Scale: two snapshot scans + key-aligned joins that shuffle by
@@ -545,9 +555,19 @@ class LogTable:
         """
         a = self.snapshot(v_from)
         b = self.snapshot(v_to)
-        shared = [c for c in b.columns if c in set(a.columns)]
-        a = a.select(*shared)
-        b = b.select(*shared)
+        # Reconcile BOTH sides to the later version's column set: columns
+        # added between the versions read NULL on the v_from side (so
+        # inserts keep their new-column values); columns dropped between
+        # them are excluded (they no longer exist in the later schema).
+        later = list(b.columns)
+        a_cols = set(a.columns)
+        a = a.select(
+            *[
+                (F.col(c) if c in a_cols else F.lit(None)).alias(c)
+                for c in later
+            ]
+        )
+        shared = later
         nonkey = [c for c in shared if c not in keys]
         ins = b.join(a.select(*keys), keys, "left_anti").select(
             F.lit("insert").alias("_change_type"), *shared
@@ -597,28 +617,53 @@ class LogTable:
         if schema is not None and schema != self.schema_at():
             actions.append({"metaData": {"schema": schema.jsonValue()}})
         if not actions:
-            actions.append({"metaData": {"schema": schema.jsonValue()}})
+            # Nothing to undo (file set and schema already match the
+            # target). Commit an explicit no-op marker so the restore is
+            # still an auditable version; never touch a None schema.
+            if schema is not None:
+                actions.append({"metaData": {"schema": schema.jsonValue()}})
+            else:
+                actions.append({"restore": {"toVersion": int(version)}})
         return self._commit(actions)
 
-    def vacuum(self, keep_versions: int = 1) -> int:
+    def vacuum(
+        self, keep_versions: int = 1, *, grace_seconds: float = 3600.0
+    ) -> int:
         """VACUUM: physically delete data files referenced by NO version
         within the retention horizon (the newest ``keep_versions``
         versions stay fully time-travelable; older versions may lose
         files — exactly Delta's retention trade-off, expressed in
         versions rather than hours). Returns the number of files
-        removed. The log itself is never touched."""
+        removed. The log itself is never touched.
+
+        Concurrency: data files newer than ``grace_seconds`` (by mtime)
+        are NEVER deleted even if unreferenced — an in-flight append
+        writes its files BEFORE committing their add actions, so a
+        zero-grace vacuum racing a writer would destroy an uncommitted
+        commit's data. This is Delta's retention-hours guard; set
+        ``grace_seconds=0`` only when you can guarantee no concurrent
+        writers (stop-the-world maintenance)."""
+        import time
+
         versions = self._versions()
         keep = versions[-keep_versions:] if keep_versions > 0 else []
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self.live_files(v))
         removed = 0
+        now = time.time()
         data_root = os.path.join(self.base, "data")
         for sub in os.listdir(data_root):
             subdir = os.path.join(data_root, sub)
             for f in os.listdir(subdir):
                 rel = os.path.join("data", sub, f)
                 if f.endswith(".parquet") and rel not in referenced:
-                    os.unlink(os.path.join(subdir, f))
+                    full = os.path.join(subdir, f)
+                    try:
+                        if now - os.path.getmtime(full) < grace_seconds:
+                            continue  # possibly an in-flight append
+                    except OSError:
+                        continue
+                    os.unlink(full)
                     removed += 1
         return removed

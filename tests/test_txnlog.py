@@ -410,12 +410,16 @@ def test_vacuum_drops_only_out_of_horizon_files(spark):
     t = _fresh(spark)
     t.append(spark.createDataFrame([(1,), (2,)], "k int"))
     t.delete_where("k = 1")  # COW rewrite; v0's file now historical
-    # horizon = latest version only: v0's original file is vacuumable
-    removed = t.vacuum(keep_versions=1)
+    # with the default grace window, freshly-written files are protected
+    # even when unreferenced (in-flight-append safety)
+    assert t.vacuum(keep_versions=1) == 0
+    # horizon = latest version only, grace waived (stop-the-world
+    # maintenance): v0's original file is vacuumable
+    removed = t.vacuum(keep_versions=1, grace_seconds=0)
     assert removed >= 1
     assert {r["k"] for r in t.snapshot().collect()} == {2}
     # a wide horizon removes nothing further
-    assert t.vacuum(keep_versions=10) == 0
+    assert t.vacuum(keep_versions=10, grace_seconds=0) == 0
 
 
 from hypothesis import HealthCheck, given, settings
@@ -459,3 +463,80 @@ def test_scan_where_equals_full_filter(spark, spans, lo, width):
     )
     assert got == want
     assert 0 <= scanned <= total == len(spans)
+
+
+def test_stats_col_date_typed(spark):
+    """stats_col on a DATE column must not raise (round-5 ADVICE:
+    date.isoformat() takes no sep argument) and must still skip files."""
+    t = _fresh(spark)
+    t.append(
+        spark.sql("SELECT DATE'2024-01-01' AS d UNION ALL SELECT DATE'2024-01-31'"),
+        stats_col="d",
+    )
+    t.append(
+        spark.sql("SELECT DATE'2024-06-01' AS d UNION ALL SELECT DATE'2024-06-30'"),
+        stats_col="d",
+    )
+    df, scanned, total = t.scan_where("d", "2024-01-01", "2024-02-15")
+    assert total == 2 and scanned == 1
+    assert df.count() == 2
+
+
+def test_scan_where_all_null_stats_file(spark):
+    """A file whose stats column is all NULL commits {min: None, max:
+    None}; scan_where must conservatively scan it, not raise (round-5
+    ADVICE)."""
+    t = _fresh(spark)
+    t.append(
+        spark.sql("SELECT 5 AS k UNION ALL SELECT 15"), stats_col="k"
+    )
+    t.append(
+        spark.sql("SELECT CAST(NULL AS INT) AS k"), stats_col="k"
+    )
+    df, scanned, total = t.scan_where("k", 0, 10)
+    assert total == 2 and scanned == 2  # null-stats file scanned
+    assert sorted(r["k"] for r in df.collect()) == [5]
+
+
+def test_change_feed_reconciles_to_later_schema(spark):
+    """A column added between the versions must appear in the feed with
+    NULL preimages — insert rows keep the new column's values (round-5
+    ADVICE: intersection semantics dropped them)."""
+    t = _fresh(spark)
+    v0 = t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", "new")], "k int, v string, extra string"),
+        evolve_schema=True,
+    )
+    feed = t.change_feed(v0, None, keys=["k"]).collect()
+    assert "extra" in t.change_feed(v0, None, keys=["k"]).columns
+    ins = [r for r in feed if r["_change_type"] == "insert"]
+    assert len(ins) == 1 and ins[0]["extra"] == "new"
+
+
+def test_restore_noop_without_schema_action(spark):
+    """restore() to a version with no file-set delta and no recoverable
+    schema must still commit cleanly (round-5 ADVICE: None.jsonValue())."""
+    t = _fresh(spark)
+    v0 = t.append(spark.createDataFrame([(1,)], "k int"))
+    # restore to the current state: no removes/adds, schema unchanged
+    v1 = t.restore(v0)
+    assert v1 == v0 + 1
+    assert t.snapshot().count() == 1
+
+
+def test_vacuum_grace_protects_uncommitted_files(spark):
+    """vacuum must never delete a freshly-written, not-yet-committed
+    data file (round-5 ADVICE: append writes files BEFORE committing)."""
+    import os
+
+    t = _fresh(spark)
+    t.append(spark.createDataFrame([(1,)], "k int"))
+    # simulate an in-flight append: data files on disk, no commit yet
+    sub = os.path.join(t.base, "data", "inflight00")
+    os.makedirs(sub)
+    orphan = os.path.join(sub, "part-00000.parquet")
+    spark.createDataFrame([(9,)], "k int").toPandas().to_parquet(orphan)
+    assert t.vacuum(keep_versions=1) == 0  # grace window protects it
+    assert os.path.exists(orphan)
+    assert t.vacuum(keep_versions=1, grace_seconds=0) == 1  # waived
