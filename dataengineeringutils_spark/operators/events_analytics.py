@@ -2561,21 +2561,33 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-partitioned shuffle downstream will see).
 
     Per-user counts collapse the event table first (|users| rows); the
-    rank and share windows run on that collapsed frame — the global
-    window is safe because |users| ≪ |events| (the same justification
-    as orders_gini_coefficient, and the op to revisit if user counts
-    approach fact-table scale). Exact integer masses, 6-dp share.
+    global rank + the two global totals then run as ONE two-phase
+    bucket-cut pass (``two_phase_global_rank`` with ``sum_col`` —
+    round-5 VERDICT #1): the per-bucket aggregate carries both the row
+    count and SUM(n), the driver prefix scan broadcasts rank offsets
+    plus both grand totals, and row_number runs per bounded bucket — no
+    single-partition window even if user counts approach fact scale.
+    Exact integer masses, 6-dp share.
     """
     ev = table(spark, sf_dir, "events")
     pu = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-    w_all = Window.partitionBy()
-    ranked = pu.select(
-        "n",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n_users"),
-        F.sum("n").over(w_all).cast("bigint").alias("total"),
+    cuts = sorted(
+        set(
+            pu.select(F.col("n").cast("double").alias("nd"))
+            .sample(0.2, seed=7)
+            .stat.approxQuantile("nd", [i / 32 for i in range(1, 32)], 0.01)
+        )
     )
+    ranked = two_phase_global_rank(
+        pu,
+        "n",
+        "user_id",
+        cuts,
+        descending=True,
+        n_name="n_users",
+        sum_col="n",
+        sum_total_name="total",
+    ).select("n", "rn", "n_users", F.col("total").cast("bigint").alias("total"))
     marked = ranked.select(
         "n",
         "total",

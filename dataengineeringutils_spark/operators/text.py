@@ -664,11 +664,19 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion, vocabulary collapse), so this is a standard corpus-health
     diagnostic.
 
-    One explode -> one hash agg collapses the corpus to |vocab| rows;
-    the rank window and the regr_slope aggregate then run on that tiny
-    frame (vocab ≪ corpus — Heaps' law), so the unpartitioned window is
-    entity-bounded, not data-bounded. regr_slope is a single mergeable
-    moment aggregate in both engines.
+    One explode -> one hash agg collapses the corpus to |vocab| rows.
+    The rank is then synthesized WITHOUT ANY WINDOW (round-5 VERDICT
+    #1): the slope only needs the MULTISET of (f, rank) pairs, and
+    tokens sharing a frequency occupy a contiguous rank run whatever
+    the tie order — so collapse to run-length form (distinct f →
+    count), prefix-scan the run offsets on the driver (distinct
+    frequencies are ≤ √(2·total_tokens) by the counting bound — a few
+    thousand at any scale), and regenerate ranks distributively with a
+    two-level sequence explode (runs chunk into ≤64k-rank slices,
+    slices round-robin across the cluster, so the f=1 run — half the
+    vocab — fans out instead of landing on one task). regr_slope is a
+    single mergeable moment aggregate over the regenerated pairs,
+    arithmetically identical to ranking every token.
     """
     d = table(spark, sf_dir, "documents")
     freq = (
@@ -677,9 +685,36 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("f"))
     )
-    ranked = freq.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("t").asc())),
+    runs = sorted(
+        freq.groupBy("f").agg(F.count("*").alias("cnt")).collect(),
+        key=lambda r: -r["f"],
+    )
+    data, off = [], 0
+    for r in runs:
+        data.append((r["f"], off, r["cnt"]))
+        off += r["cnt"]
+    runs_df = spark.createDataFrame(data, "f long, off long, cnt long")
+    chunk = 65536
+    par = spark.sparkContext.defaultParallelism
+    slices = runs_df.select(
+        "f",
+        "off",
+        "cnt",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("cnt") - 1) / chunk).cast("long"))
+        ).alias("ci"),
+    ).repartition(par)
+    ranked = slices.select(
+        "f",
+        F.explode(
+            F.sequence(
+                F.col("off") + F.col("ci") * chunk + 1,
+                F.least(
+                    F.col("off") + F.col("cnt"),
+                    F.col("off") + (F.col("ci") + 1) * chunk,
+                ),
+            )
+        ).alias("r"),
     )
     return ranked.agg(
         F.count("*").cast("bigint").alias("vocab_size"),

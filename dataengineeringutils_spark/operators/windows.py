@@ -190,6 +190,9 @@ def two_phase_global_rank(
     descending: bool = False,
     rn_name: str = "rn",
     n_name: str = "n",
+    sum_col: str | None = None,
+    sum_total_name: str = "total",
+    cum_sum_name: str | None = None,
 ) -> DataFrame:
     """Exact global ROW_NUMBER under (``value_col`` dir, ``tie_col`` ASC)
     WITHOUT a single-partition sort — the generalized form of
@@ -204,7 +207,19 @@ def two_phase_global_rank(
     row_number runs per BUCKET — bounded partitions — and the global
     rank is local rank + broadcast offset. Appends ``rn_name`` (1-based
     bigint) and ``n_name`` (total rows).
+
+    ``sum_col`` extends the same machinery to GLOBAL SUM windows with no
+    extra pass: the per-bucket aggregate also carries SUM(sum_col), the
+    driver prefix scan accumulates sum offsets exactly (Python Decimal
+    for decimal columns), and the result additionally gets
+    ``sum_total_name`` (grand total, SUM() OVER ()) and — when
+    ``cum_sum_name`` is set — the exact running sum under the same
+    (value dir, tie asc) order (SUM() OVER (ORDER BY … ROWS UNBOUNDED
+    PRECEDING)) as per-bucket window sum + broadcast offset.
     """
+    from decimal import Decimal
+
+    import pyspark.sql.types as T
     val = F.col(value_col)
     bucket = F.lit(0)
     for c in cuts:
@@ -216,8 +231,12 @@ def two_phase_global_rank(
         # last), and the within-bucket orderBy applies the same default.
         bucket = bucket + F.coalesce((val > F.lit(c)).cast("int"), F.lit(0))
     bcol, ocol = f"__bkt_{rn_name}", f"__off_{rn_name}"
+    socol = f"__soff_{rn_name}"
     d = df.withColumn(bcol, bucket)
-    counts = d.groupBy(bcol).agg(F.count("*").alias("cnt"))
+    aggs = [F.count("*").alias("cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("__s"))
+    counts = d.groupBy(bcol).agg(*aggs)
     # offsets come from the |buckets|-row count aggregate — bounded by
     # len(cuts)+1 BY CONSTRUCTION, so the cumulative sum is a driver-side
     # prefix scan over ≤ a few thousand rows (the same bounded-collect
@@ -230,23 +249,44 @@ def two_phase_global_rank(
         reverse=descending,
     )
     n_total = sum(r["cnt"] for r in rows)
-    data, off = [], 0
+    fields = [
+        T.StructField(bcol, T.IntegerType()),
+        T.StructField(ocol, T.LongType()),
+        T.StructField(n_name, T.LongType()),
+    ]
+    if sum_col is not None:
+        sum_dt = counts.schema["__s"].dataType
+        zero = Decimal(0) if isinstance(sum_dt, T.DecimalType) else 0
+        s_total = zero
+        for r in rows:
+            s_total += r["__s"] if r["__s"] is not None else zero
+        fields += [
+            T.StructField(socol, sum_dt),
+            T.StructField(sum_total_name, sum_dt),
+        ]
+    data, off, s_off = [], 0, zero if sum_col is not None else 0
     for r in rows:
-        data.append((r[bcol], off, n_total))
+        row = (r[bcol], off, n_total)
+        if sum_col is not None:
+            row += (s_off, s_total)
+            s_off += r["__s"] if r["__s"] is not None else zero
+        data.append(row)
         off += r["cnt"]
     offsets = df.sparkSession.createDataFrame(
-        data, schema=f"{bcol} int, {ocol} long, {n_name} long"
+        data, schema=T.StructType(fields)
     )
     w_loc = Window.partitionBy(bcol).orderBy(
         val.desc() if descending else val.asc(), F.col(tie_col).asc()
     )
-    return (
-        d.join(F.broadcast(offsets), bcol)
-        .withColumn(
-            rn_name, (F.row_number().over(w_loc) + F.col(ocol)).cast("long")
-        )
-        .drop(bcol, ocol)
+    out = d.join(F.broadcast(offsets), bcol).withColumn(
+        rn_name, (F.row_number().over(w_loc) + F.col(ocol)).cast("long")
     )
+    if cum_sum_name is not None:
+        w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            cum_sum_name, F.sum(sum_col).over(w_run) + F.col(socol)
+        )
+    return out.drop(bcol, ocol, socol)
 
 
 def ntile_closed_form(rn: str, n: str, tiles: int) -> Column:

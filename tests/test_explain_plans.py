@@ -123,3 +123,39 @@ def test_salted_join_is_shuffled_not_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_skew_salted")
     assert "ShuffledHashJoin" in plan, plan.split("\n\n")[0]
     assert "BroadcastHashJoin" not in plan.split("\n\n")[0]
+
+
+def test_entity_scaled_frames_have_no_unpartitioned_window(spark, sf_dir):
+    """Round-5 VERDICT #1: the five formerly global-window ops must plan
+    ZERO unpartitioned Window operators — every Window node's partition
+    spec must be non-empty (bucket-cut / keyed), so no single task ever
+    sorts an entity-scaled frame."""
+    import json
+
+    def walk(o):
+        if isinstance(o, dict):
+            yield o
+            for v in o.values():
+                yield from walk(v)
+        elif isinstance(o, list):
+            for v in o:
+                yield from walk(v)
+
+    for name in (
+        "orders_skyline_2d",
+        "orders_abc_class",
+        "customer_ltv_deciles",
+        "events_power_users_pareto",
+        "text_zipf_slope",
+    ):
+        df = queries()[name](spark, sf_dir)
+        plan = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
+        for node in walk(plan):
+            cls = node.get("class")
+            if isinstance(cls, str) and cls.endswith(
+                ("WindowExec", "WindowGroupLimitExec")
+            ):
+                assert node.get("partitionSpec"), (
+                    f"{name}: {cls.split('.')[-1]} with EMPTY partitionSpec "
+                    "— single-partition window at runtime"
+                )
