@@ -1802,22 +1802,30 @@ def text_char_trigram_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrained against (a drifting signature = the corpus's language
     labels and its character statistics are diverging).
 
-    Trigrams fan out INSIDE the row (transform over a character-index
-    sequence — no join, no UDF), space-containing grams drop before the
-    count so the signature reflects word-internal structure, and the
-    per-language top-5 is a keyed window over the collapsed
-    (lang, trigram) counts: partitions bounded by |langs|, never global.
+    Trigrams fan out INSIDE the row (nested transform over the row's
+    space-split words — no join, no UDF). Splitting to words FIRST
+    means space-containing positions are never materialized at all
+    (round-5 VERDICT #2: the old form generated every character
+    position then filtered — 2.27 s vs 0.81 s at sf0.1): a space-free
+    trigram is exactly a trigram inside a maximal space-delimited
+    token, so the output is bit-identical while the explode emits ~30 %
+    fewer rows and the post-explode filter disappears. The per-language
+    top-5 is a keyed window over the collapsed (lang, trigram) counts:
+    partitions bounded by |langs|, never global.
     """
     d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     g = d.select(
         "lang",
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 2), "
-                "i -> substring(text, i, 3))"
+            F.flatten(
+                F.expr(
+                    "transform(filter(split(text, ' '), w -> length(w) >= 3),"
+                    " w -> transform(sequence(1, length(w) - 2),"
+                    " i -> substring(w, i, 3)))"
+                )
             )
         ).alias("tri"),
-    ).filter(~F.col("tri").contains(" "))
+    )
     counts = g.groupBy("lang", "tri").agg(
         F.count("*").cast("bigint").alias("n")
     )
