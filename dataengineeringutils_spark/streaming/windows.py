@@ -169,6 +169,7 @@ def run_streaming(
     build_query: Callable[[DataFrame], DataFrame],
     output_mode: str = "append",
     cache_key: str | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute ``build_query`` as a real Structured Streaming job over the
     given micro-batches (each written as one parquet file, streamed with
@@ -200,10 +201,23 @@ def run_streaming(
     name = f"stream_sink_{next(_sink_counter)}"
     # Size state-store count to the key volume, not cluster width: each
     # shuffle partition is a state store paying fixed setup+commit cost
-    # per micro-batch. Fresh checkpoints each call, so the setting isn't
-    # sticky; at production scale this is the knob you RAISE.
+    # per micro-batch (measured 4 -> 2 partitions: ~0.15 s less per run
+    # at this key volume). Fresh checkpoints each call, so the setting
+    # isn't sticky; at production scale this is the knob you RAISE.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # no_data_batches=False skips the trailing empty micro-batch for
+    # queries whose OUTPUT is complete without it (per-arrival emission:
+    # dedup/update-mode kernels/complete-mode aggs) — one fewer trigger
+    # of store setup+commit. Queries that emit ON watermark advance
+    # (append-mode windowed aggs, outer-join NULL eviction) must keep it.
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batches else "false",
+    )
     try:
         q = (
             build_query(stream)
@@ -220,6 +234,9 @@ def run_streaming(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
     return spark.table(name)
 
 
@@ -345,7 +362,15 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = run_streaming(
-        spark, batches, "stream_counter", build, output_mode="update", cache_key=sf_dir
+        spark,
+        batches,
+        "stream_counter",
+        build,
+        output_mode="update",
+        cache_key=sf_dir,
+        # update-mode kernel emits per data batch; trailing no-data
+        # batch adds no output (NoTimeout — nothing to evict)
+        no_data_batches=False,
     )
     # last emission per user == total count
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
@@ -386,7 +411,16 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type")
         )
 
-    out = run_streaming(spark, batches, "stream_dd", build, cache_key=sf_dir)
+    out = run_streaming(
+        spark,
+        batches,
+        "stream_dd",
+        build,
+        cache_key=sf_dir,
+        # dedup emits survivors ON ARRIVAL; the trailing no-data batch
+        # only evicts expired state, producing no rows
+        no_data_batches=False,
+    )
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
@@ -425,7 +459,15 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_streaming(
-        spark, batches, "stream_static", build, output_mode="complete", cache_key=sf_dir
+        spark,
+        batches,
+        "stream_static",
+        build,
+        output_mode="complete",
+        cache_key=sf_dir,
+        # complete mode re-emits the full result every data batch; a
+        # trailing no-data batch recomputes it unchanged
+        no_data_batches=False,
     )
 
 
@@ -822,18 +864,36 @@ def stream_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
     partials — the same re-mergeable (count, decimal-sum) partials the
     incremental-rollup op uses.
     """
+    import os
+    import shutil
+
     ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     base = scratch_dir("stream_incr_" + re.sub(r"\W+", "_", sf_dir))
+    stage = scratch_dir("stream_incr_stage_" + re.sub(r"\W+", "_", sf_dir))
     fs_src = f"{base}/src"
     ck = f"{base}/ck"
     sink = f"{base}/sink"
-    # fresh dirs every call: this op's contract IS the two-run resume
-    import shutil
-
+    # fresh checkpoint/sink/src every call: this op's contract IS the
+    # two-run resume. The batch FILES are deterministic fixture
+    # functions, staged once per session and HARDLINKED into the fresh
+    # src per call (the file source tracks seen paths, not mtimes, so a
+    # linked batch=1 appearing after run 1 is "new" to the checkpoint).
     shutil.rmtree(base, ignore_errors=True)
     b0 = ev.filter(F.col("event_id") % 2 == 0)
     b1 = ev.filter(F.col("event_id") % 2 == 1)
-    b0.coalesce(1).write.mode("overwrite").parquet(f"{fs_src}/batch=0")
+    stage_key = f"{spark.sparkContext.applicationId}:incr:{sf_dir}"
+    if stage_key not in _BATCH_FILE_CACHE:
+        b0.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch=0")
+        b1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/batch=1")
+        _BATCH_FILE_CACHE.add(stage_key)
+
+    def link_batch(i: int) -> None:
+        src_d, dst_d = f"{stage}/batch={i}", f"{fs_src}/batch={i}"
+        os.makedirs(dst_d, exist_ok=True)
+        for f in os.listdir(src_d):
+            os.link(os.path.join(src_d, f), os.path.join(dst_d, f))
+
+    link_batch(0)
 
     delta_rows = []
 
@@ -864,10 +924,11 @@ def stream_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     run_once()  # processes batch 0, commits offsets
-    b1.coalesce(1).write.mode("overwrite").parquet(f"{fs_src}/batch=1")
+    link_batch(1)  # "new files land" between the runs
     run_once()  # RESUMES from the checkpoint: sees only batch 1
-    n0, n1 = b0.count(), b1.count()
-    assert delta_rows[1] <= n1, (delta_rows, n0, n1)
+    # parquet footer count of the staged batch — metadata-only job
+    n1 = spark.read.parquet(f"{stage}/batch=1").count()
+    assert delta_rows[1] <= n1, (delta_rows, n1)
     back = spark.read.parquet(sink)
     return (
         back.groupBy("event_type")
@@ -998,11 +1059,17 @@ def stream_txn_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     base = scratch_dir("stream_txn_" + re.sub(r"\W+", "_", sf_dir))
-    shutil.rmtree(base, ignore_errors=True)
-    for i in range(3):
-        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{base}/src/batch={i}")
+    # source batch files are a deterministic fixture function — write
+    # once per (session, fixture) like run_streaming's cache; the TABLE
+    # directory is wiped every call (each run must build its own log)
+    src_key = f"{spark.sparkContext.applicationId}:txnsink:{sf_dir}"
+    shutil.rmtree(f"{base}/table", ignore_errors=True)
+    if src_key not in _BATCH_FILE_CACHE:
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{base}/src/batch={i}")
+        _BATCH_FILE_CACHE.add(src_key)
     t = LogTable(spark, f"{base}/table")
     replay: list = []
 
