@@ -175,3 +175,72 @@ def test_change_feed_reconstructs_snapshots(spark, ops):
             added.add(row)
     assert removed <= start, "removed rows must exist in the old snapshot"
     assert (start - removed) | added == end
+
+
+# --- crash consistency (round-5 VERDICT #5) -------------------------------
+# A writer can die at two points: AFTER writing data files but BEFORE the
+# log commit (append's documented write-then-commit order), or mid-commit
+# with the .tmp log dotfile written but never linked. Readers replay only
+# committed NNNNNNNN.json entries, so neither partial state may ever be
+# visible, and a retry of the same logical append must converge.
+
+crash_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=3),
+        ),
+        st.tuples(
+            st.just("crash_data"),  # dies after _write_files, no commit
+            st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=3),
+        ),
+        st.tuples(st.just("crash_tmp")),  # dies mid-_commit: orphan .tmp
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(ops=crash_ops)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_torn_writers_never_visible_and_retry_converges(spark, ops):
+    import json
+    import os
+    import uuid as _uuid
+
+    t = LogTable(spark, scratch_dir("txn_crash_" + _uuid.uuid4().hex))
+    model: list[tuple[int, int]] = []
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k int, v int")
+
+    for op in ops:
+        if op[0] == "append":
+            t.append(mk(op[1]))
+            model.extend(op[1])
+        elif op[0] == "crash_data":
+            # the torn writer: data files hit disk, commit never happens
+            torn_actions = t._write_files(mk(op[1]), n_files=1)
+            assert torn_actions  # files really were written
+            # ... process dies here; the RETRY is a fresh full append
+            t.append(mk(op[1]))
+            model.extend(op[1])
+        else:  # crash_tmp: commit died between tmp write and os.link
+            orphan = os.path.join(t.log_dir, f".{_uuid.uuid4().hex}.tmp")
+            with open(orphan, "w") as f:
+                f.write(json.dumps({"add": {"path": "data/bogus/x.parquet"}}) + "\n")
+        # INVARIANT after every step: readers see exactly the committed
+        # rows — torn data files and orphan .tmp log entries are invisible
+        if model:
+            got = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
+            assert got == sorted(model)
+    # vacuum (stop-the-world) clears torn writers' data orphans without
+    # touching any committed file; the snapshot is unchanged
+    t.vacuum(keep_versions=10_000, grace_seconds=0)
+    if model:
+        got = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
+        assert got == sorted(model)
