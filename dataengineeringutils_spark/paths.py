@@ -67,11 +67,16 @@ _SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__f
 # memory-sink demo jobs): WAL/offset commits are fsync-bound, so a tmpfs
 # shaves a fixed ~0.3 s per streaming run. Durable pipelines checkpoint
 # to durable storage — only in-memory-sink queries (themselves
-# non-durable by definition) may use this root.
+# non-durable by definition) may use this root. On a cluster, set
+# SPARK_GRAFT_CHECKPOINT_ROOT to a durable, executor-visible location
+# (s3a://... or HDFS); it takes precedence over tmpfs.
 _RAM_ROOT = (
-    os.path.join("/dev/shm", "deu_spark_scratch")
-    if os.path.isdir("/dev/shm")
-    else _SCRATCH_ROOT
+    os.environ.get("SPARK_GRAFT_CHECKPOINT_ROOT")
+    or (
+        os.path.join("/dev/shm", "deu_spark_scratch")
+        if os.path.isdir("/dev/shm")
+        else _SCRATCH_ROOT
+    )
 )
 
 _swept: set[str] = set()
@@ -133,6 +138,11 @@ def ram_scratch_dir(name: str) -> str:
     PermissionError and every streaming op would fail hard (ADVICE r4).
     """
     global _RAM_ROOT
+    if "://" in _RAM_ROOT:
+        # remote URI (SPARK_GRAFT_CHECKPOINT_ROOT on a cluster): Spark's
+        # checkpoint manager creates it through the Hadoop FS connector —
+        # no local makedirs, no PID sweep (lifecycle is the operator's)
+        return f"{_RAM_ROOT.rstrip('/')}/pid-{os.getpid()}/{name}"
     if _RAM_ROOT != _SCRATCH_ROOT:
         try:
             return _pid_dir(_RAM_ROOT, name)
