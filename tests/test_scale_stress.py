@@ -1,0 +1,239 @@
+"""Empirical 100×-scale evidence (round-5 VERDICT #3): replicate the
+sf0.1 fixture K× with shifted keys (seeded, deterministic), run the
+heaviest batch operators at both scales IN THE SAME SESSION, and assert
+
+(a) runtime grows ≲ linearly in K (per-op declared exponent: 1.0 for
+    everything except ops whose OUTPUT is super-linear in the data by
+    definition), and
+(b) no qualifying stage is skew-bound: the slowest task's share of the
+    stage's total task time stays under a threshold (a hot key would
+    push one task toward the whole stage's work).
+
+This converts the docstrings' "would survive a 100× scale-up" claims
+into a measured artifact. Run explicitly (deselected by default via the
+``scale`` marker):
+
+    pytest tests/test_scale_stress.py -m scale -q -s
+
+Honest limits: local[32] measures plan shape (shuffle volume, partition
+balance, spill-free hash aggs), not network. K defaults to 10 (≈ sf1:
+6M lineitem / 1M events / 50k documents); raise SCALE_STRESS_K with a
+bigger disk budget. Timing runs warm, best-of-2, one Spark process —
+do not run concurrently with another Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from dataengineeringutils_spark.paths import scratch_dir
+
+pytestmark = pytest.mark.scale
+
+BASE = os.environ.get("SCALE_STRESS_BASE", "/root/testdata/sf0.1")
+K = int(os.environ.get("SCALE_STRESS_K", "10"))
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# key columns shifted by copy*SHIFT so every copy is a disjoint,
+# FK-consistent shard of the same star schema (nation/region stay
+# shared dimensions — their keys are never shifted)
+SHIFT = 10_000_000
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# (op name, growth exponent e): assert t_K <= SLACK * K**e * t_1.
+# e=1.0 is the design claim for the pipeline ops; dedup/similarity ops
+# are kept at e=1.0 TOO because the scaled corpus perturbs text and
+# embeddings per copy (below) so near-dup cluster DENSITY stays
+# constant — exact-duplicate blowup would otherwise make candidate
+# pairs (and the true output) grow K², which is the data's fault, not
+# the plan's. join_theta_range's output genuinely grows ~K² (band
+# predicates over an overlaid value space), so it carries e=2.
+HEAVY_OPS = [
+    ("text_char_trigram_signature", 1.0),
+    ("profile_summary", 1.0),
+    ("text_ngram_profile", 1.0),
+    ("customer_supplier_switching", 1.0),
+    ("part_demand_classification", 1.0),
+    ("win_distribution", 1.0),
+    ("supplier_dual_sourcing_coverage", 1.0),
+    ("sample_poisson_bootstrap", 1.0),
+    ("ml_rank_auc", 1.0),
+    ("orders_reconciliation", 1.0),
+    ("text_token_head_coverage", 1.0),
+    ("agg_weighted_median", 1.0),
+    ("text_repetition_score", 1.0),
+    ("agg_median_twophase", 1.0),
+    ("dedup_fuzzy_minhash", 1.0),
+    ("dedup_simhash", 1.0),
+    ("text_contamination_ngram", 1.0),
+    ("orders_abc_class", 1.0),
+    ("customer_ltv_deciles", 1.0),
+    ("events_power_users_pareto", 1.0),
+    ("text_zipf_slope", 1.0),
+    ("orders_skyline_2d", 1.0),
+    ("join_theta_range", 2.0),
+]
+
+SLACK = 2.5  # fixed-overhead + timing-noise allowance on t_K <= SLACK*K^e*t_1
+SKEW_MAX_SHARE = 0.35  # slowest task's share of stage task-time
+SKEW_MIN_TASKS = 16  # only stages wide enough for the share to mean skew
+SKEW_MIN_STAGE_MS = 3000  # only stages with real work
+
+
+def _build_scaled(spark, k: int) -> str:
+    """K FK-consistent shards of the sf0.1 star schema, written once per
+    process. Text and embeddings are perturbed per copy (deterministic,
+    length-preserving) so the scaled corpus has the same near-duplicate
+    DENSITY as the original instead of k exact copies of every doc."""
+    from pyspark.sql import functions as F
+
+    out = scratch_dir(f"scale_stress_k{k}")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for t in TABLES:
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        if t in ("region", "nation"):
+            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            continue
+        copies = []
+        for i in range(k):
+            c = df
+            for kc in KEY_COLS.get(t, []):
+                c = c.withColumn(kc, F.col(kc) + F.lit(i * SHIFT))
+            if t == "documents" and i > 0:
+                # rotate the alphabet by i: same length/whitespace
+                # structure, different shingles per copy
+                rot = alpha[i % 26 :] + alpha[: i % 26]
+                c = c.withColumn("text", F.translate("text", alpha, rot))
+            if t == "embeddings" and i > 0:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: x
+                        + (F.lit(float(i)) * 0.01) * F.cos(j.cast("double")),
+                    ),
+                )
+            copies.append(c)
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        scaled.repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    with open(marker, "w") as f:
+        f.write(str(k))
+    return out
+
+
+def _timed_run(spark, fn, sf: str, group: str) -> tuple[float, list[int]]:
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    t0 = time.time()
+    fn(spark, sf).collect()
+    secs = time.time() - t0
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    stage_ids = []
+    for j in jobs:
+        ji = sc.statusTracker().getJobInfo(j)
+        if ji is not None:
+            stage_ids += list(ji.stageIds)
+    return secs, stage_ids
+
+
+def _stage_skews(spark, stage_ids: list[int]) -> list[tuple[int, float, int, int]]:
+    """(stage_id, max_task_share, n_tasks, total_ms) for qualifying
+    stages, via the live AppStatusStore (the same numbers the UI's
+    stage page shows)."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    out = []
+    for sid in set(stage_ids):
+        try:
+            tl = store.taskList(sid, 0, 100_000)
+        except Exception:
+            continue
+        durs = []
+        for i in range(tl.size()):
+            d = tl.apply(i).duration()
+            if d.nonEmpty():
+                durs.append(int(d.get()))
+        if len(durs) < SKEW_MIN_TASKS or sum(durs) < SKEW_MIN_STAGE_MS:
+            continue
+        out.append((sid, max(durs) / sum(durs), len(durs), sum(durs)))
+    return out
+
+
+def test_heavy_ops_scale_linearly_and_unskewed(spark):
+    from dataengineeringutils_spark.registry import queries
+
+    qs = queries()
+    scaled = _build_scaled(spark, K)
+    report = {}
+    failures = []
+    for name, e in HEAVY_OPS:
+        fn = qs[name]
+        # warm both scales once (plan compile, broadcast build, caches),
+        # then take the better of 2 timed runs per scale
+        fn(spark, BASE).collect()
+        t1 = min(_timed_run(spark, fn, BASE, f"ss_{name}_b{r}")[0] for r in range(2))
+        fn(spark, scaled).collect()
+        best_k, stages = None, []
+        for r in range(2):
+            secs, sids = _timed_run(spark, fn, scaled, f"ss_{name}_k{r}")
+            if best_k is None or secs < best_k:
+                best_k = secs
+            stages += sids
+        bound = SLACK * (K**e) * t1
+        skews = _stage_skews(spark, stages)
+        worst_skew = max((s[1] for s in skews), default=0.0)
+        report[name] = {
+            "t_sf0.1": round(t1, 3),
+            f"t_x{K}": round(best_k, 3),
+            "ratio": round(best_k / t1, 2),
+            "bound": round(bound, 2),
+            "exponent": e,
+            "worst_stage_share": round(worst_skew, 3),
+            "n_qualifying_stages": len(skews),
+        }
+        if best_k > bound:
+            failures.append(
+                f"{name}: t_x{K}={best_k:.2f}s > bound {bound:.2f}s "
+                f"(t1={t1:.2f}s, e={e})"
+            )
+        for sid, share, n, tot in skews:
+            if share > SKEW_MAX_SHARE:
+                failures.append(
+                    f"{name}: stage {sid} skew-bound — max task {share:.0%} "
+                    f"of {tot}ms across {n} tasks"
+                )
+    with open(os.path.join(os.path.dirname(__file__), "..", "SCALE_STRESS.json"), "w") as f:
+        json.dump({"k": K, "base": BASE, "ops": report}, f, indent=1, sort_keys=True)
+    assert not failures, "\n".join(failures)
