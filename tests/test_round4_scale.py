@@ -151,3 +151,76 @@ def test_qte_two_phase_path_matches_local_path(spark, monkeypatch):
     two_phase = ea.events_quantile_treatment_effect(spark, SF)
     rows_two = {tuple(r) for r in two_phase.collect()}
     assert rows_local == rows_two
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    descending=st.booleans(),
+    n_cuts=st.integers(min_value=0, max_value=5),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_two_phase_sum_carry_matches_window(spark, rows, descending, n_cuts):
+    """Round-6 extension: with sum_col set, the helper's running sum and
+    grand total must equal SUM() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING) / SUM() OVER () for ANY cut set — exact DECIMAL carry
+    through the driver prefix scan included (sum_col is the DECIMAL cast
+    of the value so boundary/None buckets hit the Decimal path)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from dataengineeringutils_spark.operators.windows import (
+        two_phase_global_rank,
+    )
+
+    df = spark.createDataFrame(rows, "v int, tie int").withColumn(
+        "amt", (F.col("tie") % 7 + 1).cast("decimal(10,2)") / 4
+    )
+    vals = sorted({v for v, _ in rows if v is not None})
+    pool = vals + [-1000, 1000] + (vals[:1] + vals[-1:])
+    cuts = sorted(set(pool[:n_cuts]))
+    got = {
+        (r["tie"], r["rn"], Decimal(r["cum"]), Decimal(r["total"]))
+        for r in two_phase_global_rank(
+            df,
+            "v",
+            "tie",
+            cuts,
+            descending=descending,
+            sum_col="amt",
+            sum_total_name="total",
+            cum_sum_name="cum",
+        ).collect()
+    }
+
+    def key(t):
+        v, tie = t
+        if descending:
+            return (1 if v is None else 0, 0 if v is None else -v, tie)
+        return (0 if v is None else 1, 0 if v is None else v, tie)
+
+    # model the running sum from the rows Spark actually produced (the
+    # engine's decimal division scale is its own business)
+    by_tie = {}
+    for r in df.collect():
+        by_tie[r["tie"]] = Decimal(r["amt"])
+    ordered = sorted(rows, key=key)
+    total = sum(by_tie[t] for _, t in ordered)
+    run = Decimal(0)
+    want = set()
+    for i, (_, tie) in enumerate(ordered):
+        run += by_tie[tie]
+        want.add((tie, i + 1, run, total))
+    assert got == want
