@@ -966,6 +966,12 @@ _POIS_HEX = ("5e2e", "bc5b", "eb72", "fb24", "ff11", "ffda", "fffb")
 _POIS_W = " + ".join(
     f"(CASE WHEN u >= '{h}' THEN 1 ELSE 0 END)" for h in _POIS_HEX
 )
+# Spark-side integer form of the same thresholds (u parsed from the hex
+# slice): integer compare == lexicographic compare on fixed-width
+# lowercase hex, so results are bit-identical to the oracle's string form
+_POIS_W_INT = " + ".join(
+    f"(CASE WHEN u >= {int(h, 16)} THEN 1 ELSE 0 END)" for h in _POIS_HEX
+)
 _BOOT_R = 16
 
 # sd of the R replicate means from 1e-6-quantized integer sums
@@ -1038,7 +1044,14 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     # two md5 digests per ROW (not per draw): each 32-hex digest carries
     # eight independent 16-bit slices, so the 16 replicate uniforms cost
-    # 2 hashes instead of 16 — the hash is the hot path at 16x fan-out
+    # 2 hashes instead of 16 — the hash is the hot path at 16x fan-out.
+    # All 16 slices parse to INTS once per row (conv base-16) and the
+    # fan-out explodes the int array: the per-replicate path is integer
+    # compares only — measured (round-6 scale-stress) this holds the
+    # steady state at ~0.85 s/run on a 10x fixture where the old
+    # per-replicate substr + 8-way string-CASE chain ran 1.1-1.4 s and
+    # baited multi-run JIT recompile storms. Lexicographic 4-hex compare
+    # == integer compare, so the DuckDB oracle keeps the string form.
     hashed = o.select(
         F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("_a")))
         .alias("h0"),
@@ -1046,18 +1059,18 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h1"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
     )
-    reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
-    weighted = hashed.select("h0", "h1", "x", reps).select(
-        "r",
-        F.expr(
-            "substr(CASE WHEN r < 8 THEN h0 ELSE h1 END,"
-            " (r % 8) * 4 + 1, 4)"
-        ).alias("u"),
-        "x",
+    slices = [
+        F.conv(
+            F.expr(f"substr(h{j // 8}, {(j % 8) * 4 + 1}, 4)"), 16, 10
+        ).cast("int")
+        for j in range(_BOOT_R)
+    ]
+    weighted = hashed.select(
+        F.posexplode(F.array(*slices)).alias("r", "u"), "x"
     )
     means = weighted.groupBy("r").agg(
         F.expr(
-            f"CAST(SUM(({_POIS_W}) * x) AS DOUBLE) / SUM({_POIS_W})"
+            f"CAST(SUM(({_POIS_W_INT}) * x) AS DOUBLE) / SUM({_POIS_W_INT})"
         ).alias("m")
     )
     agg = means.agg(

@@ -206,7 +206,11 @@ def test_heavy_ops_scale_linearly_and_unskewed(spark):
         t1 = min(_timed_run(spark, fn, BASE, f"ss_{name}_b{r}")[0] for r in range(2))
         fn(spark, scaled).collect()
         best_k, stages = None, []
-        for r in range(2):
+        # best-of-3: a one-time C2 compile storm on a freshly-hot huge
+        # generated method can spike ONE run by 20-30 s (observed on the
+        # bootstrap op); best-of-N measures the steady state the claim
+        # is about, and the skew check still sees every run's stages
+        for r in range(3):
             secs, sids = _timed_run(spark, fn, scaled, f"ss_{name}_k{r}")
             if best_k is None or secs < best_k:
                 best_k = secs
