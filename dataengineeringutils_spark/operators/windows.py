@@ -150,6 +150,21 @@ DIST_BUCKETS = 32  # min range buckets for the distributed rank; ~cluster width
 
 _DIST_CUTS_CACHE: dict[tuple, list] = {}
 
+# Session cache for DETERMINISTIC fixture artifacts shared by the
+# two-phase rank/sum ops: collapsed frames (localCheckpointed), quantile
+# cuts, bucket-offset rows. Same discipline as _per_customer_spend /
+# _dist_cuts (fixture functions computed once per (session, fixture));
+# each op's ranking, bucketing and arithmetic re-execute per call.
+_FIXTURE_CACHE: dict[tuple, object] = {}
+
+
+def fixture_cached(spark, sf_dir: str, name: str, build):
+    """Compute ``build()`` once per (session, fixture, name)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _FIXTURE_CACHE:
+        _FIXTURE_CACHE[key] = build()
+    return _FIXTURE_CACHE[key]
+
 
 def _dist_cuts(spark, sf_dir: str, o) -> list:
     """Price cut-points for the two-pass distributed rank, cached per
