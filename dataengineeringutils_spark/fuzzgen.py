@@ -1,0 +1,607 @@
+"""Differential query fuzzer: seeded AST -> (DataFrame plan, ANSI SQL).
+
+The 483 registered operators each carry a hand-written DuckDB oracle
+(SURVEY.md §2); this module adds the complementary evidence class — a
+*generative* gate that explores the expression space the hand-written
+oracles can't enumerate. One seeded random AST is rendered twice:
+
+* through the PySpark **DataFrame API** (``Column`` expression layer,
+  the same code path every operator in this repo uses), and
+* as an **ANSI SQL** string executed by DuckDB on the same parquet.
+
+Any divergence in rows, schema, or values (exact for ints/strings/
+dates, ULP-tolerant for float aggregation whose accumulation order is
+engine-defined) is a bug in one engine, the renderer, or — the case
+this gate exists to catch — a semantic misunderstanding baked into how
+this repo composes Spark expressions.
+
+Grammar (kept to the dialect-common core so a mismatch is always a
+finding, never a dialect argument):
+
+* shapes: global aggregate, grouped aggregate (1-2 keys, optional
+  HAVING), keyed projection (ORDER BY pk LIMIT n), FK-join aggregate;
+* scalar exprs: arithmetic (+,-,*, /const), ABS, CASE WHEN;
+* predicates: numeric/date comparisons, categorical =/IN, AND/OR/NOT;
+* group keys: categorical columns, YEAR()/MONTH() of timestamps,
+  SUBSTRING of categoricals;
+* aggregates: SUM/AVG/MIN/MAX over scalar exprs, COUNT(*),
+  COUNT(col), COUNT(DISTINCT int-or-cat).
+
+Floats never appear in equality predicates or group keys, every query
+carries an exact-typed key set that uniquely identifies output rows,
+and every output column is explicitly aliased on both sides — so the
+comparison (sort by keys, exact cells, tolerance only on float
+measures) is deterministic per seed.
+
+Scale note (100 TB): the fuzzer is a test-time artifact; the queries it
+emits are single-pass scan->filter->hash-agg or FK-join->hash-agg plans
+with pushed filters — the same shapes the operator library emits, at
+toy SF. It exists to pin semantics, not to benchmark.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineeringutils_spark.tables import table
+
+# --------------------------------------------------------------------
+# Typed catalog of the fixture tables (domains sampled from sf0.001;
+# generated constants stay inside [lo, hi] so predicates are selective
+# but rarely empty).
+# --------------------------------------------------------------------
+
+CATALOG: dict[str, dict[str, Any]] = {
+    "orders": {
+        "pk": ["o_orderkey"],
+        "num": {"o_totalprice": (1000.0, 500000.0)},
+        "int": {"o_custkey": (1, 15000)},
+        "cat": {
+            "o_orderstatus": ["F", "O", "P"],
+            "o_orderpriority": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+            ],
+        },
+        "date": {"o_orderdate": (1995, 2001)},
+    },
+    "lineitem": {
+        # NOT unique in the synthetic fixture (duplicate (orderkey,
+        # linenumber) pairs exist) — lineitem is excluded from the
+        # keyed-projection shape, where LIMIT ties would be ambiguous.
+        "pk": ["l_orderkey", "l_linenumber"],
+        "pk_unique": False,
+        "num": {
+            "l_quantity": (1.0, 50.0),
+            "l_extendedprice": (900.0, 105000.0),
+            "l_discount": (0.0, 0.1),
+            "l_tax": (0.0, 0.09),
+        },
+        "int": {"l_suppkey": (1, 1000), "l_partkey": (1, 20000)},
+        "cat": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["F", "O"],
+        },
+        "date": {"l_shipdate": (1995, 2001)},
+    },
+    "customer": {
+        "pk": ["c_custkey"],
+        "num": {"c_acctbal": (-900.0, 9950.0)},
+        "int": {"c_nationkey": (0, 24)},
+        "cat": {
+            "c_mktsegment": [
+                "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+            ],
+        },
+        "date": {},
+    },
+    "part": {
+        "pk": ["p_partkey"],
+        "num": {"p_retailprice": (900.0, 920.0)},
+        "int": {"p_size": (1, 50)},
+        "cat": {
+            "p_type": [
+                "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD",
+            ],
+            "p_brand": ["Brand#1", "Brand#2", "Brand#13", "Brand#21", "Brand#34"],
+        },
+        "date": {},
+    },
+    "supplier": {
+        "pk": ["s_suppkey"],
+        "num": {"s_acctbal": (-900.0, 9950.0)},
+        "int": {"s_nationkey": (0, 24)},
+        "cat": {},
+        "date": {},
+    },
+    "events": {
+        "pk": ["event_id"],
+        "num": {"value": (0.0, 330.0)},
+        "int": {"user_id": (0, 14)},
+        "cat": {
+            "event_type": ["click", "error", "purchase", "signup", "view"],
+        },
+        "date": {},  # ts spans one month; YEAR/MONTH keys degenerate
+    },
+    "documents": {
+        "pk": ["doc_id"],
+        "num": {},
+        "int": {"n_chars": (40, 560)},
+        "cat": {
+            "lang": ["de", "en", "es", "fr", "zh"],
+            "source": ["src0", "src3", "src7", "src12", "src19"],
+        },
+        "date": {},
+    },
+}
+
+# FK edges for the join shape: (fact, fact_col, dim, dim_col).
+FK_JOINS: list[tuple[str, str, str, str]] = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+_CMPS = ["<", "<=", ">", ">="]
+
+
+# --------------------------------------------------------------------
+# AST generation. Nodes are plain tuples; the first element is the tag.
+# --------------------------------------------------------------------
+
+
+def _gen_num_expr(rng: random.Random, tab: dict, depth: int = 0) -> tuple:
+    """Numeric scalar expression over one table's num/int columns."""
+    nums = list(tab["num"]) + list(tab["int"])
+    if depth >= 2 or rng.random() < 0.45:
+        return ("col", rng.choice(nums))
+    r = rng.random()
+    if r < 0.35:
+        op = rng.choice(["+", "-", "*"])
+        return ("bin", op, _gen_num_expr(rng, tab, depth + 1),
+                _gen_num_expr(rng, tab, depth + 1))
+    if r < 0.55:
+        # divide by a non-zero constant only: double division both sides
+        return ("bin", "/", _gen_num_expr(rng, tab, depth + 1),
+                ("lit", round(rng.uniform(1.5, 97.0), 3)))
+    if r < 0.7:
+        return ("abs", _gen_num_expr(rng, tab, depth + 1))
+    return ("case", _gen_pred(rng, tab, depth + 1),
+            _gen_num_expr(rng, tab, depth + 1),
+            _gen_num_expr(rng, tab, depth + 1))
+
+
+def _gen_pred(rng: random.Random, tab: dict, depth: int = 0) -> tuple:
+    """Boolean predicate over one table (no float equality)."""
+    if depth < 2 and rng.random() < 0.3:
+        op = rng.choice(["and", "or"])
+        p = (op, _gen_pred(rng, tab, depth + 1), _gen_pred(rng, tab, depth + 1))
+        return ("not", p) if rng.random() < 0.15 else p
+    choices = []
+    if tab["num"] or tab["int"]:
+        choices.append("numcmp")
+    if tab["cat"]:
+        choices += ["cateq", "catin"]
+    if tab["date"]:
+        choices.append("datecmp")
+    kind = rng.choice(choices)
+    if kind == "numcmp":
+        allnum = {**tab["num"], **tab["int"]}
+        c = rng.choice(list(allnum))
+        lo, hi = allnum[c]
+        v = rng.uniform(lo, hi)
+        if c in tab["int"]:
+            v = int(v)
+        else:
+            v = round(v, 4)
+        return ("cmp", rng.choice(_CMPS), ("col", c), ("lit", v))
+    if kind == "cateq":
+        c = rng.choice(list(tab["cat"]))
+        return ("cateq", c, rng.choice(tab["cat"][c]))
+    if kind == "catin":
+        c = rng.choice(list(tab["cat"]))
+        vals = sorted(rng.sample(tab["cat"][c], k=min(len(tab["cat"][c]),
+                                                      rng.randint(1, 3))))
+        return ("catin", c, vals)
+    c = rng.choice(list(tab["date"]))
+    y0, y1 = tab["date"][c]
+    lit = f"{rng.randint(y0, y1)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    return ("cmp", rng.choice(_CMPS), ("col", c), ("datelit", lit))
+
+
+def _gen_key(rng: random.Random, tab: dict) -> tuple:
+    """Exact-typed group key: categorical, YEAR/MONTH, or SUBSTRING."""
+    choices = []
+    if tab["cat"]:
+        choices += ["cat", "cat", "substr"]
+    if tab["date"]:
+        choices += ["year", "month"]
+    if tab["int"]:
+        choices.append("int")
+    kind = rng.choice(choices)
+    if kind == "cat":
+        return ("col", rng.choice(list(tab["cat"])))
+    if kind == "substr":
+        return ("substr", rng.choice(list(tab["cat"])), rng.randint(1, 3))
+    if kind == "int":
+        return ("col", rng.choice(list(tab["int"])))
+    return (kind, rng.choice(list(tab["date"])))
+
+
+def _gen_agg(rng: random.Random, tab: dict) -> tuple:
+    r = rng.random()
+    if r < 0.12:
+        return ("countstar",)
+    if r < 0.22:
+        allcols = list(tab["num"]) + list(tab["int"]) + list(tab["cat"])
+        return ("count", rng.choice(allcols))
+    if r < 0.34:
+        dcols = list(tab["int"]) + list(tab["cat"])
+        if dcols:
+            return ("countd", rng.choice(dcols))
+        return ("countstar",)
+    fn = rng.choice(["sum", "avg", "min", "max"])
+    return (fn, _gen_num_expr(rng, tab))
+
+
+def gen_query(seed: int) -> dict:
+    """One seeded query AST. Same seed -> identical AST forever."""
+    rng = random.Random(seed)
+    shape = rng.choice(["global_agg", "group_agg", "group_agg", "proj", "join_agg"])
+    if shape == "join_agg":
+        f_name, f_col, d_name, d_col = rng.choice(FK_JOINS)
+        ft, dt = CATALOG[f_name], CATALOG[d_name]
+        where = []
+        if rng.random() < 0.7:
+            where.append(_gen_pred(rng, ft))
+        if rng.random() < 0.5:
+            where.append(_gen_pred(rng, dt))
+        # group keys come from either side; aggregates likewise
+        keys = []
+        for _ in range(rng.randint(1, 2)):
+            keys.append(_gen_key(rng, rng.choice([ft, dt])))
+        outs = [_gen_agg(rng, rng.choice([ft, dt]))
+                for _ in range(rng.randint(1, 3))]
+        return {
+            "shape": shape, "tables": (f_name, f_col, d_name, d_col),
+            "where": where, "keys": _dedup(keys), "outs": outs,
+            "having": rng.randint(1, 3) if rng.random() < 0.3 else None,
+        }
+    if shape == "proj":
+        t_name = rng.choice(
+            [t for t in CATALOG if CATALOG[t].get("pk_unique", True)]
+        )
+    else:
+        t_name = rng.choice(list(CATALOG))
+    tab = CATALOG[t_name]
+    where = [_gen_pred(rng, tab)] if rng.random() < 0.8 else []
+    if shape == "global_agg":
+        outs = [_gen_agg(rng, tab) for _ in range(rng.randint(1, 4))]
+        return {"shape": shape, "tables": t_name, "where": where,
+                "keys": [], "outs": outs, "having": None}
+    if shape == "group_agg":
+        keys = _dedup([_gen_key(rng, tab) for _ in range(rng.randint(1, 2))])
+        outs = [_gen_agg(rng, tab) for _ in range(rng.randint(1, 3))]
+        return {"shape": shape, "tables": t_name, "where": where,
+                "keys": keys, "outs": outs,
+                "having": rng.randint(1, 3) if rng.random() < 0.3 else None}
+    # proj: pk + scalar exprs, ORDER BY pk LIMIT n
+    n_out = rng.randint(1, 3)
+    outs = []
+    for _ in range(n_out):
+        if (tab["num"] or tab["int"]) and rng.random() < 0.7:
+            outs.append(("scalar_num", _gen_num_expr(rng, tab)))
+        elif tab["cat"]:
+            c = rng.choice(list(tab["cat"]))
+            outs.append(("scalar_str",
+                         rng.choice([("upper", c), ("length", c),
+                                     ("substr", c, rng.randint(1, 4))])))
+        else:
+            outs.append(("scalar_num", _gen_num_expr(rng, tab)))
+    return {"shape": shape, "tables": t_name, "where": where,
+            "keys": [("col", c) for c in tab["pk"]], "outs": outs,
+            "having": None, "limit": rng.choice([20, 50, 100])}
+
+
+def _dedup(keys: list[tuple]) -> list[tuple]:
+    seen, out = set(), []
+    for k in keys:
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
+# --------------------------------------------------------------------
+# SQL renderer (DuckDB side).
+# --------------------------------------------------------------------
+
+
+def _sql_expr(e: tuple) -> str:
+    tag = e[0]
+    if tag == "col":
+        return e[1]
+    if tag == "lit":
+        return repr(e[1])
+    if tag == "datelit":
+        return f"TIMESTAMP '{e[1]}'"
+    if tag == "bin":
+        return f"({_sql_expr(e[2])} {e[1]} {_sql_expr(e[3])})"
+    if tag == "abs":
+        return f"ABS({_sql_expr(e[1])})"
+    if tag == "case":
+        return (f"(CASE WHEN {_sql_pred(e[1])} THEN {_sql_expr(e[2])} "
+                f"ELSE {_sql_expr(e[3])} END)")
+    raise ValueError(f"expr {e}")
+
+
+def _sql_pred(p: tuple) -> str:
+    tag = p[0]
+    if tag == "cmp":
+        return f"({_sql_expr(p[2])} {p[1]} {_sql_expr(p[3])})"
+    if tag == "cateq":
+        return f"({p[1]} = '{p[2]}')"
+    if tag == "catin":
+        vals = ", ".join(f"'{v}'" for v in p[2])
+        return f"({p[1]} IN ({vals}))"
+    if tag in ("and", "or"):
+        return f"({_sql_pred(p[1])} {tag.upper()} {_sql_pred(p[2])})"
+    if tag == "not":
+        return f"(NOT {_sql_pred(p[1])})"
+    raise ValueError(f"pred {p}")
+
+
+def _sql_key(k: tuple) -> str:
+    tag = k[0]
+    if tag == "col":
+        return k[1]
+    if tag == "year":
+        return f"CAST(EXTRACT(YEAR FROM {k[1]}) AS BIGINT)"
+    if tag == "month":
+        return f"CAST(EXTRACT(MONTH FROM {k[1]}) AS BIGINT)"
+    if tag == "substr":
+        return f"SUBSTRING({k[1]}, 1, {k[2]})"
+    raise ValueError(f"key {k}")
+
+
+def _sql_agg(a: tuple) -> str:
+    tag = a[0]
+    if tag == "countstar":
+        return "COUNT(*)"
+    if tag == "count":
+        return f"COUNT({a[1]})"
+    if tag == "countd":
+        return f"COUNT(DISTINCT {a[1]})"
+    fn = {"sum": "SUM", "avg": "AVG", "min": "MIN", "max": "MAX"}[tag]
+    return f"CAST({fn}({_sql_expr(a[1])}) AS DOUBLE)"
+
+
+def _sql_scalar(o: tuple) -> str:
+    if o[0] == "scalar_num":
+        return f"CAST({_sql_expr(o[1])} AS DOUBLE)"
+    s = o[1]
+    if s[0] == "upper":
+        return f"UPPER({s[1]})"
+    if s[0] == "length":
+        return f"CAST(LENGTH({s[1]}) AS BIGINT)"
+    return f"SUBSTRING({s[1]}, 1, {s[2]})"
+
+
+def to_sql(q: dict) -> str:
+    """Render the AST as ANSI SQL for DuckDB (fixture views pre-registered)."""
+    if q["shape"] == "join_agg":
+        f_name, f_col, d_name, d_col = q["tables"]
+        frm = f"{f_name} JOIN {d_name} ON {f_name}.{f_col} = {d_name}.{d_col}"
+    else:
+        frm = q["tables"]
+    where = ""
+    if q["where"]:
+        where = " WHERE " + " AND ".join(_sql_pred(p) for p in q["where"])
+    sel, grp = [], []
+    for i, k in enumerate(q["keys"]):
+        sel.append(f"{_sql_key(k)} AS k{i}")
+        grp.append(_sql_key(k))
+    if q["shape"] == "proj":
+        for i, o in enumerate(q["outs"]):
+            sel.append(f"{_sql_scalar(o)} AS c{i}")
+        order = ", ".join(f"k{i}" for i in range(len(q["keys"])))
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where} "
+                f"ORDER BY {order} LIMIT {q['limit']}")
+    for i, o in enumerate(q["outs"]):
+        sel.append(f"{_sql_agg(o)} AS c{i}")
+    sql = f"SELECT {', '.join(sel)} FROM {frm}{where}"
+    if grp:
+        sql += " GROUP BY " + ", ".join(grp)
+    if q["having"] is not None and grp:
+        sql += f" HAVING COUNT(*) >= {q['having']}"
+    return sql
+
+
+# --------------------------------------------------------------------
+# DataFrame renderer (Spark side) — the layer under test.
+# --------------------------------------------------------------------
+
+
+def _sp_expr(e: tuple) -> Column:
+    tag = e[0]
+    if tag == "col":
+        return F.col(e[1])
+    if tag == "lit":
+        return F.lit(e[1])
+    if tag == "datelit":
+        return F.lit(e[1]).cast("timestamp")
+    if tag == "bin":
+        a, b = _sp_expr(e[2]), _sp_expr(e[3])
+        return {"+": a + b, "-": a - b, "*": a * b,
+                "/": a.cast("double") / b}[e[1]]
+    if tag == "abs":
+        return F.abs(_sp_expr(e[1]))
+    if tag == "case":
+        return F.when(_sp_pred(e[1]), _sp_expr(e[2])).otherwise(_sp_expr(e[3]))
+    raise ValueError(f"expr {e}")
+
+
+def _sp_pred(p: tuple) -> Column:
+    tag = p[0]
+    if tag == "cmp":
+        a, b = _sp_expr(p[2]), _sp_expr(p[3])
+        return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[p[1]]
+    if tag == "cateq":
+        return F.col(p[1]) == F.lit(p[2])
+    if tag == "catin":
+        return F.col(p[1]).isin(p[2])
+    if tag == "and":
+        return _sp_pred(p[1]) & _sp_pred(p[2])
+    if tag == "or":
+        return _sp_pred(p[1]) | _sp_pred(p[2])
+    if tag == "not":
+        return ~_sp_pred(p[1])
+    raise ValueError(f"pred {p}")
+
+
+def _sp_key(k: tuple) -> Column:
+    tag = k[0]
+    if tag == "col":
+        return F.col(k[1])
+    if tag == "year":
+        return F.year(k[1]).cast("long")
+    if tag == "month":
+        return F.month(k[1]).cast("long")
+    if tag == "substr":
+        return F.substring(k[1], 1, k[2])
+    raise ValueError(f"key {k}")
+
+
+def _sp_agg(a: tuple) -> Column:
+    tag = a[0]
+    if tag == "countstar":
+        return F.count(F.lit(1))
+    if tag == "count":
+        return F.count(a[1])
+    if tag == "countd":
+        return F.countDistinct(a[1])
+    fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[tag]
+    return fn(_sp_expr(a[1])).cast("double")
+
+
+def _sp_scalar(o: tuple) -> Column:
+    if o[0] == "scalar_num":
+        return _sp_expr(o[1]).cast("double")
+    s = o[1]
+    if s[0] == "upper":
+        return F.upper(F.col(s[1]))
+    if s[0] == "length":
+        return F.length(s[1]).cast("long")
+    return F.substring(s[1], 1, s[2])
+
+
+def to_spark(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
+    """Render the AST through the DataFrame API on the fixture parquet."""
+    if q["shape"] == "join_agg":
+        f_name, f_col, d_name, d_col = q["tables"]
+        df = table(spark, sf_dir, f_name).join(
+            table(spark, sf_dir, d_name), F.col(f_col) == F.col(d_col)
+        )
+    else:
+        df = table(spark, sf_dir, q["tables"])
+    for p in q["where"]:
+        df = df.filter(_sp_pred(p))
+    keys = [_sp_key(k).alias(f"k{i}") for i, k in enumerate(q["keys"])]
+    if q["shape"] == "proj":
+        outs = [_sp_scalar(o).alias(f"c{i}") for i, o in enumerate(q["outs"])]
+        return (df.select(*keys, *outs)
+                .orderBy(*[f"k{i}" for i in range(len(keys))])
+                .limit(q["limit"]))
+    aggs = [_sp_agg(o).alias(f"c{i}") for i, o in enumerate(q["outs"])]
+    if q["having"] is not None and keys:
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+    if keys:
+        out = df.groupBy(*keys).agg(*aggs)
+    else:
+        out = df.agg(*aggs)
+    if q["having"] is not None and keys:
+        out = out.filter(F.col("__n") >= q["having"]).drop("__n")
+    return out
+
+
+# --------------------------------------------------------------------
+# Comparison: exact on keys/ints/strings/timestamps, tolerant on float
+# measures (SUM/AVG accumulation order is engine-defined).
+# --------------------------------------------------------------------
+
+
+def compare_frames(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
+    rtol: float = 1e-9, atol: float = 1e-12,
+) -> list[str]:
+    """Return a list of divergence descriptions (empty == match)."""
+    issues: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return [f"columns: spark={sorted(spark_pdf.columns)} "
+                f"duck={sorted(duck_pdf.columns)}"]
+    if len(spark_pdf) != len(duck_pdf):
+        return [f"rows: spark={len(spark_pdf)} duck={len(duck_pdf)}"]
+    if len(spark_pdf) == 0:
+        return []
+    cols = sorted(spark_pdf.columns)
+    key_cols = [c for c in cols if c.startswith("k")]
+    s = spark_pdf[cols]
+    d = duck_pdf[cols]
+    sort_by = key_cols if key_cols else cols
+    # sort keys are exact-typed by construction; fall back to full-row
+    # repr sort for the keyless (single-row global agg) shape
+    if key_cols:
+        s = s.sort_values(sort_by, kind="mergesort").reset_index(drop=True)
+        d = d.sort_values(sort_by, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            a = sv.astype(float).to_numpy()
+            b = dv.astype(float).to_numpy()
+            ok = np.isclose(a, b, rtol=rtol, atol=atol, equal_nan=True)
+            ok |= np.isnan(a) & np.isnan(b)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                issues.append(f"{c}: {a[i]!r} vs {b[i]!r} @row {i} "
+                              f"({int((~ok).sum())} diffs)")
+        else:
+            av = [_canon(v) for v in sv.tolist()]
+            bv = [_canon(v) for v in dv.tolist()]
+            if av != bv:
+                bad = [i for i, (x, y) in enumerate(zip(av, bv)) if x != y]
+                i = bad[0]
+                issues.append(f"{c}: {av[i]!r} vs {bv[i]!r} @row {i} "
+                              f"({len(bad)} diffs)")
+    return issues
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
+
+
+def run_case(spark: SparkSession, con, sf_dir: str, seed: int) -> dict:
+    """Run one seed end-to-end; returns {seed, ok, sql, issues}."""
+    q = gen_query(seed)
+    sql = to_sql(q)
+    try:
+        spark_pdf = to_spark(spark, sf_dir, q).toPandas()
+        duck_pdf = con.execute(sql).df()
+        issues = compare_frames(spark_pdf, duck_pdf)
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        issues = [f"exception: {type(e).__name__}: {e}"]
+    return {"seed": seed, "ok": not issues, "sql": sql, "issues": issues}
