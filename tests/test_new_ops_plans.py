@@ -88,12 +88,20 @@ def test_arrow_quantize_crosses_python_once(spark, sf_dir):
     assert "MapInPandas" not in plan
 
 
-def test_profile_summary_is_single_scan(spark, sf_dir):
+def test_profile_summary_distincts_are_pruned_subtrees(spark, sf_dir):
     df = queries()["profile_summary"](spark, sf_dir)
     tree = _plan(df).split("\n\n")[0]
-    # One scan feeds every per-column metric (the oracle needs four).
-    assert tree.count("Scan parquet") == 1, tree
-    assert "Expand" in tree  # multi-distinct planning
+    # Base aggregate = 1 scan; each of the 4 exact-distinct counts is its
+    # own column-pruned scan + partial-distinct subtree (no Expand fan-out,
+    # no full-row repartition), crossed back as a broadcast 1-row frame.
+    assert tree.count("Scan parquet") == 5, tree
+    assert "Expand" not in tree, tree
+    # Every distinct subtree's scan must read exactly one column.
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _plan(df))
+    single_col = [s for s in schemas if s.count(",") == 0]
+    assert len(single_col) == 4, schemas
 
 
 def test_kmeans_stays_jvm_side(spark, sf_dir):
