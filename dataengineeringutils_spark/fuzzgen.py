@@ -19,7 +19,12 @@ Grammar (kept to the dialect-common core so a mismatch is always a
 finding, never a dialect argument):
 
 * shapes: global aggregate, grouped aggregate (1-2 keys, optional
-  HAVING), keyed projection (ORDER BY pk LIMIT n), FK-join aggregate;
+  HAVING), keyed projection (ORDER BY pk LIMIT n), FK-join aggregate,
+  dim-LEFT-JOIN-filtered-fact aggregate (NULL/zero semantics of
+  COUNT/SUM over unmatched rows), set operation (UNION/INTERSECT/
+  EXCEPT distinct semantics), window over a unique-pk table
+  (ROW_NUMBER / RANK / running SUM, optional top-k filter), and
+  two-level aggregation (re-aggregate of a grouped inner aggregate);
 * scalar exprs: arithmetic (+,-,*, /const), ABS, CASE WHEN;
 * predicates: numeric/date comparisons, categorical =/IN, AND/OR/NOT;
 * group keys: categorical columns, YEAR()/MONTH() of timestamps,
@@ -254,7 +259,87 @@ def _gen_agg(rng: random.Random, tab: dict) -> tuple:
 def gen_query(seed: int) -> dict:
     """One seeded query AST. Same seed -> identical AST forever."""
     rng = random.Random(seed)
-    shape = rng.choice(["global_agg", "group_agg", "group_agg", "proj", "join_agg"])
+    shape = rng.choice(
+        [
+            "global_agg", "group_agg", "group_agg", "proj", "join_agg",
+            "left_join_agg", "setop", "window", "agg_of_agg",
+        ]
+    )
+    if shape == "left_join_agg":
+        # dim LEFT JOIN (fact WHERE pred): unmatched dim rows exercise
+        # COUNT(col)=0 vs SUM(expr)=NULL semantics on both engines.
+        f_name, f_col, d_name, d_col = rng.choice(FK_JOINS)
+        ft, dt = CATALOG[f_name], CATALOG[d_name]
+        fact_where = _gen_pred(rng, ft)  # always filtered: guarantees misses
+        dim_where = [_gen_pred(rng, dt)] if rng.random() < 0.4 else []
+        keys = _dedup([_gen_key(rng, dt) for _ in range(rng.randint(1, 2))])
+        outs = [("countstar",), ("count", rng.choice(
+            list(ft["num"]) + list(ft["int"])))]
+        if rng.random() < 0.7:
+            outs.append(("sum", _gen_num_expr(rng, ft)))
+        if rng.random() < 0.4:
+            outs.append(("max", _gen_num_expr(rng, ft)))
+        return {
+            "shape": shape, "tables": (f_name, f_col, d_name, d_col),
+            "fact_where": fact_where, "where": dim_where,
+            "keys": keys, "outs": outs, "having": None,
+        }
+    if shape == "setop":
+        # one exact-typed column list, two predicates, distinct set
+        # semantics (UNION / INTERSECT / EXCEPT).
+        t_name = rng.choice(list(CATALOG))
+        tab = CATALOG[t_name]
+        pool = list(tab["cat"]) + list(tab["int"]) + tab["pk"]
+        cols = sorted(rng.sample(pool, k=min(len(pool), rng.randint(1, 2))))
+        return {
+            "shape": shape, "tables": t_name, "op": rng.choice(
+                ["union", "intersect", "except"]),
+            "cols": cols,
+            "where": [_gen_pred(rng, tab)], "where2": [_gen_pred(rng, tab)],
+            "keys": [], "outs": [], "having": None,
+        }
+    if shape == "window":
+        # unique-pk tables only: ROW_NUMBER ordered by pk is then total.
+        t_name = rng.choice(
+            [t for t in CATALOG if CATALOG[t].get("pk_unique", True)]
+        )
+        tab = CATALOG[t_name]
+        pk = tab["pk"][0]
+        part = _gen_key(rng, tab)
+        wfuncs = []
+        wfuncs.append(("row_number",))
+        if tab["num"] or tab["int"]:
+            if rng.random() < 0.7:
+                wfuncs.append(("running_sum", _gen_num_expr(rng, tab)))
+            if rng.random() < 0.5:
+                allnum = list(tab["num"]) + list(tab["int"])
+                wfuncs.append(("rank_by", rng.choice(allnum)))
+        return {
+            "shape": shape, "tables": t_name, "pk": pk, "part": part,
+            "wfuncs": wfuncs,
+            "where": [_gen_pred(rng, tab)] if rng.random() < 0.6 else [],
+            "keys": [], "outs": [], "having": None,
+            "topk": rng.choice([3, 5, 10]) if rng.random() < 0.5 else None,
+        }
+    if shape == "agg_of_agg":
+        # inner GROUP BY k -> (s: double, n: bigint); outer re-aggregate.
+        t_name = rng.choice(list(CATALOG))
+        tab = CATALOG[t_name]
+        inner_key = _gen_key(rng, tab)
+        inner_expr = (
+            _gen_num_expr(rng, tab) if (tab["num"] or tab["int"])
+            else ("lit", 1)
+        )
+        outer = rng.sample(
+            ["avg_s", "max_s", "min_s", "sum_s", "max_n", "sum_n", "count_g"],
+            k=rng.randint(2, 4),
+        )
+        return {
+            "shape": shape, "tables": t_name, "inner_key": inner_key,
+            "inner_expr": inner_expr, "outer": sorted(outer),
+            "where": [_gen_pred(rng, tab)] if rng.random() < 0.7 else [],
+            "keys": [], "outs": [], "having": None,
+        }
     if shape == "join_agg":
         f_name, f_col, d_name, d_col = rng.choice(FK_JOINS)
         ft, dt = CATALOG[f_name], CATALOG[d_name]
@@ -394,8 +479,72 @@ def _sql_scalar(o: tuple) -> str:
     return f"SUBSTRING({s[1]}, 1, {s[2]})"
 
 
+_OUTER_SQL = {
+    "avg_s": "CAST(AVG(s) AS DOUBLE)", "max_s": "CAST(MAX(s) AS DOUBLE)",
+    "min_s": "CAST(MIN(s) AS DOUBLE)", "sum_s": "CAST(SUM(s) AS DOUBLE)",
+    "max_n": "MAX(n)", "sum_n": "CAST(SUM(n) AS BIGINT)",
+    "count_g": "COUNT(*)",
+}
+
+
 def to_sql(q: dict) -> str:
     """Render the AST as ANSI SQL for DuckDB (fixture views pre-registered)."""
+    if q["shape"] == "left_join_agg":
+        f_name, f_col, d_name, d_col = q["tables"]
+        frm = (f"{d_name} LEFT JOIN (SELECT * FROM {f_name} WHERE "
+               f"{_sql_pred(q['fact_where'])}) f ON {d_name}.{d_col} = f.{f_col}")
+        where = ""
+        if q["where"]:
+            where = " WHERE " + " AND ".join(_sql_pred(p) for p in q["where"])
+        sel, grp = [], []
+        for i, k in enumerate(q["keys"]):
+            sel.append(f"{_sql_key(k)} AS k{i}")
+            grp.append(_sql_key(k))
+        for i, o in enumerate(q["outs"]):
+            sel.append(f"{_sql_agg(o)} AS c{i}")
+        return (f"SELECT {', '.join(sel)} FROM {frm}{where} "
+                f"GROUP BY {', '.join(grp)}")
+    if q["shape"] == "setop":
+        t = q["tables"]
+        cols = ", ".join(f"{c} AS k{i}" for i, c in enumerate(q["cols"]))
+        op = {"union": "UNION", "intersect": "INTERSECT",
+              "except": "EXCEPT"}[q["op"]]
+        w1 = " AND ".join(_sql_pred(p) for p in q["where"])
+        w2 = " AND ".join(_sql_pred(p) for p in q["where2"])
+        return (f"SELECT {cols} FROM {t} WHERE {w1} {op} "
+                f"SELECT {cols} FROM {t} WHERE {w2}")
+    if q["shape"] == "window":
+        t, pk = q["tables"], q["pk"]
+        part = _sql_key(q["part"])
+        sel = [f"{pk} AS k0", f"{part} AS g0"]
+        for i, wf in enumerate(q["wfuncs"]):
+            if wf[0] == "row_number":
+                e = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {pk})"
+            elif wf[0] == "running_sum":
+                e = (f"CAST(SUM({_sql_expr(wf[1])}) OVER (PARTITION BY {part} "
+                     f"ORDER BY {pk} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                     f"CURRENT ROW) AS DOUBLE)")
+            else:  # rank_by
+                e = f"RANK() OVER (PARTITION BY {part} ORDER BY {wf[1]}, {pk})"
+            sel.append(f"{e} AS c{i}")
+        where = ""
+        if q["where"]:
+            where = " WHERE " + " AND ".join(_sql_pred(p) for p in q["where"])
+        inner = f"SELECT {', '.join(sel)} FROM {t}{where}"
+        if q["topk"] is not None:
+            return f"SELECT * FROM ({inner}) w WHERE c0 <= {q['topk']}"
+        return inner
+    if q["shape"] == "agg_of_agg":
+        t = q["tables"]
+        where = ""
+        if q["where"]:
+            where = " WHERE " + " AND ".join(_sql_pred(p) for p in q["where"])
+        inner = (f"SELECT {_sql_key(q['inner_key'])} AS k, "
+                 f"CAST(SUM({_sql_expr(q['inner_expr'])}) AS DOUBLE) AS s, "
+                 f"COUNT(*) AS n FROM {t}{where} GROUP BY {_sql_key(q['inner_key'])}")
+        outs = ", ".join(f"{_OUTER_SQL[o]} AS c{i}"
+                         for i, o in enumerate(q["outer"]))
+        return f"SELECT {outs} FROM ({inner}) i"
     if q["shape"] == "join_agg":
         f_name, f_col, d_name, d_col = q["tables"]
         frm = f"{f_name} JOIN {d_name} ON {f_name}.{f_col} = {d_name}.{d_col}"
@@ -502,8 +651,86 @@ def _sp_scalar(o: tuple) -> Column:
     return F.substring(s[1], 1, s[2])
 
 
+_OUTER_SP = {
+    "avg_s": lambda: F.avg("s").cast("double"),
+    "max_s": lambda: F.max("s").cast("double"),
+    "min_s": lambda: F.min("s").cast("double"),
+    "sum_s": lambda: F.sum("s").cast("double"),
+    "max_n": lambda: F.max("n"),
+    "sum_n": lambda: F.sum("n"),
+    "count_g": lambda: F.count(F.lit(1)),
+}
+
+
 def to_spark(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
     """Render the AST through the DataFrame API on the fixture parquet."""
+    if q["shape"] == "left_join_agg":
+        f_name, f_col, d_name, d_col = q["tables"]
+        fact = table(spark, sf_dir, f_name).filter(_sp_pred(q["fact_where"]))
+        df = table(spark, sf_dir, d_name).join(
+            fact, F.col(d_col) == F.col(f_col), "left"
+        )
+        for p in q["where"]:
+            df = df.filter(_sp_pred(p))
+        keys = [_sp_key(k).alias(f"k{i}") for i, k in enumerate(q["keys"])]
+        aggs = [_sp_agg(o).alias(f"c{i}") for i, o in enumerate(q["outs"])]
+        return df.groupBy(*keys).agg(*aggs)
+    if q["shape"] == "setop":
+        t = table(spark, sf_dir, q["tables"])
+
+        def side(preds):
+            d = t
+            for p in preds:
+                d = d.filter(_sp_pred(p))
+            return d.select(
+                *[F.col(c).alias(f"k{i}") for i, c in enumerate(q["cols"])]
+            )
+
+        a, b = side(q["where"]), side(q["where2"])
+        if q["op"] == "union":
+            return a.union(b).distinct()
+        if q["op"] == "intersect":
+            return a.intersect(b)
+        return a.subtract(b)  # EXCEPT (distinct) semantics
+    if q["shape"] == "window":
+        from pyspark.sql import Window as W
+
+        df = table(spark, sf_dir, q["tables"])
+        for p in q["where"]:
+            df = df.filter(_sp_pred(p))
+        pk, part = q["pk"], _sp_key(q["part"])
+        cols = [F.col(pk).alias("k0"), part.alias("g0")]
+        for i, wf in enumerate(q["wfuncs"]):
+            if wf[0] == "row_number":
+                e = F.row_number().over(W.partitionBy(part).orderBy(pk))
+            elif wf[0] == "running_sum":
+                e = (
+                    F.sum(_sp_expr(wf[1]))
+                    .over(
+                        W.partitionBy(part)
+                        .orderBy(pk)
+                        .rowsBetween(W.unboundedPreceding, W.currentRow)
+                    )
+                    .cast("double")
+                )
+            else:  # rank_by
+                e = F.rank().over(W.partitionBy(part).orderBy(wf[1], pk))
+            cols.append(e.alias(f"c{i}"))
+        out = df.select(*cols)
+        if q["topk"] is not None:
+            out = out.filter(F.col("c0") <= q["topk"])
+        return out
+    if q["shape"] == "agg_of_agg":
+        df = table(spark, sf_dir, q["tables"])
+        for p in q["where"]:
+            df = df.filter(_sp_pred(p))
+        inner = df.groupBy(_sp_key(q["inner_key"]).alias("k")).agg(
+            F.sum(_sp_expr(q["inner_expr"])).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return inner.agg(
+            *[_OUTER_SP[o]().alias(f"c{i}") for i, o in enumerate(q["outer"])]
+        )
     if q["shape"] == "join_agg":
         f_name, f_col, d_name, d_col = q["tables"]
         df = table(spark, sf_dir, f_name).join(

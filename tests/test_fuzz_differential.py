@@ -48,5 +48,8 @@ def test_gen_query_deterministic():
 
 
 def test_shapes_all_reachable():
-    shapes = {gen_query(s)["shape"] for s in range(1, 200)}
-    assert shapes == {"global_agg", "group_agg", "proj", "join_agg"}
+    shapes = {gen_query(s)["shape"] for s in range(1, 400)}
+    assert shapes == {
+        "global_agg", "group_agg", "proj", "join_agg",
+        "left_join_agg", "setop", "window", "agg_of_agg",
+    }
