@@ -3082,8 +3082,17 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q")
     )
-    span = daily.agg(
-        (F.datediff(F.max("d"), F.min("d")) + 1)
+    # span needs only min/max demand DAY, and min/max commute with
+    # date_trunc — so read it straight off a column-pruned lineitem scan
+    # instead of re-running the whole part-day aggregation a second time.
+    span = li.agg(
+        (
+            F.datediff(
+                F.date_trunc("day", F.max("l_shipdate")).cast("date"),
+                F.date_trunc("day", F.min("l_shipdate")).cast("date"),
+            )
+            + 1
+        )
         .cast("bigint")
         .alias("n_days")
     )

@@ -368,9 +368,14 @@ def text_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg is partial->final on (lang, gram); the per-lang top-10 runs
     under WindowGroupLimit. At 100 TB the explode multiplies rows by
     ~doc length — it pipelines inside the scan stage, and the map-side
-    combine collapses to |lang|x|gram| before any shuffle.
+    combine collapses to |lang|x|gram| before any shuffle. The fixture
+    is ONE parquet file (one scan partition), so the |chars|-row fan-out
+    would run on a single core — spread the docs first (a no-op to
+    remove on a real multi-file lake; cf. ``docs_parallel``).
     """
-    d = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    from dataengineeringutils_spark.operators.dedup import docs_parallel
+
+    d = docs_parallel(spark, sf_dir).filter(F.length("text") >= 3)
     grams = (
         d.select("lang", "text", F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"))
         .select("lang", F.expr("substring(text, i, 3)").alias("gram"))
