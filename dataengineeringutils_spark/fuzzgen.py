@@ -25,12 +25,16 @@ finding, never a dialect argument):
   EXCEPT distinct semantics), window over a unique-pk table
   (ROW_NUMBER / RANK / running SUM, optional top-k filter), and
   two-level aggregation (re-aggregate of a grouped inner aggregate);
-* scalar exprs: arithmetic (+,-,*, /const), ABS, CASE WHEN;
+* scalar exprs: arithmetic (+,-,*, /const), ABS, CASE WHEN,
+  ELSE-less CASE (manufactures NULLs: NULL propagation through
+  arithmetic and NULL-skipping aggregation are first-class fuzz
+  surface), COALESCE;
 * predicates: numeric/date comparisons, categorical =/IN, AND/OR/NOT;
 * group keys: categorical columns, YEAR()/MONTH() of timestamps,
   SUBSTRING of categoricals;
 * aggregates: SUM/AVG/MIN/MAX over scalar exprs, COUNT(*),
-  COUNT(col), COUNT(DISTINCT int-or-cat).
+  COUNT(col), COUNT(DISTINCT int-or-cat), and exact DECIMAL(18,2)
+  SUM compared as a string (no float tolerance in the way).
 
 Floats never appear in equality predicates or group keys, every query
 carries an exact-typed key set that uniquely identifies output rows,
@@ -168,16 +172,25 @@ def _gen_num_expr(rng: random.Random, tab: dict, depth: int = 0) -> tuple:
     if depth >= 2 or rng.random() < 0.45:
         return ("col", rng.choice(nums))
     r = rng.random()
-    if r < 0.35:
+    if r < 0.3:
         op = rng.choice(["+", "-", "*"])
         return ("bin", op, _gen_num_expr(rng, tab, depth + 1),
                 _gen_num_expr(rng, tab, depth + 1))
-    if r < 0.55:
+    if r < 0.45:
         # divide by a non-zero constant only: double division both sides
         return ("bin", "/", _gen_num_expr(rng, tab, depth + 1),
                 ("lit", round(rng.uniform(1.5, 97.0), 3)))
-    if r < 0.7:
+    if r < 0.55:
         return ("abs", _gen_num_expr(rng, tab, depth + 1))
+    if r < 0.7:
+        # ELSE-less CASE: manufactures NULLs so NULL propagation through
+        # arithmetic and NULL-skipping in SUM/AVG/MIN/MAX/COUNT is fuzzed
+        return ("nullcase", _gen_pred(rng, tab, depth + 1),
+                _gen_num_expr(rng, tab, depth + 1))
+    if r < 0.8:
+        # COALESCE consumes the NULLs nullcase manufactures
+        return ("coalesce", _gen_num_expr(rng, tab, depth + 1),
+                ("lit", round(rng.uniform(-5.0, 5.0), 2)))
     return ("case", _gen_pred(rng, tab, depth + 1),
             _gen_num_expr(rng, tab, depth + 1),
             _gen_num_expr(rng, tab, depth + 1))
@@ -252,6 +265,11 @@ def _gen_agg(rng: random.Random, tab: dict) -> tuple:
         if dcols:
             return ("countd", rng.choice(dcols))
         return ("countstar",)
+    if r < 0.44 and tab["num"]:
+        # exact DECIMAL(18,2) sum, compared as a STRING: pins the
+        # money-sum idiom the operator library uses everywhere with no
+        # float tolerance in the way
+        return ("dsum", rng.choice(list(tab["num"])))
     fn = rng.choice(["sum", "avg", "min", "max"])
     return (fn, _gen_num_expr(rng, tab))
 
@@ -424,6 +442,10 @@ def _sql_expr(e: tuple) -> str:
     if tag == "case":
         return (f"(CASE WHEN {_sql_pred(e[1])} THEN {_sql_expr(e[2])} "
                 f"ELSE {_sql_expr(e[3])} END)")
+    if tag == "nullcase":
+        return f"(CASE WHEN {_sql_pred(e[1])} THEN {_sql_expr(e[2])} END)"
+    if tag == "coalesce":
+        return f"COALESCE({_sql_expr(e[1])}, {_sql_expr(e[2])})"
     raise ValueError(f"expr {e}")
 
 
@@ -464,6 +486,8 @@ def _sql_agg(a: tuple) -> str:
         return f"COUNT({a[1]})"
     if tag == "countd":
         return f"COUNT(DISTINCT {a[1]})"
+    if tag == "dsum":
+        return f"CAST(SUM(CAST({a[1]} AS DECIMAL(18,2))) AS VARCHAR)"
     fn = {"sum": "SUM", "avg": "AVG", "min": "MIN", "max": "MAX"}[tag]
     return f"CAST({fn}({_sql_expr(a[1])}) AS DOUBLE)"
 
@@ -594,6 +618,10 @@ def _sp_expr(e: tuple) -> Column:
         return F.abs(_sp_expr(e[1]))
     if tag == "case":
         return F.when(_sp_pred(e[1]), _sp_expr(e[2])).otherwise(_sp_expr(e[3]))
+    if tag == "nullcase":
+        return F.when(_sp_pred(e[1]), _sp_expr(e[2]))
+    if tag == "coalesce":
+        return F.coalesce(_sp_expr(e[1]), _sp_expr(e[2]))
     raise ValueError(f"expr {e}")
 
 
@@ -636,6 +664,8 @@ def _sp_agg(a: tuple) -> Column:
         return F.count(a[1])
     if tag == "countd":
         return F.countDistinct(a[1])
+    if tag == "dsum":
+        return F.sum(F.col(a[1]).cast("decimal(18,2)")).cast("string")
     fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[tag]
     return fn(_sp_expr(a[1])).cast("double")
 
