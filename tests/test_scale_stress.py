@@ -106,16 +106,30 @@ SKEW_MIN_STAGE_MS = 3000  # only stages with real work
 
 
 def _build_scaled(spark, k: int) -> str:
-    """K FK-consistent shards of the sf0.1 star schema, written once per
-    process. Text and embeddings are perturbed per copy (deterministic,
-    length-preserving) so the scaled corpus has the same near-duplicate
-    DENSITY as the original instead of k exact copies of every doc."""
+    """K FK-consistent shards of the sf0.1 star schema. Text and
+    embeddings are perturbed per copy (deterministic, length-preserving)
+    so the scaled corpus has the same near-duplicate DENSITY as the
+    original instead of k exact copies of every doc.
+
+    The fixture is deterministic and read-only once built, so it lives
+    in a SHARED (non-PID) scratch dir and is built once per machine, not
+    once per process (build: ~10 min; this test re-runs much more often
+    than the base fixture changes). Concurrent builders race benignly:
+    each builds under a PID-keyed tmp dir and the first atomic rename
+    wins."""
+    import shutil
+
     from pyspark.sql import functions as F
 
-    out = scratch_dir(f"scale_stress_k{k}")
-    marker = os.path.join(out, "_BUILT")
+    shared_root = os.path.join(
+        os.path.dirname(os.path.dirname(scratch_dir("probe"))), "shared"
+    )
+    final = os.path.join(shared_root, f"scale_stress_k{k}")
+    marker = os.path.join(final, "_BUILT")
     if os.path.exists(marker):
-        return out
+        return final
+    os.makedirs(shared_root, exist_ok=True)
+    out = f"{final}.tmp-{os.getpid()}"
     alpha = "abcdefghijklmnopqrstuvwxyz"
     for t in TABLES:
         df = spark.read.parquet(f"{BASE}/{t}.parquet")
@@ -148,9 +162,14 @@ def _build_scaled(spark, k: int) -> str:
         scaled.repartition(32).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
-    with open(marker, "w") as f:
+    with open(os.path.join(out, "_BUILT"), "w") as f:
         f.write(str(k))
-    return out
+    try:
+        os.rename(out, final)
+    except OSError:
+        # another builder won the race; its fixture is identical
+        shutil.rmtree(out, ignore_errors=True)
+    return final
 
 
 def _timed_run(spark, fn, sf: str, group: str) -> tuple[float, list[int]]:
@@ -196,41 +215,48 @@ def test_heavy_ops_scale_linearly_and_unskewed(spark):
 
     qs = queries()
     scaled = _build_scaled(spark, K)
+    # Warm pass over every op at both scales (plan compile, broadcast
+    # build, session caches, C2 on the hot generated methods).
+    for name, _ in HEAVY_OPS:
+        qs[name](spark, BASE).collect()
+        qs[name](spark, scaled).collect()
+    # Timed repeats are INTERLEAVED (full pass over all ops per round,
+    # best across rounds) rather than back-to-back, for the same reason
+    # bench.py interleaves: host CPU bursts last minutes, so a burst
+    # poisons ALL back-to-back repeats of one op but at most one
+    # interleaved round of it (measured: identical queries swing
+    # 2 s -> 20 s inside a burst window, independent of codegen).
+    t1: dict[str, float] = {n: float("inf") for n, _ in HEAVY_OPS}
+    tk: dict[str, float] = dict(t1)
+    stages: dict[str, list[int]] = {n: [] for n, _ in HEAVY_OPS}
+    for r in range(3):
+        for name, _ in HEAVY_OPS:
+            t1[name] = min(
+                t1[name], _timed_run(spark, qs[name], BASE, f"ss_{name}_b{r}")[0]
+            )
+        for name, _ in HEAVY_OPS:
+            secs, sids = _timed_run(spark, qs[name], scaled, f"ss_{name}_k{r}")
+            tk[name] = min(tk[name], secs)
+            stages[name] += sids
     report = {}
     failures = []
     for name, e in HEAVY_OPS:
-        fn = qs[name]
-        # warm both scales once (plan compile, broadcast build, caches),
-        # then take the better of 2 timed runs per scale
-        fn(spark, BASE).collect()
-        t1 = min(_timed_run(spark, fn, BASE, f"ss_{name}_b{r}")[0] for r in range(2))
-        fn(spark, scaled).collect()
-        best_k, stages = None, []
-        # best-of-3: a one-time C2 compile storm on a freshly-hot huge
-        # generated method can spike ONE run by 20-30 s (observed on the
-        # bootstrap op); best-of-N measures the steady state the claim
-        # is about, and the skew check still sees every run's stages
-        for r in range(3):
-            secs, sids = _timed_run(spark, fn, scaled, f"ss_{name}_k{r}")
-            if best_k is None or secs < best_k:
-                best_k = secs
-            stages += sids
-        bound = SLACK * (K**e) * t1
-        skews = _stage_skews(spark, stages)
+        bound = SLACK * (K**e) * t1[name]
+        skews = _stage_skews(spark, stages[name])
         worst_skew = max((s[1] for s in skews), default=0.0)
         report[name] = {
-            "t_sf0.1": round(t1, 3),
-            f"t_x{K}": round(best_k, 3),
-            "ratio": round(best_k / t1, 2),
+            "t_sf0.1": round(t1[name], 3),
+            f"t_x{K}": round(tk[name], 3),
+            "ratio": round(tk[name] / t1[name], 2),
             "bound": round(bound, 2),
             "exponent": e,
             "worst_stage_share": round(worst_skew, 3),
             "n_qualifying_stages": len(skews),
         }
-        if best_k > bound:
+        if tk[name] > bound:
             failures.append(
-                f"{name}: t_x{K}={best_k:.2f}s > bound {bound:.2f}s "
-                f"(t1={t1:.2f}s, e={e})"
+                f"{name}: t_x{K}={tk[name]:.2f}s > bound {bound:.2f}s "
+                f"(t1={t1[name]:.2f}s, e={e})"
             )
         for sid, share, n, tot in skews:
             if share > SKEW_MAX_SHARE:
