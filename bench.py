@@ -30,6 +30,69 @@ from dataengineeringutils_spark.registry import queries  # noqa: E402
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
 
 
+def _is_transient(exc: BaseException) -> bool:
+    """True for the flake class that nulled round 6's driver bench: a
+    Python worker timing out on connect-back under host load (surfaces
+    as a StreamingQueryException / SparkException wrapping a
+    SocketTimeoutException). One immediate retry clears it — the same
+    query ran green 35 minutes earlier in the correctness gate."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(
+        s in msg
+        for s in (
+            "connect back",
+            "SocketTimeout",
+            "StreamingQueryException",
+            "Connection reset",
+        )
+    )
+
+
+def time_queries(
+    spark, qs, sf_dir: str, repeat: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Time each query best-of-``repeat``; one flaky/failing query must
+    never take down the artifact (round 6's official bench parsed null
+    because ONE streaming query hit a worker-connect timeout ONCE).
+
+    Fault isolation: each timed call is wrapped; a transient-looking
+    failure gets one immediate retry; a query that fails every round
+    lands in the returned ``errors`` map and is excluded from the stats
+    instead of poisoning them.
+
+    Repeats are interleaved (full pass over the suite per round, best-of
+    across rounds) rather than back-to-back: transient host-load bursts
+    then hit a query in at most one round instead of inflating both of
+    its adjacent repeats.
+    """
+    per_query: dict[str, float] = {n: float("inf") for n in qs}
+    errors: dict[str, str] = {}
+    for _ in range(repeat):
+        for name, fn in sorted(qs.items()):
+            for attempt in (0, 1):
+                t0 = time.perf_counter()
+                try:
+                    df = fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    per_query[name] = min(
+                        per_query[name], time.perf_counter() - t0
+                    )
+                    errors.pop(name, None)
+                    break
+                except Exception as exc:  # noqa: BLE001 — isolate per query
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    if attempt == 0 and _is_transient(exc):
+                        continue  # one retry for the worker-connect flake
+                    break
+    # a query that succeeded in ANY round keeps its best time even if a
+    # later round flaked; only never-succeeded queries stay as errors
+    errors = {n: e for n, e in errors.items() if per_query[n] == float("inf")}
+    per_query = {
+        n: round(v, 4) for n, v in per_query.items() if v != float("inf")
+    }
+    return per_query, errors
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # 3 interleaved rounds: under bursty host load (measured ±3× swings
@@ -49,18 +112,12 @@ def main() -> int:
     if len(sys.argv) > 1:
         qs = {n: qs[n] for n in sys.argv[1:]}
 
-    # Repeats are interleaved (full pass over the suite per round, best-of
-    # across rounds) rather than back-to-back: transient host-load bursts
-    # then hit a query in at most one round instead of inflating both of
-    # its adjacent repeats.
-    per_query: dict[str, float] = {n: float("inf") for n in qs}
-    for _ in range(repeat):
-        for name, fn in sorted(qs.items()):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_query[name] = min(per_query[name], time.perf_counter() - t0)
-    per_query = {n: round(v, 4) for n, v in per_query.items()}
+    per_query, errors = time_queries(spark, qs, sf_dir, repeat)
+    if not per_query:
+        print(json.dumps({"metric": "p50_query_seconds", "value": None,
+                          "unit": "sec", "queries": {}, "sf": sf,
+                          "errors": errors}, separators=(",", ":")))
+        return 0
 
     p50 = statistics.median(per_query.values())
     p95 = round(sorted(per_query.values())[max(0, int(0.95 * len(per_query)) - 1)], 4)
@@ -72,6 +129,7 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(per_query),
         "p95": p95,
+        "errors": errors,
     }
     # Full per-query map goes to a file: the driver captures only the LAST
     # 2000 chars of stdout, so the printed line must be short AND complete
@@ -93,6 +151,7 @@ def main() -> int:
                 "sf": sf,
                 "n_queries": len(per_query),
                 "p95": p95,
+                "n_errors": len(errors),
                 "queries_note": "slowest 40 shown; full map in BENCH_FULL.json",
             },
             separators=(",", ":"),

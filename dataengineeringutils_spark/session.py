@@ -38,6 +38,15 @@ PORTABLE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # every driver-edge pandas conversion is Arrow-vectorized
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python-worker robustness under load: round 6's driver bench died
+    # when ONE worker missed the default 15 s connect-back window on a
+    # loaded host (SocketTimeoutException in the custom-DataSource
+    # streaming path). Reuse keeps forked workers warm (fewer connect
+    # handshakes at all), and the raised auth-socket timeout gives the
+    # fork+connect path headroom during hypervisor-steal bursts. Both
+    # portable: correct on any deployment.
+    "spark.python.worker.reuse": "true",
+    "spark.python.authenticate.socketTimeout": "120s",
     # keep bucketed scans bucketed: the DisableUnnecessaryBucketedScan
     # rule does not credit bucket-FILE pruning as a benefit, so a
     # point lookup on a bucket column would silently read all buckets
