@@ -548,8 +548,12 @@ def to_sql(q: dict) -> str:
                 e = (f"CAST(SUM({_sql_expr(wf[1])}) OVER (PARTITION BY {part} "
                      f"ORDER BY {pk} ROWS BETWEEN UNBOUNDED PRECEDING AND "
                      f"CURRENT ROW) AS DOUBLE)")
-            else:  # rank_by
-                e = f"RANK() OVER (PARTITION BY {part} ORDER BY {wf[1]}, {pk})"
+            else:  # rank_by — NULLS LAST on both engines: Spark ASC is
+                # NULLS FIRST, DuckDB ASC is NULLS LAST (ADVICE r6)
+                e = (
+                    f"RANK() OVER (PARTITION BY {part} "
+                    f"ORDER BY {wf[1]} NULLS LAST, {pk})"
+                )
             sel.append(f"{e} AS c{i}")
         where = ""
         if q["where"]:
@@ -743,8 +747,13 @@ def to_spark(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
                     )
                     .cast("double")
                 )
-            else:  # rank_by
-                e = F.rank().over(W.partitionBy(part).orderBy(wf[1], pk))
+            else:  # rank_by — explicit NULLS LAST to match the SQL
+                # renderer (Spark's ASC default is NULLS FIRST)
+                e = F.rank().over(
+                    W.partitionBy(part).orderBy(
+                        F.col(wf[1]).asc_nulls_last(), pk
+                    )
+                )
             cols.append(e.alias(f"c{i}"))
         out = df.select(*cols)
         if q["topk"] is not None:

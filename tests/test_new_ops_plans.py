@@ -89,19 +89,25 @@ def test_arrow_quantize_crosses_python_once(spark, sf_dir):
 
 
 def test_profile_summary_distincts_are_pruned_subtrees(spark, sf_dir):
+    from dataengineeringutils_spark.operators.profiling import (
+        _NUM_COLS,
+        _STR_COLS,
+    )
+
+    n_distinct = len(_NUM_COLS) + len(_STR_COLS)
     df = queries()["profile_summary"](spark, sf_dir)
     tree = _plan(df).split("\n\n")[0]
-    # Base aggregate = 1 scan; each of the 4 exact-distinct counts is its
-    # own column-pruned scan + partial-distinct subtree (no Expand fan-out,
-    # no full-row repartition), crossed back as a broadcast 1-row frame.
-    assert tree.count("Scan parquet") == 5, tree
+    # The invariants that matter (ADVICE r6: bounds, not exact planner
+    # node counts): no Expand fan-out, one base scan PLUS one pruned
+    # scan per exact-distinct column, each distinct subtree reading
+    # exactly its one column.
     assert "Expand" not in tree, tree
-    # Every distinct subtree's scan must read exactly one column.
+    assert tree.count("Scan parquet") >= 1 + n_distinct, tree
     import re
 
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _plan(df))
     single_col = [s for s in schemas if s.count(",") == 0]
-    assert len(single_col) == 4, schemas
+    assert len(single_col) >= n_distinct, schemas
 
 
 def test_kmeans_stays_jvm_side(spark, sf_dir):
@@ -278,7 +284,13 @@ def test_median_twophase_no_global_window(spark, sf_dir):
 
 
 def test_lsh_signatures_are_arrow_batched(spark, sf_dir):
-    plan = _plan(queries()["sim_ann_lsh"](spark, sf_dir))
+    # the registered op serves from the session-cached index frame
+    # (Scan ExistingRDD); the plan contract applies to the BUILD plan
+    from dataengineeringutils_spark.operators.similarity import (
+        _lsh_topk_build,
+    )
+
+    plan = _plan(_lsh_topk_build(spark, sf_dir))
     # the signature kernel must be a vectorized Arrow mapInPandas, not a
     # per-row Python UDF
     assert "MapInPandas" in plan, plan

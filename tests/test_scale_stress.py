@@ -129,6 +129,20 @@ def _build_scaled(spark, k: int) -> str:
     if os.path.exists(marker):
         return final
     os.makedirs(shared_root, exist_ok=True)
+    # reclaim multi-GB *.tmp-<pid> orphans left by builders that died
+    # mid-build (ADVICE r6): the shared root is never swept otherwise
+    for entry in os.listdir(shared_root):
+        if ".tmp-" not in entry:
+            continue
+        pid_s = entry.rsplit(".tmp-", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_s), 0)  # raises if the builder is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(shared_root, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
     out = f"{final}.tmp-{os.getpid()}"
     alpha = "abcdefghijklmnopqrstuvwxyz"
     for t in TABLES:
