@@ -23,8 +23,15 @@ finding, never a dialect argument):
   dim-LEFT-JOIN-filtered-fact aggregate (NULL/zero semantics of
   COUNT/SUM over unmatched rows), set operation (UNION/INTERSECT/
   EXCEPT distinct semantics), window over a unique-pk table
-  (ROW_NUMBER / RANK / running SUM, optional top-k filter), and
-  two-level aggregation (re-aggregate of a grouped inner aggregate);
+  (ROW_NUMBER / RANK / running SUM, optional top-k filter),
+  two-level aggregation (re-aggregate of a grouped inner aggregate),
+  correlated EXISTS/NOT EXISTS (hashed semi/anti join) with a grouped
+  dim output, PIVOT to wide (per-value conditional SUM) and the full
+  pivot->unpivot round-trip back to long, and AS-OF join on events
+  (backward/forward, strict/inclusive, optional max-gap tolerance —
+  Spark side through operators/asof.asof_join, DuckDB side through
+  native ASOF JOIN, so the union+window implementation is fuzzed
+  against an independent engine's asof operator);
 * scalar exprs: arithmetic (+,-,*, /const), ABS, CASE WHEN,
   ELSE-less CASE (manufactures NULLs: NULL propagation through
   arithmetic and NULL-skipping aggregation are first-class fuzz
@@ -196,6 +203,21 @@ def _gen_num_expr(rng: random.Random, tab: dict, depth: int = 0) -> tuple:
             _gen_num_expr(rng, tab, depth + 1))
 
 
+def _gen_nonnull_expr(rng: random.Random, tab: dict) -> tuple:
+    """Numeric expression that can never evaluate to NULL (the fixture's
+    num/int columns are NULL-free): used where NULL-vs-absent must stay
+    distinguishable, e.g. the pivoted measure."""
+    nums = list(tab["num"]) + list(tab["int"])
+    r = rng.random()
+    if r < 0.5 or len(nums) == 1:
+        return ("col", rng.choice(nums))
+    if r < 0.8:
+        return ("bin", rng.choice(["+", "-", "*"]),
+                ("col", rng.choice(nums)), ("col", rng.choice(nums)))
+    return ("bin", "/", ("col", rng.choice(nums)),
+            ("lit", round(rng.uniform(1.5, 97.0), 3)))
+
+
 def _gen_pred(rng: random.Random, tab: dict, depth: int = 0) -> tuple:
     """Boolean predicate over one table (no float equality)."""
     if depth < 2 and rng.random() < 0.3:
@@ -281,8 +303,73 @@ def gen_query(seed: int) -> dict:
         [
             "global_agg", "group_agg", "group_agg", "proj", "join_agg",
             "left_join_agg", "setop", "window", "agg_of_agg",
+            "semi_anti", "pivot", "asof",
         ]
     )
+    if shape == "semi_anti":
+        # correlated EXISTS / NOT EXISTS (round-6 VERDICT #4): dim rows
+        # kept (semi) or rejected (anti) by a predicate-filtered fact
+        # subquery, then grouped — the decorrelation path both engines
+        # plan as a hashed semi/anti join.
+        f_name, f_col, d_name, d_col = rng.choice(FK_JOINS)
+        ft, dt = CATALOG[f_name], CATALOG[d_name]
+        keys = _dedup([_gen_key(rng, dt) for _ in range(rng.randint(1, 2))])
+        outs = [("countstar",)]
+        if (dt["num"] or dt["int"]) and rng.random() < 0.7:
+            outs.append(("sum", _gen_num_expr(rng, dt)))
+        if (dt["num"] or dt["int"]) and rng.random() < 0.4:
+            outs.append(_gen_agg(rng, dt))
+        return {
+            "shape": shape, "tables": (f_name, f_col, d_name, d_col),
+            "mode": rng.choice(["semi", "anti"]),
+            "fact_where": _gen_pred(rng, ft),
+            "where": [_gen_pred(rng, dt)] if rng.random() < 0.5 else [],
+            "keys": keys, "outs": outs, "having": None,
+        }
+    if shape == "pivot":
+        # pivot to wide (one SUM column per pivot value) or full
+        # pivot->unpivot round-trip back to long (round-6 VERDICT #4).
+        # The pivoted measure is a never-NULL expression so a present
+        # (key, value) combo is distinguishable from an absent one on
+        # both engines (absent: NULL cell wide, dropped row long).
+        t_name = rng.choice([t for t in CATALOG if CATALOG[t]["cat"]])
+        tab = CATALOG[t_name]
+        pcol = rng.choice(list(tab["cat"]))
+        dom = tab["cat"][pcol]
+        values = sorted(rng.sample(dom, k=rng.randint(2, len(dom))))
+        for _ in range(8):
+            key = _gen_key(rng, tab)
+            if pcol not in key:
+                break
+        expr = _gen_nonnull_expr(rng, tab)
+        return {
+            "shape": shape, "tables": t_name, "pivot_col": pcol,
+            "values": values, "key": key, "expr": expr,
+            "mode": rng.choice(["wide", "long"]),
+            "where": [_gen_pred(rng, tab)] if rng.random() < 0.5 else [],
+            "keys": [], "outs": [], "having": None,
+        }
+    if shape == "asof":
+        # as-of join on events (round-6 VERDICT #4): per-user nearest
+        # click/view/etc. at-or-before (backward) or at-or-after
+        # (forward) each probe event, optional strictness and max-gap
+        # tolerance. Output is (event_id, matched ts): the matched
+        # TIMESTAMP is deterministic even when several right rows tie
+        # on it, unlike a value payload.
+        tab = CATALOG["events"]
+        types = tab["cat"]["event_type"]
+        left_t = sorted(rng.sample(types, k=rng.randint(1, 2)))
+        right_t = sorted(rng.sample(types, k=rng.randint(1, 2)))
+        return {
+            "shape": shape, "tables": "events",
+            "left_types": left_t, "right_types": right_t,
+            "direction": rng.choice(["backward", "forward"]),
+            "strict": rng.random() < 0.3,
+            "tol_hours": rng.randint(1, 72) if rng.random() < 0.4 else None,
+            "left_where": [_gen_pred(rng, tab)] if rng.random() < 0.4 else [],
+            "right_where": [_gen_pred(rng, tab)] if rng.random() < 0.4 else [],
+            "where": [], "keys": [], "outs": [], "having": None,
+        }
     if shape == "left_join_agg":
         # dim LEFT JOIN (fact WHERE pred): unmatched dim rows exercise
         # COUNT(col)=0 vs SUM(expr)=NULL semantics on both engines.
@@ -513,6 +600,68 @@ _OUTER_SQL = {
 
 def to_sql(q: dict) -> str:
     """Render the AST as ANSI SQL for DuckDB (fixture views pre-registered)."""
+    if q["shape"] == "semi_anti":
+        f_name, f_col, d_name, d_col = q["tables"]
+        neg = "NOT " if q["mode"] == "anti" else ""
+        conds = [
+            f"{neg}EXISTS (SELECT 1 FROM {f_name} WHERE "
+            f"{f_name}.{f_col} = {d_name}.{d_col} AND "
+            f"({_sql_pred(q['fact_where'])}))"
+        ] + [_sql_pred(p) for p in q["where"]]
+        sel, grp = [], []
+        for i, k in enumerate(q["keys"]):
+            sel.append(f"{_sql_key(k)} AS k{i}")
+            grp.append(_sql_key(k))
+        for i, o in enumerate(q["outs"]):
+            sel.append(f"{_sql_agg(o)} AS c{i}")
+        return (f"SELECT {', '.join(sel)} FROM {d_name} "
+                f"WHERE {' AND '.join(conds)} GROUP BY {', '.join(grp)}")
+    if q["shape"] == "pivot":
+        t, pcol, key = q["tables"], q["pivot_col"], q["key"]
+        where = [_sql_pred(p) for p in q["where"]]
+        ex = _sql_expr(q["expr"])
+        if q["mode"] == "wide":
+            sel = [f"{_sql_key(key)} AS k0"] + [
+                f"CAST(SUM(CASE WHEN {pcol} = '{v}' THEN {ex} END) "
+                f"AS DOUBLE) AS c{i}"
+                for i, v in enumerate(q["values"])
+            ]
+            w = f" WHERE {' AND '.join(where)}" if where else ""
+            return (f"SELECT {', '.join(sel)} FROM {t}{w} "
+                    f"GROUP BY {_sql_key(key)}")
+        vals = ", ".join(f"'{v}'" for v in q["values"])
+        conds = [f"{pcol} IN ({vals})"] + where
+        return (
+            f"SELECT {_sql_key(key)} AS k0, {pcol} AS k1, "
+            f"CAST(SUM({ex}) AS DOUBLE) AS c0 FROM {t} "
+            f"WHERE {' AND '.join(conds)} "
+            f"GROUP BY {_sql_key(key)}, {pcol}"
+        )
+    if q["shape"] == "asof":
+        lt = ", ".join(f"'{v}'" for v in q["left_types"])
+        rt = ", ".join(f"'{v}'" for v in q["right_types"])
+        lw = "".join(
+            f" AND {_sql_pred(p)}" for p in q["left_where"])
+        rw = "".join(
+            f" AND {_sql_pred(p)}" for p in q["right_where"])
+        op = {
+            ("backward", False): ">=", ("backward", True): ">",
+            ("forward", False): "<=", ("forward", True): "<",
+        }[(q["direction"], q["strict"])]
+        if q["tol_hours"] is None:
+            c0 = "c.ts"
+        else:
+            gap = ("p.ts - c.ts" if q["direction"] == "backward"
+                   else "c.ts - p.ts")
+            c0 = (f"CASE WHEN {gap} <= INTERVAL '{q['tol_hours']} hours' "
+                  f"THEN c.ts END")
+        return (
+            f"SELECT p.event_id AS k0, {c0} AS c0 "
+            f"FROM (SELECT * FROM events WHERE event_type IN ({lt}){lw}) p "
+            f"ASOF LEFT JOIN "
+            f"(SELECT * FROM events WHERE event_type IN ({rt}){rw}) c "
+            f"ON p.user_id = c.user_id AND p.ts {op} c.ts"
+        )
     if q["shape"] == "left_join_agg":
         f_name, f_col, d_name, d_col = q["tables"]
         frm = (f"{d_name} LEFT JOIN (SELECT * FROM {f_name} WHERE "
@@ -698,6 +847,72 @@ _OUTER_SP = {
 
 def to_spark(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
     """Render the AST through the DataFrame API on the fixture parquet."""
+    if q["shape"] == "semi_anti":
+        f_name, f_col, d_name, d_col = q["tables"]
+        fact = (
+            table(spark, sf_dir, f_name)
+            .filter(_sp_pred(q["fact_where"]))
+            .select(f_col)
+        )
+        d = table(spark, sf_dir, d_name).join(
+            fact, F.col(d_col) == F.col(f_col), f"left_{q['mode']}"
+        )
+        for p in q["where"]:
+            d = d.filter(_sp_pred(p))
+        keys = [_sp_key(k).alias(f"k{i}") for i, k in enumerate(q["keys"])]
+        aggs = [_sp_agg(o).alias(f"c{i}") for i, o in enumerate(q["outs"])]
+        return d.groupBy(*keys).agg(*aggs)
+    if q["shape"] == "pivot":
+        df = table(spark, sf_dir, q["tables"])
+        for p in q["where"]:
+            df = df.filter(_sp_pred(p))
+        measure = F.sum(_sp_expr(q["expr"])).cast("double")
+        wide = (
+            df.groupBy(_sp_key(q["key"]).alias("k0"))
+            .pivot(q["pivot_col"], q["values"])
+            .agg(measure)
+        )
+        if q["mode"] == "wide":
+            return wide.select(
+                "k0",
+                *[F.col(f"`{v}`").alias(f"c{i}")
+                  for i, v in enumerate(q["values"])],
+            )
+        # round-trip: unpivot back to long; absent combos are NULL cells
+        # in the wide frame and must not surface as rows (the SQL side
+        # only ever has present combos)
+        return wide.unpivot(["k0"], q["values"], "k1", "c0").filter(
+            F.col("c0").isNotNull()
+        )
+    if q["shape"] == "asof":
+        from dataengineeringutils_spark.operators.asof import asof_join
+
+        ev = table(spark, sf_dir, "events")
+        left = ev.filter(F.col("event_type").isin(q["left_types"]))
+        for p in q["left_where"]:
+            left = left.filter(_sp_pred(p))
+        right = ev.filter(F.col("event_type").isin(q["right_types"]))
+        for p in q["right_where"]:
+            right = right.filter(_sp_pred(p))
+        tol = (
+            F.expr(f"INTERVAL {q['tol_hours']} HOURS")
+            if q["tol_hours"] is not None
+            else None
+        )
+        out = asof_join(
+            left.select("event_id", "user_id", "ts"),
+            right.select("user_id", "ts", F.col("ts").alias("mts")),
+            by="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            payload=["mts"],
+            direction=q["direction"],
+            strict=q["strict"],
+            tolerance=tol,
+        )
+        return out.select(
+            F.col("event_id").alias("k0"), F.col("asof_mts").alias("c0")
+        )
     if q["shape"] == "left_join_agg":
         f_name, f_col, d_name, d_col = q["tables"]
         fact = table(spark, sf_dir, f_name).filter(_sp_pred(q["fact_where"]))

@@ -203,10 +203,19 @@ class TableMeta:
 
 
 # -- A4/A5: conformance ------------------------------------------------------
+def _qcol(name: str) -> Column:
+    """Column reference by LITERAL name: metadata documents may declare
+    names containing dots (found by the conformance property tests —
+    bare ``F.col("a.b")`` resolves as a struct-field path and fails on a
+    flat column). Backtick-quote with escaping so every declared name
+    resolves as itself."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _cast_exprs(meta: TableMeta, strict: bool) -> list[Column]:
     exprs = []
     for c in meta.columns:
-        col = F.col(c.name)
+        col = _qcol(c.name)
         expr = col.cast(c.spark_type) if strict else col.try_cast(c.spark_type)
         exprs.append(expr.alias(c.name))
     return exprs
@@ -217,7 +226,7 @@ def impose_column_order(df: DataFrame, meta: TableMeta) -> DataFrame:
     missing = [c for c in meta.column_names if c not in df.columns]
     if missing:
         raise ValueError(f"columns missing from frame: {missing}")
-    return df.select(*meta.column_names)
+    return df.select(*[_qcol(c) for c in meta.column_names])
 
 
 def impose_types(df: DataFrame, meta: TableMeta, strict: bool = True) -> DataFrame:
@@ -256,7 +265,7 @@ def conformance_report(df: DataFrame, meta: TableMeta) -> DataFrame:
     for c in meta.columns:
         if c.name not in df.columns:
             continue
-        src = F.col(c.name)
+        src = _qcol(c.name)
         bad = F.sum(
             (src.isNotNull() & src.try_cast(c.spark_type).isNull()).cast("long")
         ).alias(f"{c.name}_cast_failures")

@@ -139,3 +139,139 @@ def test_unknown_type_rejected(d):
     meta = TableMeta.from_dict(bad)  # lazy: translation happens on render
     with pytest.raises(ValueError, match="unknown metadata type"):
         meta.spark_schema()
+
+
+# ---------------------------------------------------------------------
+# Adversarial conformance properties (round-6 VERDICT #6): impose_types /
+# conform driven by hypothesis-generated metadata against LIVE frames —
+# unicode/dotted column names, decimal precision edges, date/timestamp
+# crossovers, and missing/extra/reordered columns. These found (and now
+# pin) the dotted-name resolution bug fixed by meta._qcol.
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck
+
+from dataengineeringutils_spark.meta import (  # noqa: E402
+    conform,
+    conforms,
+    conformance_report,
+    impose_column_order,
+    impose_types,
+)
+
+# names stress the RESOLVER: unicode letters, digits, dots, dashes,
+# spaces, backticks — everything a JSON metadata document can declare
+_hard_name = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Lo", "Nd"),
+        whitelist_characters=" ._-`",
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() == s and s.strip("`") != "")
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(
+    # unique CASE-INSENSITIVELY: Spark's analyzer resolves column names
+    # with spark.sql.caseSensitive=false, so a document declaring both
+    # 'a' and 'A' is ambiguous BY ENGINE SEMANTICS (AMBIGUOUS_REFERENCE),
+    # not mishandled by this layer
+    names=st.lists(
+        _hard_name, min_size=1, max_size=4, unique_by=lambda s: s.lower()
+    ),
+    extra=st.booleans(),
+    reorder=st.booleans(),
+)
+@_SETTINGS
+def test_conform_resolves_any_declared_name(spark, names, extra, reorder):
+    """Any declared column NAME must resolve literally: reordered and
+    extra frame columns handled, declared order and types imposed."""
+    meta = TableMeta.from_dict(
+        {
+            "name": "t",
+            "columns": [{"name": n, "type": "long"} for n in names],
+        }
+    )
+    frame_cols = list(reversed(names)) if reorder else list(names)
+    if extra:
+        frame_cols = frame_cols + ["__extra__"]
+    row = tuple(str(i) for i in range(len(frame_cols)))
+    df = spark.createDataFrame([row], frame_cols)
+    out = conform(df, meta)
+    assert out.columns == names
+    assert conforms(out, meta)
+    vals = out.collect()[0]
+    pos = {c: i for i, c in enumerate(frame_cols)}
+    for n in names:
+        assert vals[n] == int(pos[n])
+
+
+@given(names=st.lists(_hard_name, min_size=2, max_size=4, unique=True))
+@_SETTINGS
+def test_missing_column_raises_with_names(spark, names):
+    meta = TableMeta.from_dict(
+        {"name": "t", "columns": [{"name": n, "type": "long"} for n in names]}
+    )
+    df = spark.createDataFrame([("0",)], [names[0]])  # drop the rest
+    import pytest
+
+    with pytest.raises(ValueError, match="columns missing"):
+        impose_column_order(df, meta)
+
+
+@given(
+    p=st.integers(min_value=1, max_value=38),
+    s_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@_SETTINGS
+def test_decimal_precision_edges(spark, p, s_frac):
+    """Max-magnitude decimal(p,s) values survive strict imposition
+    exactly; a value one digit wider nulls under try_cast and is counted
+    by the conformance report."""
+    from decimal import Decimal
+
+    s = int(round(s_frac * p))
+    typ = f"decimal({p},{s})"
+    meta = TableMeta.from_dict(
+        {"name": "t", "columns": [{"name": "d", "type": typ}]}
+    )
+    fits = ("9" * (p - s) or "0") + ("." + "9" * s if s else "")
+    too_wide = "9" * (p - s + 1) + ("." + "9" * s if s else "")
+    df = spark.createDataFrame([(fits,), (too_wide,)], ["d"])
+    lax = impose_types(df, meta, strict=False).collect()
+    got = {str(r["d"]) for r in lax}
+    assert str(Decimal(fits)) in got
+    assert None in {r["d"] for r in lax}  # overflow -> NULL under try_cast
+    rep = conformance_report(df, meta).collect()[0]
+    assert rep["d_cast_failures"] == 1
+
+
+@given(
+    y=st.integers(min_value=1971, max_value=2260),
+    mo=st.integers(min_value=1, max_value=12),
+    d=st.integers(min_value=1, max_value=28),
+    h=st.integers(min_value=0, max_value=23),
+)
+@_SETTINGS
+def test_date_timestamp_crossover(spark, y, mo, d, h):
+    """A timestamp-typed frame column declared as date truncates to the
+    civil date (session UTC); declared as datetime it is preserved."""
+    import datetime
+
+    ts = datetime.datetime(y, mo, d, h, 30, 59)
+    for typ, want in (
+        ("date", datetime.date(y, mo, d)),
+        ("datetime", ts),
+    ):
+        meta = TableMeta.from_dict(
+            {"name": "t", "columns": [{"name": "c", "type": typ}]}
+        )
+        df = spark.createDataFrame([(ts,)], "c timestamp")
+        out = impose_types(df, meta).collect()[0]["c"]
+        assert out == want, (typ, out, want)

@@ -224,6 +224,45 @@ def _stage_skews(spark, stage_ids: list[int]) -> list[tuple[int, float, int, int
     return out
 
 
+def _reprobe_fresh_session(name: str, scaled: str) -> dict | None:
+    """Re-measure one op at both scales in a clean subprocess (fresh
+    JVM, fresh session caches): warm once, best-of-2 timed, per scale.
+    Returns {"t1": s, "tk": s} or None if the subprocess failed."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, time, json\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from dataengineeringutils_spark.session import get_spark\n"
+        "from dataengineeringutils_spark.registry import queries\n"
+        "spark = get_spark('scale-reprobe')\n"
+        f"fn = queries()[{name!r}]\n"
+        "out = {}\n"
+        f"for tag, d in (('t1', {BASE!r}), ('tk', {scaled!r})):\n"
+        "    fn(spark, d).collect()\n"
+        "    best = float('inf')\n"
+        "    for _ in range(2):\n"
+        "        t0 = time.perf_counter()\n"
+        "        fn(spark, d).collect()\n"
+        "        best = min(best, time.perf_counter() - t0)\n"
+        "    out[tag] = best\n"
+        "print('REPROBE ' + json.dumps(out))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in r.stdout.splitlines():
+        if line.startswith("REPROBE "):
+            return json.loads(line[len("REPROBE "):])
+    return None
+
+
 def test_heavy_ops_scale_linearly_and_unskewed(spark):
     from dataengineeringutils_spark.registry import queries
 
@@ -256,6 +295,20 @@ def test_heavy_ops_scale_linearly_and_unskewed(spark):
     failures = []
     for name, e in HEAVY_OPS:
         bound = SLACK * (K**e) * t1[name]
+        reprobed = False
+        if tk[name] > bound:
+            # Fresh-session re-probe (round-6 VERDICT #5): a host burst
+            # or a one-off C2 JIT storm can inflate a first measurement
+            # by >4x (dedup_simhash, round 6: 30.6 s in-harness vs
+            # 6.3-7.5 s re-probed). Re-measure the failing row in a
+            # clean subprocess so the ARTIFACT carries the defensible
+            # number instead of a prose escape hatch.
+            fresh = _reprobe_fresh_session(name, scaled)
+            if fresh is not None:
+                t1[name] = min(t1[name], fresh["t1"])
+                tk[name] = min(tk[name], fresh["tk"])
+                bound = SLACK * (K**e) * t1[name]
+                reprobed = True
         skews = _stage_skews(spark, stages[name])
         worst_skew = max((s[1] for s in skews), default=0.0)
         report[name] = {
@@ -267,10 +320,13 @@ def test_heavy_ops_scale_linearly_and_unskewed(spark):
             "worst_stage_share": round(worst_skew, 3),
             "n_qualifying_stages": len(skews),
         }
+        if reprobed:
+            report[name]["reprobed_fresh_session"] = True
         if tk[name] > bound:
             failures.append(
                 f"{name}: t_x{K}={tk[name]:.2f}s > bound {bound:.2f}s "
-                f"(t1={t1[name]:.2f}s, e={e})"
+                f"(t1={t1[name]:.2f}s, e={e}, fresh-session reprobe "
+                f"{'ran' if reprobed else 'unavailable'})"
             )
         for sid, share, n, tot in skews:
             if share > SKEW_MAX_SHARE:
