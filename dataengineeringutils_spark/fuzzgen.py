@@ -31,7 +31,9 @@ finding, never a dialect argument):
   (backward/forward, strict/inclusive, optional max-gap tolerance —
   Spark side through operators/asof.asof_join, DuckDB side through
   native ASOF JOIN, so the union+window implementation is fuzzed
-  against an independent engine's asof operator);
+  against an independent engine's asof operator), and INTERVAL join
+  (equi + time-range residual self-join on events, strict/inclusive
+  bounds, inner/left, per-probe aggregates);
 * scalar exprs: arithmetic (+,-,*, /const), ABS, CASE WHEN,
   ELSE-less CASE (manufactures NULLs: NULL propagation through
   arithmetic and NULL-skipping aggregation are first-class fuzz
@@ -303,9 +305,32 @@ def gen_query(seed: int) -> dict:
         [
             "global_agg", "group_agg", "group_agg", "proj", "join_agg",
             "left_join_agg", "setop", "window", "agg_of_agg",
-            "semi_anti", "pivot", "asof",
+            "semi_anti", "pivot", "asof", "interval_join",
         ]
     )
+    if shape == "interval_join":
+        # equi + range residual self-join on events: per probe event,
+        # the other events of the same user inside (ts, ts + h hours],
+        # aggregated per probe — the interval-join class (joins.py
+        # join_interval) was hand-oracled but fuzz-blind (round-6
+        # VERDICT #4). Bound strictness, window width, join type, and
+        # side predicates all vary.
+        tab = CATALOG["events"]
+        types = tab["cat"]["event_type"]
+        return {
+            "shape": shape, "tables": "events",
+            "left_types": sorted(rng.sample(types, k=rng.randint(1, 2))),
+            "right_types": sorted(rng.sample(types, k=rng.randint(1, 2))),
+            "lo_op": rng.choice([">", ">="]),
+            "hi_op": rng.choice(["<", "<="]),
+            "hours": rng.randint(1, 96),
+            "join": rng.choice(["inner", "left"]),
+            "with_sum": rng.random() < 0.7,
+            "with_maxts": rng.random() < 0.5,
+            "left_where": [_gen_pred(rng, tab)] if rng.random() < 0.4 else [],
+            "right_where": [_gen_pred(rng, tab)] if rng.random() < 0.4 else [],
+            "where": [], "keys": [], "outs": [], "having": None,
+        }
     if shape == "semi_anti":
         # correlated EXISTS / NOT EXISTS (round-6 VERDICT #4): dim rows
         # kept (semi) or rejected (anti) by a predicate-filtered fact
@@ -637,6 +662,26 @@ def to_sql(q: dict) -> str:
             f"WHERE {' AND '.join(conds)} "
             f"GROUP BY {_sql_key(key)}, {pcol}"
         )
+    if q["shape"] == "interval_join":
+        lt = ", ".join(f"'{v}'" for v in q["left_types"])
+        rt = ", ".join(f"'{v}'" for v in q["right_types"])
+        lw = "".join(f" AND {_sql_pred(p)}" for p in q["left_where"])
+        rw = "".join(f" AND {_sql_pred(p)}" for p in q["right_where"])
+        sel = ["p.event_id AS k0", "COUNT(c.event_id) AS c0"]
+        if q["with_sum"]:
+            sel.append("CAST(SUM(c.value) AS DOUBLE) AS c1")
+        if q["with_maxts"]:
+            sel.append("MAX(c.ts) AS c2")
+        jt = "JOIN" if q["join"] == "inner" else "LEFT JOIN"
+        return (
+            f"SELECT {', '.join(sel)} "
+            f"FROM (SELECT * FROM events WHERE event_type IN ({lt}){lw}) p "
+            f"{jt} (SELECT * FROM events WHERE event_type IN ({rt}){rw}) c "
+            f"ON p.user_id = c.user_id AND c.event_id <> p.event_id "
+            f"AND c.ts {q['lo_op']} p.ts "
+            f"AND c.ts {q['hi_op']} p.ts + INTERVAL '{q['hours']} hours' "
+            f"GROUP BY p.event_id"
+        )
     if q["shape"] == "asof":
         lt = ", ".join(f"'{v}'" for v in q["left_types"])
         rt = ", ".join(f"'{v}'" for v in q["right_types"])
@@ -884,6 +929,50 @@ def to_spark(spark: SparkSession, sf_dir: str, q: dict) -> DataFrame:
         return wide.unpivot(["k0"], q["values"], "k1", "c0").filter(
             F.col("c0").isNotNull()
         )
+    if q["shape"] == "interval_join":
+        ev = table(spark, sf_dir, "events")
+        left = ev.filter(F.col("event_type").isin(q["left_types"]))
+        for p in q["left_where"]:
+            left = left.filter(_sp_pred(p))
+        right = ev.filter(F.col("event_type").isin(q["right_types"]))
+        for p in q["right_where"]:
+            right = right.filter(_sp_pred(p))
+        p_ = left.select(
+            F.col("event_id").alias("k0"),
+            F.col("user_id").alias("p_uid"),
+            F.col("ts").alias("p_ts"),
+        )
+        c_ = right.select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        lo = (
+            F.col("c_ts") > F.col("p_ts")
+            if q["lo_op"] == ">"
+            else F.col("c_ts") >= F.col("p_ts")
+        )
+        hi_bound = F.col("p_ts") + F.expr(f"INTERVAL {q['hours']} HOURS")
+        hi = (
+            F.col("c_ts") < hi_bound
+            if q["hi_op"] == "<"
+            else F.col("c_ts") <= hi_bound
+        )
+        joined = p_.join(
+            c_,
+            (F.col("p_uid") == F.col("c_uid"))
+            & (F.col("c_id") != F.col("k0"))
+            & lo
+            & hi,
+            q["join"],
+        )
+        aggs = [F.count("c_id").alias("c0")]
+        if q["with_sum"]:
+            aggs.append(F.sum("c_value").cast("double").alias("c1"))
+        if q["with_maxts"]:
+            aggs.append(F.max("c_ts").alias("c2"))
+        return joined.groupBy("k0").agg(*aggs)
     if q["shape"] == "asof":
         from dataengineeringutils_spark.operators.asof import asof_join
 

@@ -803,11 +803,18 @@ def ml_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bigints.
     """
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    vals = e.groupBy(F.col("value").alias("score")).agg(
-        F.count("*").cast("bigint").alias("cnt"),
-        F.sum((F.col("event_type") == "purchase").cast("long"))
-        .cast("bigint")
-        .alias("pos"),
+    # materialize the (score, cnt, pos) collapse ONCE: the cut sample,
+    # the bucket-offset collect, and the final agg all consume it and
+    # would otherwise each re-scan events
+    vals = (
+        e.groupBy(F.col("value").alias("score"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .localCheckpoint(eager=True)
     )
     # Global cumulative count in score order via the bucket-cut pattern
     # (windows.two_phase_global_rank's shape, carrying SUM(cnt) instead
@@ -815,11 +822,12 @@ def ml_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-bucket cnt totals make a <=33-row prefix scan on the driver,
     # and the running sum is a per-bucket window — no single-partition
     # WindowExec even when every score is distinct.
+    # cuts from the materialized score table (weighting by multiplicity
+    # is irrelevant: cuts only influence bucket BALANCE, min_rank stays
+    # exact for any cut set)
     cuts = sorted(
         set(
-            e.sample(0.1, seed=7)
-            .select(F.col("value").alias("score"))
-            .approxQuantile("score", [i / 32 for i in range(1, 32)], 0.01)
+            vals.approxQuantile("score", [i / 32 for i in range(1, 32)], 0.01)
         )
     )
     bucket = F.lit(0)

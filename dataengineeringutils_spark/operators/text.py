@@ -1456,10 +1456,15 @@ def text_token_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents")
+    # materialize the |vocab|-row count table ONCE: three driver actions
+    # consume it (the quantile cuts, the two-phase rank's bucket-offset
+    # scan, the final agg) and would otherwise each re-run the
+    # tokenize+explode over the full corpus
     counts = (
         d.select(F.explode(tokens_col()).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
     qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]

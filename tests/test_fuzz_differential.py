@@ -52,5 +52,5 @@ def test_shapes_all_reachable():
     assert shapes == {
         "global_agg", "group_agg", "proj", "join_agg",
         "left_join_agg", "setop", "window", "agg_of_agg",
-        "semi_anti", "pivot", "asof",
+        "semi_anti", "pivot", "asof", "interval_join",
     }
