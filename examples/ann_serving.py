@@ -22,6 +22,8 @@ def main(spark, sf_dir: str) -> None:
     qs["sim_topk_cosine"](spark, sf_dir).show(5)
     print("IVF candidate search (multiprobe):")
     qs["sim_ann_ivf_multiprobe"](spark, sf_dir).show(5)
+    print("IVF with the fixed-k quantizer (bounded broadcast — the 100 TB path):")
+    qs["sim_ann_ivf_fixedk"](spark, sf_dir).show(5)
     print("LSH recall audit (gate: recall@3 floor):")
     qs["sim_lsh_recall_eval"](spark, sf_dir).show()
     print("3-NN label-coherence eval:")
