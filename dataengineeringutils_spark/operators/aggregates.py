@@ -501,12 +501,22 @@ def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that survives 100 TB where ``median() OVER (PARTITION BY
     3-value-group)`` cannot.
     """
+    from dataengineeringutils_spark.operators.windows import fixture_cached
+
     o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     qs = [i / MEDIAN_BUCKETS for i in range(1, MEDIAN_BUCKETS)]
     # Cuts only balance bucket sizes — never the answer — so estimate them
-    # from a seeded 10% sample at loose precision: ~10x cheaper pass.
-    cuts = sorted(
-        set(o.sample(0.1, seed=7).approxQuantile("o_totalprice", qs, 0.05))
+    # from a seeded 10% sample at loose precision, cached per fixture
+    # like the other range-partition boundaries (windows._dist_cuts).
+    cuts = fixture_cached(
+        spark,
+        sf_dir,
+        "median_price_cuts",
+        lambda: sorted(
+            set(
+                o.sample(0.1, seed=7).approxQuantile("o_totalprice", qs, 0.05)
+            )
+        ),
     )
     price = F.col("o_totalprice")
     bucket = F.lit(0)
@@ -875,17 +885,70 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong whenever cheap items ship in bulk (pricing, index
     construction, fair-value marks all use this form).
 
-    One keyed window computes the running weight under a TOTAL order
-    (price, orderkey, linenumber — deterministic at equal prices), the
-    threshold test ``2·cumweight ≥ totalweight`` stays in exact
-    DECIMAL (no float boundary flakes), and a conditional-MIN collapse
-    picks the crossing value — the PERCENTILE_DISC machinery
-    generalized to weights, partitions bounded by the group key.
+    TWO-PHASE form (the l_returnflag partition has cardinality 3, so a
+    naive keyed window puts a third of the fact table on ONE sorting
+    task — the scale-killer class two-phased everywhere else; the skew
+    gate missed this one because a 3-task stage is below its
+    task-count floor). Phase 1: per (group, price-bucket) DECIMAL
+    weight sums from range-partition cuts (cached per fixture — cuts
+    only balance buckets, never the answer), a tiny prefix scan finds
+    each group's single crossing bucket and its weight offset. Phase
+    2: the running weight under the TOTAL order (price, orderkey,
+    linenumber) runs only inside target buckets (~1/cuts of the data,
+    bounded partitions), the crossing test ``2·(offset+cumweight) ≥
+    totalweight`` stays in exact DECIMAL, and a conditional-MIN picks
+    the crossing value — PERCENTILE_DISC generalized to weights.
     """
-    li = table(spark, sf_dir, "lineitem")
-    wt = F.col("l_quantity").cast("decimal(18,2)")
+    from dataengineeringutils_spark.operators.windows import fixture_cached
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+    )
+    qs = [i / MEDIAN_BUCKETS for i in range(1, MEDIAN_BUCKETS)]
+    cuts = fixture_cached(
+        spark,
+        sf_dir,
+        "wmedian_price_cuts",
+        lambda: sorted(
+            set(
+                li.sample(0.1, seed=7).approxQuantile(
+                    "l_extendedprice", qs, 0.05
+                )
+            )
+        ),
+    )
+    price = F.col("l_extendedprice")
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (price > F.lit(c)).cast("int")
+    li = li.withColumn("bkt", bucket)
+
+    bw = li.groupBy("l_returnflag", "bkt").agg(F.sum("wt").alias("bw"))
     w_cum = (
         Window.partitionBy("l_returnflag")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy("l_returnflag")
+    offsets = bw.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.coalesce(
+            F.sum("bw").over(w_cum), F.lit(0).cast("decimal(18,2)")
+        ).alias("off"),
+        F.sum("bw").over(w_grp).alias("tw"),
+    )
+    # the ONE bucket per group containing the weighted-median crossing:
+    # cumulative weight reaches tw/2 inside it and not before it
+    targets = offsets.filter(
+        ((F.col("off") + F.col("bw")) * 2 >= F.col("tw"))
+        & (F.col("off") * 2 < F.col("tw"))
+    ).select("l_returnflag", "bkt", "off", "tw")
+    sel = li.join(F.broadcast(targets), ["l_returnflag", "bkt"])
+    w_loc = (
+        Window.partitionBy("l_returnflag", "bkt")
         .orderBy(
             F.col("l_extendedprice").asc(),
             F.col("l_orderkey").asc(),
@@ -893,12 +956,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_grp = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = sel.select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum(wt).over(w_cum).alias("cw"),
-        F.sum(wt).over(w_grp).alias("tw"),
+        "tw",
+        (F.col("off") + F.sum("wt").over(w_loc)).alias("cw"),
     )
     return ranked.groupBy("l_returnflag").agg(
         F.any_value("tw").cast("double").alias("total_weight"),

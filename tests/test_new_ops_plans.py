@@ -283,6 +283,27 @@ def test_median_twophase_no_global_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_weighted_median_fact_window_is_bucketed(spark, sf_dir):
+    """Round-7: the weighted median's full-table running-weight window
+    must partition on (group, bucket), never group alone — a 3-value
+    group key would put a third of lineitem on one sorting task."""
+    df = queries()["agg_weighted_median"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    wt_windows = [
+        line for line in plan.splitlines()
+        if "Window [sum(wt#" in line
+    ]
+    # the running-weight window (sums wt over the price order) must
+    # carry the bucket column in its windowspecdefinition
+    assert wt_windows and all(
+        "bkt#" in line.split("windowspecdefinition", 1)[-1].split(")")[0]
+        or "bkt#" in line
+        for line in wt_windows
+    ), wt_windows
+    # the target-bucket pruning join broadcasts the tiny offsets frame
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_lsh_signatures_are_arrow_batched(spark, sf_dir):
     # the registered op serves from the session-cached index frame
     # (Scan ExistingRDD); the plan contract applies to the BUILD plan
