@@ -265,12 +265,22 @@ def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (array+explode, stays in codegen); a running sum ordered by
     (t, delta) — closes before opens at the same instant, the [start,
     end) convention — peaks at the answer. Tie groups share a delta
-    sign, so the MAX is order-independent and deterministic. One shuffle
-    on the group key; the per-group sort is the cost, exactly as an
-    interval tree would be, but expressed as a window the engine can
-    spill. This is the scalable form of "peak concurrent sessions" —
-    the naive per-timestamp COUNT self-join is O(n²).
+    sign, so the MAX is order-independent and deterministic. The sweep
+    runs TWO-PHASE (windows.keyed_two_phase): the priority key has 5
+    values, so a naive keyed window would sort a fifth of the event
+    points on one task; time-range cuts (epoch days, equal instants
+    co-bucketed) bound every sorting partition and broadcast offsets
+    carry the cross-bucket open-count. This is the scalable form of
+    "peak concurrent sessions" — the naive per-timestamp COUNT
+    self-join is O(n²).
     """
+    from dataengineeringutils_spark.operators.windows import (
+        bucket_expr,
+        keyed_two_phase,
+        sampled_cuts,
+        table_rows,
+    )
+
     o = table(spark, sf_dir, "orders")
     pts = o.select(
         "o_orderpriority",
@@ -283,13 +293,21 @@ def interval_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("pt"),
-    ).select("o_orderpriority", "pt.t", "pt.delta")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("t", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ).select(
+        "o_orderpriority",
+        "pt.t",
+        "pt.delta",
+        F.datediff("pt.t", F.lit("1970-01-01")).cast("double").alias("td"),
     )
-    swept = pts.withColumn("open_now", F.sum("delta").over(w))
+    cuts = sampled_cuts(spark, sf_dir, "interval_sweep_day_cuts", pts, "td")
+    swept = keyed_two_phase(
+        pts.withColumn("bkt", bucket_expr(F.col("td"), cuts)),
+        ["o_orderpriority"],
+        [F.col("t").asc(), F.col("delta").asc()],
+        "open_now",
+        weight=F.col("delta"),
+        n_rows=2 * table_rows(spark, sf_dir, "orders"),
+    )
     return swept.groupBy("o_orderpriority").agg(
         F.max("open_now").alias("max_concurrent")
     )
@@ -1318,34 +1336,51 @@ def dq_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.coalesce("n_items", F.lit(0)).cast("bigint").alias("n_items"),
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("n_items").asc(), F.col("o_orderkey").asc()
+    # Median TWO-PHASE (windows.grouped_percentile_disc): fan counts
+    # concentrate on a handful of small integers, so the value-collapse
+    # shrinks the frame to |distinct counts| rows per group and equal
+    # counts can never split a sorting partition — where the former
+    # keyed rank window sorted a fifth of the parents on one task.
+    from dataengineeringutils_spark.operators.windows import (
+        grouped_percentile_disc,
+        table_rows,
     )
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = fan.select(
-        "o_orderpriority",
-        "n_items",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+
+    med = (
+        grouped_percentile_disc(
+            fan.select(
+                "o_orderpriority", F.col("n_items").cast("double").alias("ni")
+            ),
+            ["o_orderpriority"],
+            "ni",
+            # tiny integer domain: fixed cuts are real value boundaries
+            [1.0, 2.0, 4.0, 8.0, 16.0, 64.0],
+            [0.50],
+            n_rows=table_rows(spark, sf_dir, "orders"),
+        )
+        .select(
+            "o_orderpriority", F.col("v").cast("bigint").alias("p50_items")
+        )
     )
-    return ranked.groupBy("o_orderpriority").agg(
+    base = fan.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.min("n_items").cast("bigint").alias("min_items"),
         F.max("n_items").cast("bigint").alias("max_items"),
         F.round(
             F.sum("n_items").cast("double") / F.count("*"), 4
         ).alias("avg_items"),
-        F.min(
-            F.when(
-                F.expr("rn = CAST(ceil(0.50 * n) AS BIGINT)"),
-                F.col("n_items"),
-            )
-        )
-        .cast("bigint")
-        .alias("p50_items"),
         F.sum((F.col("n_items") == 0).cast("long"))
         .cast("bigint")
         .alias("n_childless"),
+    )
+    return base.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "min_items",
+        "max_items",
+        "avg_items",
+        "p50_items",
+        "n_childless",
     )
 
 
@@ -1619,37 +1654,30 @@ def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     low/high outlier counts — the robust screening that MAD (B169) and
     winsorization (B155) both start from, as a standing DQ report.
 
-    Pass 1 ranks within each priority key (bounded partitions) and
-    collapses to one quartile row per group; pass 2 rejoins the tiny
-    quartile frame broadcast and counts fence violations — two scans,
-    both keyed, no global sort.
+    Pass 1 selects the exact quartiles TWO-PHASE
+    (windows.grouped_percentile_disc — value-collapsed, bounded bucket
+    windows; the naive keyed rank over the 5-value priority key sorts
+    a fifth of the table on one task at scale); pass 2 rejoins the
+    tiny quartile frame broadcast and counts fence violations — two
+    scans, both keyed, no unbounded sort anywhere.
     """
+    from dataengineeringutils_spark.operators.windows import (
+        grouped_percentile_disc,
+        sampled_cuts,
+        table_rows,
+    )
+
     o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderpriority", "o_totalprice"
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    cuts = sampled_cuts(spark, sf_dir, "orders_price_cuts", o, "o_totalprice")
+    pd = grouped_percentile_disc(
+        o, ["o_orderpriority"], "o_totalprice", cuts, [0.25, 0.75],
+        n_rows=table_rows(spark, sf_dir, "orders"),
     )
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    q = ranked.groupBy("o_orderpriority").agg(
-        F.min(
-            F.when(
-                F.expr("rn = CAST(ceil(0.25 * n) AS BIGINT)"),
-                F.col("o_totalprice"),
-            )
-        ).alias("q1"),
-        F.min(
-            F.when(
-                F.expr("rn = CAST(ceil(0.75 * n) AS BIGINT)"),
-                F.col("o_totalprice"),
-            )
-        ).alias("q3"),
+    q = pd.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("p") == 0.25, F.col("v"))).alias("q1"),
+        F.min(F.when(F.col("p") == 0.75, F.col("v"))).alias("q3"),
     )
     return (
         o.join(F.broadcast(q), "o_orderpriority")

@@ -3363,42 +3363,39 @@ def events_value_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure scale shift; a ratio growing with p = the purchase tail is
     heavier), where a mean comparison says only THAT they differ.
 
-    One scan, one keyed rank window per type (partitions bounded by
-    the type key), and the quantile probe joins the 5-row p-grid
-    against exact PERCENTILE_DISC positions — all engine-portable
-    integer rank arithmetic, values straight from the data.
+    One scan; the exact PERCENTILE_DISC positions come from the
+    TWO-PHASE value-collapsed selection
+    (windows.grouped_percentile_disc — a 2-value type key would put
+    half the events on one sorting task under the naive keyed rank),
+    then the 5-row p-grid pivots purchase vs click side by side — all
+    engine-portable integer count arithmetic, values straight from the
+    data.
     """
+    from dataengineeringutils_spark.operators.windows import (
+        grouped_percentile_disc,
+        sampled_cuts,
+        table_rows,
+    )
+
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
         & F.col("value").isNotNull()
+    ).select("event_type", "value")
+    cuts = sampled_cuts(spark, sf_dir, "events_value_cuts", ev, "value")
+    pd = grouped_percentile_disc(
+        ev, ["event_type"], "value", cuts, [0.1, 0.25, 0.5, 0.75, 0.9],
+        n_rows=table_rows(spark, sf_dir, "events"),
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    wn = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    grid = ranked.sparkSession.createDataFrame(
-        [(0.1,), (0.25,), (0.5,), (0.75,), (0.9,)], "p double"
-    )
-    deciles = ranked.join(
-        F.broadcast(grid),
-        F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("bigint"),
-    )
-    return deciles.groupBy("p").agg(
+    return pd.groupBy("p").agg(
         F.min(
-            F.when(F.col("event_type") == "purchase", F.col("value"))
+            F.when(F.col("event_type") == "purchase", F.col("v"))
         ).alias("purchase_value"),
         F.min(
-            F.when(F.col("event_type") == "click", F.col("value"))
+            F.when(F.col("event_type") == "click", F.col("v"))
         ).alias("click_value"),
         F.round(
-            F.min(F.when(F.col("event_type") == "purchase", F.col("value")))
-            / F.min(F.when(F.col("event_type") == "click", F.col("value"))),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("v")))
+            / F.min(F.when(F.col("event_type") == "click", F.col("v"))),
             4,
         ).alias("qq_ratio"),
     )

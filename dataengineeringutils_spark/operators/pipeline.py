@@ -297,19 +297,38 @@ def dataset_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample of the mixture, and re-running the job yields byte-identical
     shards (rand()-free — resumable, diffable, cacheable).
 
-    One shuffle on source drives the rank; the audit output is the
-    shard x source grid (counts, char mass, id range) a packing job
-    checks before writing. At 100 TB the same modulo gate becomes the
+    The per-source rank runs TWO-PHASE (windows.keyed_two_phase):
+    ``source`` has a handful of values, so a naive keyed window would
+    put a whole source's documents on one sorting task; instead rows
+    bucket on cached doc_id range cuts, a tiny (source x bucket) count
+    frame broadcasts rank offsets, and row_number sorts only bounded
+    (source, bucket) partitions. The audit output is the shard x
+    source grid (counts, char mass, id range) a packing job checks
+    before writing. At 100 TB the same modulo gate becomes the
     shard-assignment column of the manifest (multimodal_shard_manifest)
     and the writer's partitionBy key.
     """
-    d = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
-    tagged = d.select(
+    from dataengineeringutils_spark.operators.windows import (
+        bucket_expr,
+        keyed_two_phase,
+        sampled_cuts,
+        table_rows,
+    )
+
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    cuts = sampled_cuts(spark, sf_dir, "doc_id_cuts", d, "doc_id")
+    ranked = keyed_two_phase(
+        d.withColumn("bkt", bucket_expr(F.col("doc_id"), cuts)),
+        ["source"],
+        [F.col("doc_id").asc()],
+        "__rn",
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    )
+    tagged = ranked.select(
         "source",
         "doc_id",
         "n_chars",
-        ((F.row_number().over(w) - 1) % 4).cast("int").alias("shard"),
+        ((F.col("__rn") - 1) % 4).cast("int").alias("shard"),
     )
     return tagged.groupBy("shard", "source").agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -795,35 +795,38 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SLAs and price-band reports quote existing values, not synthetic
     midpoints.
 
-    Implemented from the definition — rank = ceil(p*n) under a total
-    order — as one keyed window + conditional-MIN collapse, identical
-    text in both engines, sidestepping engine-specific percentile_disc
-    null/interpolation quirks. Exact by construction (integer ranks,
-    no float comparisons); the o_orderkey tiebreak makes the order
-    total so both engines pick the same row even among equal prices.
+    Implemented from the definition — the smallest value whose
+    cumulative count reaches ceil(p*n) — via the TWO-PHASE
+    value-collapsed selection (windows.grouped_percentile_disc): the
+    5-value priority key makes the naive keyed rank window a
+    one-task-per-fifth-of-the-table sort at scale, while percentiles
+    need only VALUES, so the collapse + bounded bucket windows give
+    the identical numbers with every sorting partition bounded. Exact
+    by construction (integer counts, no float comparisons); equal
+    prices collapse to one value row so both engines pick the same
+    value without a row tiebreak.
     """
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+    from dataengineeringutils_spark.operators.windows import (
+        grouped_percentile_disc,
+        sampled_cuts,
+        table_rows,
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
-    )
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
-    def disc(p: float, name: str):
-        if p >= 1.0:
-            cond = F.expr("rn = n")
-        else:
-            cond = F.expr(f"rn = CAST(ceil({p} * n) AS BIGINT)")
-        return F.min(F.when(cond, F.col("o_totalprice"))).alias(name)
 
-    return ranked.groupBy("o_orderpriority").agg(
-        disc(0.25, "p25"), disc(0.50, "p50"), disc(0.90, "p90"), disc(1.0, "p100")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    cuts = sampled_cuts(spark, sf_dir, "orders_price_cuts", o, "o_totalprice")
+    pd = grouped_percentile_disc(
+        o, ["o_orderpriority"], "o_totalprice", cuts,
+        [0.25, 0.50, 0.90, 1.0],
+        n_rows=table_rows(spark, sf_dir, "orders"),
+    )
+    def pick(p: float, name: str):
+        return F.min(F.when(F.col("p") == p, F.col("v"))).alias(name)
+
+    return pd.groupBy("o_orderpriority").agg(
+        pick(0.25, "p25"), pick(0.50, "p50"), pick(0.90, "p90"),
+        pick(1.0, "p100"),
     )
 
 

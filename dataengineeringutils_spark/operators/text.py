@@ -480,7 +480,20 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, where each shard packs independently and bin ids offset by
     shard. Token counts are whitespace-split sizes (same codegen
     split/filter both engines).
+
+    The running token sum is TWO-PHASE (windows.keyed_two_phase):
+    ``source`` has a handful of values, so the naive keyed window would
+    sort a whole source on one task; doc_id range cuts bound every
+    sorting partition and broadcast offsets carry the cross-bucket
+    token totals — exact integer sums throughout.
     """
+    from dataengineeringutils_spark.operators.windows import (
+        bucket_expr,
+        keyed_two_phase,
+        sampled_cuts,
+        table_rows,
+    )
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -489,14 +502,17 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
+    cuts = sampled_cuts(spark, sf_dir, "doc_id_cuts", d, "doc_id")
+    packed = keyed_two_phase(
+        toks.withColumn("bkt", bucket_expr(F.col("doc_id"), cuts)),
+        ["source"],
+        [F.col("doc_id").asc()],
+        "__cum",
+        weight=F.col("n_tokens"),
+        n_rows=table_rows(spark, sf_dir, "documents"),
+    ).withColumn(
         "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048.0),
+        F.floor((F.col("__cum") - F.col("n_tokens")) / 2048.0),
     )
     return (
         packed.groupBy("source", "bin_id")

@@ -12,6 +12,8 @@ Reference locus: Athena/Presto SQL passthrough,
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -131,18 +133,88 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B28: RANGE frame — orders within +-1000 of each order's totalprice,
-    partitioned by status so the sort is per-partition, not global."""
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy(F.col("o_totalprice"))
-        .rangeBetween(-1000, 1000)
+    per status.
+
+    TWO-PHASE probe-union form (round-7 audit): the status key has 3
+    values, so the direct ``RANGE BETWEEN`` window sorts a third of the
+    table on one task at any scale. A value-range count decomposes into
+    two cumulative lookups — n_near = #{v <= p+1000} - #{v < p-1000} —
+    so each row emits two zero-weight PROBES at its frame boundaries,
+    probes and data merge into one stream ordered by (value, side)
+    (lo-probes before equal data rows: strict <; hi-probes after:
+    inclusive <=), and ONE bucketed running count
+    (``keyed_two_phase``, sorting partitions bounded by cached price
+    cuts) prices every probe. Identical numbers — both engines compute
+    the frame boundaries with the same double arithmetic — with no
+    unbounded sort."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    o = table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
+    if table_rows(spark, sf_dir, "orders") < TWO_PHASE_MIN_ROWS:
+        # stats-driven small path (see TWO_PHASE_MIN_ROWS): the direct
+        # RANGE window; per-status sorts are small here and the
+        # probe-union triples the row count
+        w = (
+            Window.partitionBy("o_orderstatus")
+            .orderBy(F.col("o_totalprice"))
+            .rangeBetween(-1000, 1000)
+        )
+        return o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.count("*").over(w).alias("n_near"),
+        )
+    cuts = sampled_cuts(
+        spark, sf_dir, "orders_price_cuts", o, "o_totalprice"
+    )
+    nul = F.lit(None).cast("long")
+    data = o.select(
         "o_orderstatus",
-        "o_totalprice",
-        F.count("*").over(w).alias("n_near"),
+        F.col("o_totalprice").alias("v"),
+        F.lit(0).alias("side"),
+        F.lit(1).alias("delta"),
+        nul.alias("okey"),
+        F.lit(None).cast("double").alias("p"),
+    )
+    hi = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("v"),
+        F.lit(1).alias("side"),
+        F.lit(0).alias("delta"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_totalprice").alias("p"),
+    )
+    lo = o.select(
+        "o_orderstatus",
+        (F.col("o_totalprice") - F.lit(1000.0)).alias("v"),
+        F.lit(-1).alias("side"),
+        F.lit(0).alias("delta"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_totalprice").alias("p"),
+    )
+    u = data.unionByName(hi).unionByName(lo).withColumn(
+        "bkt", bucket_expr(F.col("v"), cuts)
+    )
+    run = keyed_two_phase(
+        u,
+        ["o_orderstatus"],
+        [F.col("v").asc(), F.col("side").asc()],
+        "cum",
+        weight=F.col("delta"),
+        n_rows=3 * table_rows(spark, sf_dir, "orders"),
+    )
+    hi_r = run.filter(F.col("side") == 1).select(
+        "okey", "o_orderstatus", "p", F.col("cum").alias("c_hi")
+    )
+    lo_r = run.filter(F.col("side") == -1).select(
+        F.col("okey").alias("okey2"), F.col("cum").alias("c_lo")
+    )
+    return hi_r.join(lo_r, F.col("okey") == F.col("okey2")).select(
+        F.col("okey").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("p").alias("o_totalprice"),
+        (F.col("c_hi") - F.col("c_lo")).alias("n_near"),
     )
 
 
@@ -194,6 +266,212 @@ def _dist_cuts(spark, sf_dir: str, o) -> list:
     )
     _DIST_CUTS_CACHE[key] = cuts
     return cuts
+
+
+def bucket_expr(value: Column, cuts: list) -> Column:
+    """Monotone bucket id from range-partition ``cuts``: chained codegen
+    comparisons; rows equal on ``value`` always share a bucket, so any
+    order whose FIRST key is ``value`` is preserved across buckets."""
+    b = F.lit(0)
+    for c in cuts:
+        b = b + (value > F.lit(c)).cast("int")
+    return b
+
+
+# Stats-driven plan switch for the keyed two-phase windows: below this
+# input-row count the direct keyed window wins (its single sort is
+# small and the two-phase machinery's extra aggregate + broadcast join
+# costs more than it saves — measured 2-3x at sf0.1); above it the
+# bounded-bucket plan is mandatory (a 3-5-value partition key puts a
+# fixed fraction of the table on ONE sorting task). Same decision
+# discipline as Catalyst's size-based broadcast-vs-sort-merge choice.
+# Env override lets tests force either path on small fixtures.
+TWO_PHASE_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_TWO_PHASE_MIN_ROWS", "500000")
+)
+
+
+def table_rows(spark, sf_dir: str, tbl: str) -> int:
+    """Fixture-cached row count (parquet count-star: metadata only)."""
+    from dataengineeringutils_spark.tables import table as _t
+
+    return fixture_cached(
+        spark, sf_dir, f"rows:{tbl}", lambda: _t(spark, sf_dir, tbl).count()
+    )
+
+
+def keyed_two_phase(
+    df: DataFrame,
+    groups: list[str],
+    order_cols: list,
+    out: str,
+    *,
+    weight: Column | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact per-``groups`` running window WITHOUT low-cardinality
+    sorting tasks — the KEYED generalization of
+    ``two_phase_global_rank`` for the class the skew gate structurally
+    misses: a window partitioned on a 3-5-value key puts a fixed
+    fraction of the fact table on ONE sorting task, yet its stage has
+    too few tasks for a task-time-share gate to fire (round-7 audit).
+
+    ``df`` must already carry an int ``bkt`` column monotone
+    non-decreasing in the FIRST order column (see ``bucket_expr`` —
+    equal first-key rows must share a bucket). Appends ``out`` =
+    ROW_NUMBER within (groups) under ``order_cols`` (``weight=None``)
+    or the inclusive running SUM of ``weight`` — computed as a
+    per-(groups, bkt) window plus broadcast per-bucket offsets from a
+    tiny (|groups| x |buckets|) aggregate. One extra map-combined
+    aggregate replaces the unbounded per-group sort; every sorting
+    partition is bounded by the cut spacing at any scale.
+
+    ``n_rows`` (the caller's cheap metadata count of the input) drives
+    the stats-based plan switch: below ``TWO_PHASE_MIN_ROWS`` the
+    direct keyed window is used instead — identical numbers, no extra
+    machinery (see the constant's comment).
+    """
+    if n_rows is not None and n_rows < TWO_PHASE_MIN_ROWS:
+        if weight is None:
+            w = Window.partitionBy(*groups).orderBy(*order_cols)
+            return df.withColumn(out, F.row_number().over(w).cast("long"))
+        w = (
+            Window.partitionBy(*groups)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return df.withColumn(out, F.sum(weight).over(w))
+    metric = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    bw = df.groupBy(*groups, "bkt").agg(metric.alias("__bw"))
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bw.select(
+        *groups,
+        "bkt",
+        F.coalesce(F.sum("__bw").over(w_cum), F.lit(0)).alias("__off"),
+    )
+    joined = df.join(F.broadcast(offsets), [*groups, "bkt"])
+    if weight is None:
+        w_loc = Window.partitionBy(*groups, "bkt").orderBy(*order_cols)
+        local = F.row_number().over(w_loc).cast("long")
+    else:
+        w_loc = (
+            Window.partitionBy(*groups, "bkt")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = F.sum(weight).over(w_loc)
+    return joined.withColumn(out, F.col("__off") + local).drop("__off")
+
+
+def sampled_cuts(
+    spark, sf_dir: str, name: str, df: DataFrame, col: str, buckets: int = 32
+) -> list:
+    """Range-partition cuts for ``col`` (numeric), cached per (session,
+    fixture, name) like the other deterministic fixture artifacts: a
+    seeded 10% sample through approxQuantile at loose precision — cuts
+    only balance buckets, never answers."""
+    qs = [i / buckets for i in range(1, buckets)]
+    return fixture_cached(
+        spark,
+        sf_dir,
+        name,
+        lambda: sorted(
+            set(df.sample(0.1, seed=7).approxQuantile(col, qs, 0.05))
+        ),
+    )
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    groups: list[str],
+    value_col: str,
+    cuts: list,
+    ps: list[float],
+    out: str = "v",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact per-``groups`` PERCENTILE_DISC at each p in ``ps`` WITHOUT
+    a per-group row sort: (1) collapse to (groups, value) counts — the
+    percentile needs only VALUES, so row-level tiebreaks are
+    irrelevant; (2) bucket the collapsed frame on ``cuts`` (equal
+    values co-bucketed by construction, so massive tie classes never
+    split); (3) a tiny (groups x buckets) weight aggregate locates,
+    per (group, p), the single bucket whose cumulative count crosses
+    k = ceil(p*n); (4) a bounded per-bucket running count selects the
+    smallest value with cumulative count >= k. Returns one row per
+    (groups, p): columns ``groups + ["p", out]``.
+
+    Replaces the ``row_number over low-cardinality group`` plan whose
+    single sorting task holds a fixed fraction of the table at any
+    scale (the class the stage-width skew gate cannot see).
+    """
+    vc = df.groupBy(*groups, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    grid = df.sparkSession.createDataFrame([(p,) for p in ps], "p double")
+    if n_rows is not None and n_rows < TWO_PHASE_MIN_ROWS:
+        # stats-driven small path (see TWO_PHASE_MIN_ROWS): plain keyed
+        # windows over the already-collapsed value frame
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy(F.col(value_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_grp = Window.partitionBy(*groups)
+        cum = vc.select(
+            *groups,
+            value_col,
+            F.sum("__cnt").over(w_cum).alias("__cum"),
+            F.sum("__cnt").over(w_grp).alias("__n"),
+        )
+        sel = cum.crossJoin(F.broadcast(grid)).filter(
+            F.col("__cum")
+            >= F.ceil(F.col("p") * F.col("__n")).cast("bigint")
+        )
+        return sel.groupBy(*groups, "p").agg(F.min(value_col).alias(out))
+    vc = vc.withColumn("bkt", bucket_expr(F.col(value_col), cuts))
+    bw = vc.groupBy(*groups, "bkt").agg(F.sum("__cnt").alias("__bw"))
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_grp = Window.partitionBy(*groups)
+    offsets = bw.select(
+        *groups,
+        "bkt",
+        "__bw",
+        F.coalesce(F.sum("__bw").over(w_cum), F.lit(0).cast("bigint")).alias(
+            "__off"
+        ),
+        F.sum("__bw").over(w_grp).alias("__n"),
+    )
+    targets = (
+        offsets.crossJoin(F.broadcast(grid))
+        .withColumn("__k", F.ceil(F.col("p") * F.col("__n")).cast("bigint"))
+        .filter(
+            (F.col("__k") > F.col("__off"))
+            & (F.col("__k") <= F.col("__off") + F.col("__bw"))
+        )
+        .select(*groups, "bkt", "p", "__k", "__off")
+    )
+    tb = targets.select(*groups, "bkt").distinct()
+    w_loc = (
+        Window.partitionBy(*groups, "bkt")
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel = (
+        vc.join(F.broadcast(tb), [*groups, "bkt"])
+        .withColumn("__cum", F.sum("__cnt").over(w_loc))
+        .join(F.broadcast(targets), [*groups, "bkt"])
+        .filter(F.col("__off") + F.col("__cum") >= F.col("__k"))
+    )
+    return sel.groupBy(*groups, "p").agg(F.min(value_col).alias(out))
 
 
 def two_phase_global_rank(

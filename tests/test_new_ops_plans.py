@@ -9,6 +9,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from dataengineeringutils_spark.registry import queries
 
 
@@ -430,3 +432,78 @@ def test_fuzzy_match_joins_are_blocked_equi(spark, sf_dir):
     # keys; an edit-distance theta join would plan as nested-loop
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" not in tree, tree
+
+
+LOW_CARD_COLS = {
+    "l_returnflag", "l_linestatus", "o_orderstatus", "event_type",
+    "lang", "source", "c_mktsegment", "o_orderpriority", "p_type",
+    "p_brand",
+}
+
+# ops converted by the round-7 audit: every window over FACT rows must
+# carry the bucket column; group-only windows may exist only over tiny
+# collapsed frames (identified by an aggregate feeding them)
+TWO_PHASED_OPS = [
+    "agg_weighted_median",
+    "agg_percentile_disc",
+    "dq_outlier_iqr_fences",
+    "dq_fanout_profile",
+    "events_value_qq_table",
+    "interval_max_concurrent",
+    "dataset_interleave_shards",
+    "text_pack_sequences",
+    "win_range_frame",
+]
+
+
+@pytest.mark.parametrize("name", TWO_PHASED_OPS)
+def test_no_low_card_window_over_raw_rows(spark, sf_dir, name, monkeypatch):
+    """Round-7 audit pin: a window partitioned ONLY on a 3-5-value key
+    directly over scanned rows puts a fixed fraction of the table on
+    one sorting task — a class the task-count-floored skew gate cannot
+    see. Every such window in these converted plans must either carry
+    the bucket column or run over an aggregate-collapsed frame.
+
+    The stats switch is forced to the AT-SCALE path (threshold 0): on
+    the small fixture the ops legitimately choose the direct window."""
+    import re
+
+    import dataengineeringutils_spark.operators.windows as W
+
+    monkeypatch.setattr(W, "TWO_PHASE_MIN_ROWS", 0)
+    plan = (
+        queries()[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        m = re.search(r"windowspecdefinition\(([^)]*)\)", line)
+        if not m:
+            continue
+        parts = []
+        for tok in m.group(1).split(", "):
+            if " ASC" in tok or " DESC" in tok or "specifiedwindowframe" in tok:
+                break
+            parts.append(tok.split("#")[0])
+        if not parts or not all(p in LOW_CARD_COLS for p in parts):
+            continue  # bucketed or high-card partition: fine
+        # group-only window: must be fed by an aggregate (collapsed
+        # frame), never directly by a scan
+        feed = None
+        for j in range(i + 1, min(i + 12, len(lines))):
+            nxt = lines[j]
+            if "HashAggregate" in nxt or "SortAggregate" in nxt:
+                feed = "agg"
+                break
+            if "Scan parquet" in nxt or "Scan ExistingRDD" in nxt:
+                feed = "scan"
+                break
+            if "windowspecdefinition" in nxt:
+                feed = "window"
+                break
+        assert feed != "scan", (
+            f"{name}: low-cardinality-only window {parts} feeds directly "
+            f"from a scan:\n{line.strip()[:200]}"
+        )

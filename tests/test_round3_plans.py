@@ -155,17 +155,24 @@ def test_runtime_bloom_filter_under_fact_scan(spark, sf_dir):
     assert "Filter" in plan.split("\n\n")[0], plan
 
 
-def test_percentile_disc_single_keyed_window(spark, sf_dir):
+def test_percentile_disc_two_phase_shape(spark, sf_dir):
+    # Round-7: value-collapsed two-phase selection (the former
+    # single-keyed-window pin put a fifth of the table on one sorting
+    # task — see test_new_ops_plans.test_no_low_card_window_over_raw_rows).
+    # The only joins are broadcasts of the tiny target/offset frames.
     tree = _tree(queries()["agg_percentile_disc"](spark, sf_dir))
-    # one exchange on the group key serves both windows and the collapse
-    assert tree.count("Exchange") == 1, tree
-    assert "Join" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree
 
 
-def test_interleave_shards_single_source_exchange(spark, sf_dir):
+def test_interleave_shards_two_phase_shape(spark, sf_dir):
+    # Round-7: bucketed rank + broadcast offsets instead of a per-source
+    # global sort; the offsets frame is the only join and it broadcasts.
     tree = _tree(queries()["dataset_interleave_shards"](spark, sf_dir))
-    assert tree.count("Exchange") <= 2, tree
-    assert "Join" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree
 
 
 def test_weekday_seasonality_scalar_broadcast(spark, sf_dir):
