@@ -155,20 +155,27 @@ def test_runtime_bloom_filter_under_fact_scan(spark, sf_dir):
     assert "Filter" in plan.split("\n\n")[0], plan
 
 
-def test_percentile_disc_two_phase_shape(spark, sf_dir):
+def test_percentile_disc_two_phase_shape(spark, sf_dir, monkeypatch):
     # Round-7: value-collapsed two-phase selection (the former
     # single-keyed-window pin put a fifth of the table on one sorting
     # task — see test_new_ops_plans.test_no_low_card_window_over_raw_rows).
-    # The only joins are broadcasts of the tiny target/offset frames.
+    # Force the at-scale path (the small fixture legitimately selects
+    # the direct window); its only joins broadcast tiny frames.
+    import dataengineeringutils_spark.operators.windows as W
+
+    monkeypatch.setattr(W, "TWO_PHASE_MIN_ROWS", 0)
     tree = _tree(queries()["agg_percentile_disc"](spark, sf_dir))
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
     assert "ShuffledHashJoin" not in tree, tree
 
 
-def test_interleave_shards_two_phase_shape(spark, sf_dir):
+def test_interleave_shards_two_phase_shape(spark, sf_dir, monkeypatch):
     # Round-7: bucketed rank + broadcast offsets instead of a per-source
     # global sort; the offsets frame is the only join and it broadcasts.
+    import dataengineeringutils_spark.operators.windows as W
+
+    monkeypatch.setattr(W, "TWO_PHASE_MIN_ROWS", 0)
     tree = _tree(queries()["dataset_interleave_shards"](spark, sf_dir))
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
