@@ -501,15 +501,14 @@ def agg_median_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that survives 100 TB where ``median() OVER (PARTITION BY
     3-value-group)`` cannot.
     """
-    from dataengineeringutils_spark.operators.windows import fixture_cached
+    from dataengineeringutils_spark.artifacts import json_artifact
 
     o = table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
     qs = [i / MEDIAN_BUCKETS for i in range(1, MEDIAN_BUCKETS)]
     # Cuts only balance bucket sizes — never the answer — so estimate them
-    # from a seeded 10% sample at loose precision, cached per fixture
+    # from a seeded 10% sample at loose precision, persisted per fixture
     # like the other range-partition boundaries (windows._dist_cuts).
-    cuts = fixture_cached(
-        spark,
+    cuts = json_artifact(
         sf_dir,
         "median_price_cuts",
         lambda: sorted(
@@ -899,15 +898,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     totalweight`` stays in exact DECIMAL, and a conditional-MIN picks
     the crossing value — PERCENTILE_DISC generalized to weights.
     """
-    from dataengineeringutils_spark.operators.windows import fixture_cached
+    from dataengineeringutils_spark.artifacts import json_artifact
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
         F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
     )
     qs = [i / MEDIAN_BUCKETS for i in range(1, MEDIAN_BUCKETS)]
-    cuts = fixture_cached(
-        spark,
+    cuts = json_artifact(
         sf_dir,
         "wmedian_price_cuts",
         lambda: sorted(

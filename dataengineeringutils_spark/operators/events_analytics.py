@@ -2439,7 +2439,6 @@ def _markov_iter_sql(n_iters: int) -> str:
 
 
 MARKOV_ITERS = 8
-_MARKOV_T_CACHE: dict[tuple, DataFrame] = {}
 
 
 @query(
@@ -2484,33 +2483,31 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized at any event volume). Demonstrates the SQL entry path: the
     iteration executes via ``spark.sql`` over temp views.
     """
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    seq = ev.select(
-        "event_type", F.lead("event_type").over(w).alias("next_type")
-    ).filter(F.col("next_type").isNotNull())
-    c = seq.groupBy(
-        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
-    ).agg(F.count("*").alias("n"))
-    tot = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("tn"))
-    # materialize the matrix ONCE per (session, fixture): Spark inlines
-    # CTEs, so the 8 chained iteration terms would otherwise re-execute
-    # the full LEAD+aggregate subtree per reference; and the matrix is a
-    # deterministic derived artifact (same discipline as the shingle /
-    # pair-count caches), so repeat calls skip the event scan entirely
-    key = (spark.sparkContext.applicationId, sf_dir)
-    t = _MARKOV_T_CACHE.get(key)
-    if t is None:
-        t = (
-            c.join(F.broadcast(tot), "src")
-            .select(
-                "src",
-                "dst",
-                (F.col("n").cast("double") / F.col("tn")).alias("p"),
-            )
-            .localCheckpoint(eager=True)
+    from dataengineeringutils_spark.artifacts import df_artifact
+
+    def _build():
+        ev = table(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        seq = ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        ).filter(F.col("next_type").isNotNull())
+        c = seq.groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        ).agg(F.count("*").alias("n"))
+        tot = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("tn"))
+        return c.join(F.broadcast(tot), "src").select(
+            "src",
+            "dst",
+            (F.col("n").cast("double") / F.col("tn")).alias("p"),
         )
-        _MARKOV_T_CACHE[key] = t
+
+    # materialize the matrix ONCE per fixture (parquet artifact): Spark
+    # inlines CTEs, so the 8 chained iteration terms would otherwise
+    # re-execute the full LEAD+aggregate subtree per reference; and the
+    # matrix is a deterministic derived artifact (same discipline as the
+    # shingle / pair-count artifacts), so every call — and every fresh
+    # session — skips the event scan entirely
+    t = df_artifact(spark, sf_dir, "markov_transition_matrix", _build)
     view_name = f"markov_t_{abs(hash(sf_dir)) % 10**8}"
     t.createOrReplaceTempView(view_name)
     sql = f"""
@@ -2569,31 +2566,32 @@ def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window even if user counts approach fact scale.
     Exact integer masses, 6-dp share.
     """
-    from dataengineeringutils_spark.operators.windows import fixture_cached
+    from dataengineeringutils_spark.artifacts import df_artifact, json_artifact
 
-    def _build():
-        # per-user counts + their bucket cuts are deterministic fixture
-        # artifacts (checkpoint + probe once per session, the
-        # _per_customer_spend discipline); the rank/total pass below
-        # re-executes per call
-        ev = table(spark, sf_dir, "events")
-        pu_ = (
-            ev.groupBy("user_id")
-            .agg(F.count("*").cast("bigint").alias("n"))
-            .localCheckpoint(eager=True)
-        )
-        cuts_ = sorted(
+    # per-user counts + their bucket cuts are deterministic fixture
+    # artifacts, persisted on disk (parquet + JSON) so fresh sessions
+    # skip the build; the rank/total pass below re-executes per call
+    pu = df_artifact(
+        spark,
+        sf_dir,
+        "pareto_per_user",
+        lambda: table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n")),
+    )
+    cuts = json_artifact(
+        sf_dir,
+        "pareto_per_user_cuts",
+        lambda: sorted(
             set(
-                pu_.select(F.col("n").cast("double").alias("nd"))
+                pu.select(F.col("n").cast("double").alias("nd"))
                 .sample(0.2, seed=7)
                 .stat.approxQuantile(
                     "nd", [i / 32 for i in range(1, 32)], 0.01
                 )
             )
-        )
-        return pu_, cuts_
-
-    pu, cuts = fixture_cached(spark, sf_dir, "pareto_per_user", _build)
+        ),
+    )
     ranked = two_phase_global_rank(
         pu,
         "n",

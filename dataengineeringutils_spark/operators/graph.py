@@ -81,11 +81,8 @@ def hierarchy_depth_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDGE_CACHE: dict[tuple, DataFrame] = {}
-
-
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached co-purchase EDGE TABLE (a, b): part pairs appearing
+    """Persisted co-purchase EDGE TABLE (a, b): part pairs appearing
     together in ≥ 2 distinct orders, canonical a < b.
 
     The graph is a deterministic derived artifact of the fixture — the
@@ -101,35 +98,35 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineage so the four downstream self-joins of the triangle op
     read the materialized table.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    ids = F.col("ps")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    from dataengineeringutils_spark.artifacts import df_artifact
+
+    def _build():
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-    )
-    edges = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .select("p.*")
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("a", "b")
-        .localCheckpoint(eager=True)
-    )
-    _EDGE_CACHE[key] = edges
-    return edges
+        baskets = li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("ps")
+        )
+        ids = F.col("ps")
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return (
+            baskets.select(F.explode(pair_structs).alias("p"))
+            .select("p.*")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= 2)
+            .select("a", "b")
+        )
+
+    return df_artifact(spark, sf_dir, "graph_copurchase_edges", _build)
 
 
 @query(
@@ -312,27 +309,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEGREE_CACHE: dict[tuple, DataFrame] = {}
-
-
 def copurchase_degrees_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached per-node degree table (n, degree) over the
-    co-purchase edges — shared by the degree histogram, assortativity,
-    and any future hub-capping op (same discipline as the edge cache
-    it derives from)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _DEGREE_CACHE.get(key)
-    if cached is None:
+    """Persisted per-node degree table (n, degree) over the co-purchase
+    edges — shared by the degree histogram, assortativity, and any
+    future hub-capping op (same discipline as the edge artifact it
+    derives from)."""
+    from dataengineeringutils_spark.artifacts import df_artifact
+
+    def _build():
         edges = copurchase_edges(spark, sf_dir)
-        cached = (
+        return (
             edges.select(F.col("a").alias("n"))
             .unionAll(edges.select(F.col("b").alias("n")))
             .groupBy("n")
             .agg(F.count("*").cast("bigint").alias("degree"))
-            .localCheckpoint(eager=True)
         )
-        _DEGREE_CACHE[key] = cached
-    return cached
+
+    return df_artifact(spark, sf_dir, "graph_copurchase_degrees", _build)
 
 
 @query(
@@ -796,9 +789,6 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENT_CACHE: dict = {}
-
-
 @query(
     "graph_component_sizes",
     oracle="""
@@ -853,18 +843,20 @@ def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_label_components,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    comp = _COMPONENT_CACHE.get(key)
-    if comp is None:
-        # labels are a deterministic derived artifact of the edge table
-        # (itself session-cached): materialize once, like the shingle /
-        # IVF-assignment artifacts — the iterative propagation is the
-        # expensive part, the histogram is two tiny collapses
-        edges = copurchase_edges(spark, sf_dir)
-        comp = min_label_components(edges, "a", "b").localCheckpoint(
-            eager=True
-        )
-        _COMPONENT_CACHE[key] = comp
+    from dataengineeringutils_spark.artifacts import df_artifact
+
+    # labels are a deterministic derived artifact of the edge table
+    # (itself persisted): materialize once per corpus, like the shingle
+    # / IVF-assignment artifacts — the iterative propagation is the
+    # expensive part, the histogram is two tiny collapses
+    comp = df_artifact(
+        spark,
+        sf_dir,
+        "graph_component_labels",
+        lambda: min_label_components(
+            copurchase_edges(spark, sf_dir), "a", "b"
+        ),
+    )
     sizes = comp.groupBy("label").agg(
         F.count("*").cast("bigint").alias("sz")
     )
