@@ -35,15 +35,18 @@ def _is_transient(exc: BaseException) -> bool:
     Python worker timing out on connect-back under host load (surfaces
     as a StreamingQueryException / SparkException wrapping a
     SocketTimeoutException). One immediate retry clears it — the same
-    query ran green 35 minutes earlier in the correctness gate."""
+    query ran green 35 minutes earlier in the correctness gate.
+
+    Matches the NESTED timeout markers only (round-7 ADVICE: matching
+    the broad wrapper names — StreamingQueryException, 'Connection
+    reset' — wasted a retry on genuine deterministic streaming failures
+    and overwrote their first error message)."""
     msg = f"{type(exc).__name__}: {exc}"
     return any(
         s in msg
         for s in (
             "connect back",
             "SocketTimeout",
-            "StreamingQueryException",
-            "Connection reset",
         )
     )
 
@@ -131,6 +134,16 @@ def main() -> int:
         "p95": p95,
         "errors": errors,
     }
+    # Artifact-cache visibility (round-7 ADVICE: the serve-from-artifact
+    # effect must be legible in bench artifacts): deterministic fixture
+    # artifacts — ANN indexes, quantile cuts, pair tables — are persisted
+    # on disk and SERVED, not rebuilt, so timings reflect steady state.
+    try:
+        from dataengineeringutils_spark.artifacts import cache_stats
+
+        full["artifact_cache"] = cache_stats()
+    except Exception:  # noqa: BLE001 — stats are informational only
+        pass
     # Full per-query map goes to a file: the driver captures only the LAST
     # 2000 chars of stdout, so the printed line must be short AND complete
     # (round 1's single 5 KB line lost its head and parsed as null).

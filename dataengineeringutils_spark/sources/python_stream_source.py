@@ -61,6 +61,16 @@ def _partition_dirs(path: str) -> list[str]:
 class QueueStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
+        # Rate limit (the Kafka ``maxOffsetsPerTrigger`` analogue): cap
+        # how many NEW segments per partition one micro-batch may
+        # consume. 0 = unlimited. Production use: bound per-batch state
+        # and memory on a backlogged queue; harness use: make one stream
+        # genuinely execute N micro-batches (STREAM_FLOOR amortization
+        # probe). The reader tracks the last offset it RETURNED — Spark
+        # feeds latestOffset's result back as the next batch's start, so
+        # advancing from the last return is exactly per-batch pacing.
+        self.max_per_batch = int(options.get("max_segments_per_batch", 0))
+        self._last: dict | None = None
 
     def initialOffset(self) -> dict:
         return {d: 0 for d in _partition_dirs(self.path)}
@@ -72,6 +82,13 @@ class QueueStreamReader(DataSourceStreamReader):
             out[d] = sum(
                 1 for f in os.listdir(seg_dir) if f.endswith(".json")
             )
+        if self.max_per_batch > 0:
+            base = self._last or {d: 0 for d in out}
+            out = {
+                d: min(n, base.get(d, 0) + self.max_per_batch)
+                for d, n in out.items()
+            }
+        self._last = out
         return out
 
     def partitions(self, start: dict, end: dict):

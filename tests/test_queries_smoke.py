@@ -73,4 +73,16 @@ def test_bench_transient_classifier():
     assert _is_transient(
         RuntimeError("Timed out while waiting for the Python worker to connect back")
     )
+    assert _is_transient(RuntimeError("java.net.SocketTimeoutException"))
     assert not _is_transient(ValueError("column not found"))
+
+    # Round-7 ADVICE: broad wrapper names must NOT classify as transient —
+    # a deterministic streaming failure deserves its first error message,
+    # not a wasted retry that overwrites it.
+    class StreamingQueryException(RuntimeError):
+        pass
+
+    assert not _is_transient(
+        StreamingQueryException("query terminated: column not found")
+    )
+    assert not _is_transient(ConnectionResetError("Connection reset by peer"))

@@ -196,6 +196,159 @@ def test_streaming_ops_are_floor_bound(spark, sf_dir):
             f"(floor {floor:.2f}s x{MULT_BOUND} / +{ADD_BOUND_S}s) — "
             "its own plan got more expensive, not just the machinery"
         )
+    report["amortization"] = _measure_marginals(spark, floors)
     out = os.path.join(os.path.dirname(__file__), "..", "STREAM_FLOOR.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
+
+
+N_AMORT_BATCHES = 10
+
+
+def _marginal(progress) -> tuple[list[float], float]:
+    ds = [
+        p["durationMs"].get("triggerExecution", 0) / 1000.0 for p in progress
+    ]
+    import statistics
+
+    return ds, (statistics.median(ds[1:]) if len(ds) > 1 else float("nan"))
+
+
+def _measure_marginals(spark, floors: dict) -> dict:
+    """Amortization probes (round-7 VERDICT #5): run ONE long stream of
+    N_AMORT_BATCHES micro-batches per floor class and record the
+    MARGINAL per-batch cost (median triggerExecution of batches 2..N).
+    Turns "the floor amortizes on a long-lived stream" from prose into
+    an artifact: the floor is paid once per QUERY, each additional
+    micro-batch costs a fraction of it. Asserted: marginal < floor for
+    every class."""
+    import itertools as it
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    import dataengineeringutils_spark.sources.python_stream_source as pss
+
+    ctr = it.count()
+    out: dict = {"n_batches": N_AMORT_BATCHES}
+
+    # jvm: N one-row parquet files, maxFilesPerTrigger=1, availableNow
+    src = scratch_dir("amort_jvm")
+    for i in range(N_AMORT_BATCHES):
+        spark.range(1).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f={i}"
+        )
+    name = f"amort_{next(ctr)}"
+    q = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _, out["jvm_marginal_batch_sec"] = _marginal(q.recentProgress)
+
+    # python_source: rate-limited queue (max_segments_per_batch=1 — the
+    # Kafka maxOffsetsPerTrigger analogue) on a processingTime(0)
+    # trigger; availableNow snapshots the first offset and would stop
+    # after one batch for a Python source, so the long-lived-stream
+    # shape is the honest probe here anyway.
+    base = scratch_dir("amort_q")
+    seg = os.path.join(base, "p=0")
+    os.makedirs(seg, exist_ok=True)
+    for i in range(N_AMORT_BATCHES):
+        with open(os.path.join(seg, f"{i:08d}.json"), "w") as f:
+            f.write(f'{{"event_id": {i}, "event_type": "a", "value": 1.0}}\n')
+    spark.dataSource.register(pss.QueueDataSource)
+    name = f"amort_{next(ctr)}"
+    q = (
+        spark.readStream.format("file_queue")
+        .option("path", base)
+        .option("max_segments_per_batch", "1")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    t0 = _t.time()
+    while (
+        spark.table(name).count() < N_AMORT_BATCHES and _t.time() - t0 < 120
+    ):
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    _, out["python_source_marginal_batch_sec"] = _marginal(q.recentProgress)
+
+    # stateful_join: two file sources advancing one file per batch
+    # through a watermarked left-outer stream-stream join — marginal
+    # includes the per-batch state-store commits and eviction work.
+    src = scratch_dir("amort_state")
+    for i in range(N_AMORT_BATCHES):
+        df = spark.createDataFrame(
+            [(i, f"2024-01-01 {i:02d}:00:00")], "id long, ts_s string"
+        ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/a/f={i}")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b/f={i}")
+    a = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/a/f=*")
+        .withWatermark("ts", "1 hour")
+    )
+    b = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b/f=*")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("id").alias("b_id"), F.col("ts").alias("b_ts"))
+    )
+    joined = a.join(
+        b,
+        (F.col("id") == F.col("b_id"))
+        & (F.col("b_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("b_ts") <= F.col("ts")),
+        "left_outer",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    name = f"amort_{next(ctr)}"
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    _, out["stateful_join_marginal_batch_sec"] = _marginal(q.recentProgress)
+
+    for cls in ("jvm", "python_source", "stateful_join"):
+        out[f"{cls}_marginal_batch_sec"] = round(
+            out[f"{cls}_marginal_batch_sec"], 4
+        )
+    # Amortization is asserted for the two floor-EXCEPTED classes (the
+    # ones whose fresh-query setup dominates their bench line): each
+    # additional micro-batch must cost strictly less than starting a
+    # fresh query. The jvm class's floor already ≈ one micro-batch
+    # (0.2 s machinery), so there is nothing to amortize — recorded,
+    # not asserted.
+    for cls in ("python_source", "stateful_join"):
+        marginal = out[f"{cls}_marginal_batch_sec"]
+        assert marginal < floors[cls], (
+            f"{cls}: marginal per-batch cost {marginal:.2f}s is not below "
+            f"its fresh-query floor {floors[cls]:.2f}s — the floor does "
+            "not amortize"
+        )
+    return out

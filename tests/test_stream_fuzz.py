@@ -1,0 +1,39 @@
+"""Streaming differential fuzz gate (SURVEY §5; round-7 VERDICT #4).
+
+Runs the first seeds of the same deterministic sequence the deep sweep
+(tools/stream_fuzz_sweep.py -> STREAMFUZZ.json) uses: each case executes
+as a REAL Structured Streaming job (micro-batched file source, append
+mode, watermark), as the equivalent batch plan plus the pinned emission
+predicate, and as a DuckDB oracle — all three must agree exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineeringutils_spark.streamfuzz import gen_stream_case, run_stream_case
+from tools.verify_local import duck_connect
+
+SF = "/root/testdata/sf0.001"
+N_SEEDS = 10
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connect(SF)
+
+
+@pytest.mark.parametrize("seed", range(1, N_SEEDS + 1))
+def test_stream_fuzz_seed(spark, duck, seed):
+    r = run_stream_case(spark, duck, SF, seed)
+    assert r["ok"], (r["shape"], r["issues"][:3], r["sql"])
+
+
+def test_gen_is_deterministic_and_covers_shapes():
+    cases = [gen_stream_case(s) for s in range(1, 200)]
+    again = [gen_stream_case(s) for s in range(1, 200)]
+    assert cases == again
+    shapes = {c["shape"] for c in cases}
+    assert shapes == {"tumbling", "sliding", "session"}
+    # displaced-tail (out-of-order arrival) and multi-batch cases occur
+    assert any(c["displace"] and c["n_batches"] > 1 for c in cases)

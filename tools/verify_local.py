@@ -117,11 +117,48 @@ def main() -> int:
     if "--json" in argv:
         i = argv.index("--json")
         if i + 1 >= len(argv):
-            print("usage: verify_local.py [--json OUT.json] [name ...]")
+            print("usage: verify_local.py [--json OUT.json] "
+                  "[--sample N [--seed S]] [name ...]")
             return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    sample_n = None
+    seed = 0
+    for flag in ("--sample", "--seed"):
+        if flag in argv:
+            i = argv.index(flag)
+            val = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
+            if flag == "--sample":
+                sample_n = val
+            else:
+                seed = val
     only = set(argv)
+    if sample_n is not None:
+        # Stratified sample mirroring the driver's per-round shape (the
+        # driver checks ~50 ops weighted by family): group by the op-name
+        # family prefix, allocate proportionally (>=1 per touched
+        # family), draw with a seeded rng — so a builder can rehearse
+        # exactly the class of run the driver will do.
+        import random as _random
+
+        from dataengineeringutils_spark.registry import queries as _qs
+
+        names = sorted(_qs())
+        fams: dict[str, list[str]] = {}
+        for n in names:
+            fams.setdefault(n.split("_", 1)[0], []).append(n)
+        rng = _random.Random(seed)
+        picked: list[str] = []
+        fam_items = sorted(fams.items())
+        quota = {
+            f: max(1, round(sample_n * len(v) / len(names)))
+            for f, v in fam_items
+        }
+        for f, v in fam_items:
+            picked += rng.sample(v, min(quota[f], len(v)))
+        rng.shuffle(picked)
+        only = set(picked[:sample_n]) | only
     spark = get_spark("verify_local")
     con = duck_connect(SF_DIR)
     qs = queries()
