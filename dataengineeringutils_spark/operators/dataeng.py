@@ -523,7 +523,6 @@ def keyed_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INCR_CUTOFF = "1998-01-01"
-_PARTIALS_CACHE: set = set()
 
 
 @query(
@@ -550,7 +549,7 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partials ∪ delta-partials). The oracle is the full-history
     aggregate, proving merge(partials, delta) == recompute(all).
     """
-    from dataengineeringutils_spark.paths import scratch_dir
+    from dataengineeringutils_spark.artifacts import df_artifact
 
     cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
     o = table(spark, sf_dir, "orders")
@@ -562,14 +561,12 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(_DEC)).alias("sum_price_dec"),
         )
 
-    base = scratch_dir("incr_partials_" + str(abs(hash(sf_dir)) % 10**8))
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PARTIALS_CACHE:
-        partial(o.filter(F.col("o_orderdate") < cutoff)).write.mode(
-            "overwrite"
-        ).parquet(base)
-        _PARTIALS_CACHE.add(key)
-    historical = spark.read.parquet(base)
+    historical = df_artifact(
+        spark,
+        sf_dir,
+        "incr_partials",
+        lambda: partial(o.filter(F.col("o_orderdate") < cutoff)),
+    )
     delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
     merged = historical.unionByName(delta).groupBy(
         "o_orderstatus", "o_year"

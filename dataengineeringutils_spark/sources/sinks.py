@@ -786,9 +786,6 @@ def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# session cache for sink_txn_stats_skipping's 7-commit fixture table
-_TXN_SKIP_CACHE: dict[tuple[str, str], str] = {}
-
 
 @query(
     "sink_txn_stats_skipping",
@@ -818,30 +815,27 @@ def sink_txn_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory partitioning it composes with any column that has
     write-order locality (see ``sink_zorder_locality``).
 
-    The 7-commit table is a deterministic function of the fixture and
-    is built once per (session, sf_dir) — the same session-cache rule
-    the shingle/IVF artifacts follow; the skipping scan itself (log
-    read, pruning, file scan, aggregate) re-executes every call.
+    The 7-commit table is a deterministic function of the fixture,
+    persisted once per corpus as a directory artifact (the same rule
+    the shingle/IVF artifacts follow) and only READ here; the skipping
+    scan itself (log read, pruning, file scan, aggregate) re-executes
+    every call.
     """
+    from dataengineeringutils_spark.artifacts import dir_artifact
     from dataengineeringutils_spark.txnlog import LogTable
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _TXN_SKIP_CACHE.get(key)
-    if path is None:
-        import uuid
-
+    def _build(tmp: str) -> None:
         o = table(spark, sf_dir, "orders").select(
             "o_orderdate", "o_totalprice"
         )
-        path = scratch_dir("txn_skip_" + uuid.uuid4().hex)
-        t = LogTable(spark, path)
+        t = LogTable(spark, tmp)
         for y in range(1995, 2002):
             t.append(
                 o.filter(F.year("o_orderdate") == y),
                 stats_col="o_orderdate",
             )
-        _TXN_SKIP_CACHE[key] = path
-    t = LogTable(spark, path)
+
+    t = LogTable(spark, dir_artifact(sf_dir, "txn_skip_table", _build))
     hit, n_scanned, n_total = t.scan_where(
         "o_orderdate", "1997-01-01 00:00:00", "1997-12-31 23:59:59"
     )
@@ -853,10 +847,6 @@ def sink_txn_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_scanned).cast("int").alias("files_scanned"),
         F.lit(n_total).cast("int").alias("files_total"),
     )
-
-
-# session cache for sink_txn_change_feed's 3-commit fixture table
-_TXN_CDF_CACHE: dict[tuple[str, str], str] = {}
 
 
 @query(
@@ -903,16 +893,14 @@ def sink_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the COW-format fallback (snapshot diff on keys, shuffling
     keys+changed rows only); a format with per-commit row tracking
     reads the feed from the log instead — same output contract. The
-    3-commit table is a deterministic fixture artifact, built once per
-    (session, sf_dir); the change-feed read re-executes every call.
+    3-commit table is a deterministic fixture artifact, persisted once
+    per corpus (directory artifact, read-only here); the change-feed
+    read re-executes every call.
     """
+    from dataengineeringutils_spark.artifacts import dir_artifact
     from dataengineeringutils_spark.txnlog import LogTable
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _TXN_CDF_CACHE.get(key)
-    if path is None:
-        import uuid
-
+    def _build(tmp: str) -> None:
         o = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
         )
@@ -920,7 +908,7 @@ def sink_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = o.filter(F.col("o_orderkey") % 3 == 0).select(
             F.col("o_orderkey").alias("k"), price.alias("price")
         )
-        s = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        src = o.filter(F.col("o_orderkey") % 5 == 0).select(
             F.col("o_orderkey").alias("k"),
             # 1.1 as a DECIMAL literal (a double would route through
             # float), and ROUND rather than a bare cast: DuckDB's decimal
@@ -930,13 +918,12 @@ def sink_txn_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("price"),
         )
-        path = scratch_dir("txn_cdf_" + uuid.uuid4().hex)
-        t = LogTable(spark, path)
+        t = LogTable(spark, tmp)
         t.append(a)
-        t.merge(s, keys=["k"])
+        t.merge(src, keys=["k"])
         t.delete_where("k % 7 = 0")
-        _TXN_CDF_CACHE[key] = path
-    t = LogTable(spark, path)
+
+    t = LogTable(spark, dir_artifact(sf_dir, "txn_cdf_table", _build))
     cf = t.change_feed(0, None, keys=["k"])
     return cf.groupBy("_change_type").agg(
         F.count("*").cast("bigint").alias("n_rows"),
