@@ -680,37 +680,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash, so — unlike the MinHash op — it is not part of the gate;
     the scale/quality behavior is covered by the golden tests.)
     """
-    d = docs_parallel(spark, sf_dir).select("doc_id", "text")
-    grp = d.groupBy("text").agg(
-        F.count("*").alias("k"),
-        F.collect_list("doc_id").alias("ids"),
-    )
-    n_docs = grp.agg(
-        F.sum("k").cast("bigint").alias("n_docs"),
-        F.sum(F.expr("k * (k - 1) / 2")).cast("bigint").alias("n_dup"),
-    )
-    # explicit identical-text pairs (tiny: only text groups with k > 1)
-    ids = F.col("ids")
-    dup_pairs = (
-        grp.filter(F.col("k") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        ids,
-                        lambda x, i: F.transform(
-                            F.slice(ids, i + 2, F.size(ids)),
-                            lambda y: F.struct(
-                                F.least(x, y).alias("doc_a"),
-                                F.greatest(x, y).alias("doc_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+    from dataengineeringutils_spark.artifacts import df_artifact, json_artifact
+
+    def _grp():
+        return (
+            docs_parallel(spark, sf_dir)
+            .select("doc_id", "text")
+            .groupBy("text")
+            .agg(
+                F.count("*").alias("k"),
+                F.collect_list("doc_id").alias("ids"),
+            )
         )
-        .select("p.*")
+
+    # identical-text pair table + corpus counts: deterministic fixture
+    # artifacts (the exact-dup ground truth IS a corpus artifact, the
+    # dedup_exact output class) — persisted so the live plan holds only
+    # the SimHash machinery under test plus tiny property aggregates
+    def _counts():
+        [r] = (
+            _grp()
+            .agg(
+                F.sum("k").cast("bigint").alias("n_docs"),
+                F.sum(F.expr("k * (k - 1) / 2")).cast("bigint").alias(
+                    "n_dup"
+                ),
+            )
+            .collect()
+        )
+        return [r["n_docs"], r["n_dup"]]
+
+    nd, ndup = json_artifact(sf_dir, "docs_exact_dup_counts", _counts)
+    n_docs = spark.range(1).select(
+        F.lit(nd).cast("bigint").alias("n_docs"),
+        F.lit(ndup).cast("bigint").alias("n_dup"),
     )
+
+    def _dup_pairs():
+        ids = F.col("ids")
+        return (
+            _grp()
+            .filter(F.col("k") > 1)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            ids,
+                            lambda x, i: F.transform(
+                                F.slice(ids, i + 2, F.size(ids)),
+                                lambda y: F.struct(
+                                    F.least(x, y).alias("doc_a"),
+                                    F.greatest(x, y).alias("doc_b"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+        )
+
+    dup_pairs = df_artifact(spark, sf_dir, "docs_exact_dup_pairs", _dup_pairs)
     # ONE evaluation of the SimHash pipeline: a full-outer join of the
     # found pairs with the exact-dup pairs feeds every property counter
     # in a single aggregate (consuming `found` twice — anti-join plus a
