@@ -89,11 +89,11 @@ def test_margin_waterfall_one_scan_one_exchange(spark, sf_dir):
 
 def test_basket_lift_supports_broadcast(spark, sf_dir):
     tree = _tree(queries()["basket_pair_lift"](spark, sf_dir))
-    # reads the MATERIALIZED pair/support tables (session caches — no
-    # re-mining of baskets: ExistingRDD scans, no Generate); support
-    # joins and the scalar total broadcast, global top-20 heap-merged
+    # reads the MATERIALIZED pair/support tables (persisted parquet
+    # artifacts since round 8 — no re-mining of baskets: no Generate);
+    # support joins and the scalar total broadcast, top-20 heap-merged
     assert "SortMergeJoin" not in tree, tree
-    assert "Scan ExistingRDD" in tree, tree
+    assert "Scan parquet" in tree, tree
     assert "Generate" not in tree, tree
     assert "TakeOrderedAndProject" in tree, tree
 
