@@ -11,12 +11,27 @@ in a fresh session vs 1.34 s warm because the artifact build landed
 inside the timed window. This module moves the cache to disk so ANY
 fresh session pays only a parquet/JSON read.
 
-Layout: ``<root>/<fixture-fingerprint>/<name>.json`` or ``.../<name>``
-(a parquet directory). The fingerprint hashes the fixture dir path plus
-every ``*.parquet`` (name, size, mtime_ns) under it, so regenerated
-testdata AUTOMATICALLY invalidates every artifact derived from it —
-stale reuse is structurally impossible. Artifact-shape changes in code
-bump the ``name`` (callers version their names, e.g. ``lsh_topk_v2``).
+Layout: ``<root>/<fixture-fingerprint>/<name>.c<code-stamp>.json`` or
+``.../<name>.c<code-stamp>`` (a parquet directory). Two independent
+invalidation axes, both automatic:
+
+- DATA: the fingerprint hashes the fixture dir path plus every
+  ``*.parquet`` (name, size, mtime_ns) under it, so regenerated
+  testdata invalidates every artifact derived from it.
+- CODE: the stamp hashes the source FILE that defines the builder
+  callable, so editing an operator module (shingling, LSH seeds,
+  banding, IVF assignment, ...) invalidates that module's artifacts
+  without anyone remembering to bump a version string (round-8 ADVICE:
+  a manually versioned name silently serves stale values after a
+  builder edit — and the golden tests read through the same cache, so
+  the regression would pass locally and only surface in a fresh
+  clone). Module-level granularity is deliberately coarse: an edit
+  anywhere in the module rebuilds its artifacts once, which is cheap;
+  missing a helper change would not be.
+
+Stale reuse is structurally impossible on either axis; superseded
+entries are dead files that ``cache_stats`` still counts (disk is the
+bounded cost of the guarantee).
 
 Concurrency: writers build into ``<final>.tmp-<pid>-<token>`` and
 ``os.rename`` into place; on a lost race the loser discards its build
@@ -52,18 +67,15 @@ def artifact_root() -> str:
     return os.environ.get("SPARK_GRAFT_ARTIFACT_ROOT", _DEFAULT_ROOT)
 
 
-_FP_MEMO: dict[str, str] = {}
-
-
 def fixture_fingerprint(sf_dir: str) -> str:
     """Short content-stamp of a fixture dir: sha1 over the dir path and
-    each top-level parquet file's (name, size, mtime_ns). Cheap (one
-    listdir + stats), memoized per process, and changes whenever the
-    driver regenerates testdata — the cache's only invalidation rule."""
+    each top-level parquet file's (name, size, mtime_ns). Cheap enough
+    (one listdir + stats) to recompute per call — deliberately NOT
+    memoized, so regenerating testdata mid-process invalidates in this
+    process too (round-8 ADVICE: the per-process memo violated the
+    'stale reuse is structurally impossible' guarantee within one
+    long-lived session)."""
     sf_dir = os.path.abspath(sf_dir)
-    memo = _FP_MEMO.get(sf_dir)
-    if memo is not None:
-        return memo
     h = hashlib.sha1(sf_dir.encode())
     try:
         names = sorted(
@@ -74,15 +86,42 @@ def fixture_fingerprint(sf_dir: str) -> str:
     for e in names:
         st = os.stat(os.path.join(sf_dir, e))
         h.update(f"{e}:{st.st_size}:{st.st_mtime_ns};".encode())
-    fp = h.hexdigest()[:16]
-    _FP_MEMO[sf_dir] = fp
-    return fp
+    return h.hexdigest()[:16]
 
 
-def _slot(sf_dir: str, name: str) -> str:
+# code-stamp memo keyed by (path, size, mtime_ns) — safe: the key IS the
+# staleness check, so an edited module re-hashes automatically
+_CODE_MEMO: dict[tuple, str] = {}
+
+
+def _code_stamp(build) -> str:
+    """8-hex stamp of the source file defining ``build`` (see module
+    docstring: the CODE invalidation axis). Builders without a real
+    source file (C callables, REPL lambdas) get the pinned stamp
+    ``static`` — such callers must version their ``name``."""
+    import inspect
+
+    fn = getattr(build, "func", build)  # functools.partial
+    try:
+        path = inspect.getsourcefile(fn)
+    except TypeError:
+        path = None
+    if not path or not os.path.isfile(path):
+        return "static"
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    memo = _CODE_MEMO.get(key)
+    if memo is None:
+        with open(path, "rb") as fh:
+            memo = hashlib.sha1(fh.read()).hexdigest()[:8]
+        _CODE_MEMO[key] = memo
+    return memo
+
+
+def _slot(sf_dir: str, name: str, build) -> str:
     d = os.path.join(artifact_root(), fixture_fingerprint(sf_dir))
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, name)
+    return os.path.join(d, f"{name}.c{_code_stamp(build)}")
 
 
 def _rename_into_place(tmp: str, final: str) -> None:
@@ -98,9 +137,11 @@ def _rename_into_place(tmp: str, final: str) -> None:
 
 
 # In-process memos so repeat calls inside one session skip even the
-# (cheap) disk read. DataFrame memo is keyed by applicationId — a plan
-# object must never outlive its SparkContext.
-_JSON_MEMO: dict[tuple, object] = {}
+# (cheap) disk read. Keyed by the full slot path (fingerprint + code
+# stamp), so data regeneration AND code edits both invalidate in-process.
+# DataFrame memo additionally keys by applicationId — a plan object must
+# never outlive its SparkContext.
+_JSON_MEMO: dict[str, object] = {}
 _DF_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -108,10 +149,10 @@ def json_artifact(sf_dir: str, name: str, build):
     """JSON-serializable deterministic artifact (cut lists, counts,
     panels). Note JSON round-trip semantics: tuples come back as lists —
     callers must accept list shapes."""
-    key = (fixture_fingerprint(sf_dir), name)
+    path = _slot(sf_dir, name, build) + ".json"
+    key = path
     if key in _JSON_MEMO:
         return _JSON_MEMO[key]
-    path = _slot(sf_dir, name) + ".json"
     if os.path.exists(path):
         with open(path) as fh:
             val = json.load(fh)
@@ -131,7 +172,7 @@ def df_artifact(
     """Parquet-backed deterministic DataFrame artifact. First builder
     materializes ``build()`` to ``<slot>/<name>``; every caller (this
     session and every later one) gets the lazy read-back scan."""
-    path = _slot(sf_dir, name)
+    path = _slot(sf_dir, name, build)
     key = (spark.sparkContext.applicationId, path)
     cached = _DF_MEMO.get(key)
     if cached is not None:
@@ -151,7 +192,7 @@ def dir_artifact(sf_dir: str, name: str, build) -> str:
     directory is renamed into the cache atomically and its final path
     returned. Callers that MUTATE the artifact must copy it out first
     (the cache entry itself is immutable)."""
-    path = _slot(sf_dir, name)
+    path = _slot(sf_dir, name, build)
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)

@@ -528,7 +528,9 @@ def orders_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _cuts():
-        n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
+        # fixture-pure cut count (no defaultParallelism term — round-8
+        # ADVICE: the persisted artifact must not vary by machine)
+        n_cuts = 31
         qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
         return sorted(
             set(
@@ -854,7 +856,9 @@ def _per_customer_spend(spark: SparkSession, sf_dir: str):
     )
 
     def _cuts():
-        n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
+        # fixture-pure cut count (no defaultParallelism term — round-8
+        # ADVICE: the persisted artifact must not vary by machine)
+        n_cuts = 31
         qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
         return sorted(
             set(

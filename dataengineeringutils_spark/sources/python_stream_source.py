@@ -70,7 +70,45 @@ class QueueStreamReader(DataSourceStreamReader):
         # feeds latestOffset's result back as the next batch's start, so
         # advancing from the last return is exactly per-batch pacing.
         self.max_per_batch = int(options.get("max_segments_per_batch", 0))
-        self._last: dict | None = None
+        # Consumer group (Kafka ``group.id`` analogue): when set,
+        # ``commit`` persists acked offsets to a broker-side sidecar
+        # (``<topic>/.acks-<group>``) and a RESTARTED reader seeds its
+        # pacing base from it. Without this, a paced reader restarted
+        # from a checkpoint would base its first latestOffset at 0 and
+        # could return an offset BELOW the checkpointed start; Spark
+        # logs that regressed end, and the next batch's [start, end)
+        # then re-reads already-committed segments (duplicate delivery
+        # — round-8 ADVICE). The sidecar makes latestOffset monotonic
+        # against the committed position across restarts, exactly as a
+        # broker's consumer-group offsets do. Unset = in-memory pacing
+        # only (single-run streams; partitions() still re-seeds the
+        # base within a run, see below).
+        self.group = options.get("group")
+        self._last: dict | None = self._read_acks()
+
+    def _acks_path(self) -> str | None:
+        if not self.group:
+            return None
+        # dotfile WITHOUT the .json suffix: segment listing must never
+        # count it (see latestOffset's filter)
+        return os.path.join(self.path, f".acks-{self.group}")
+
+    def _read_acks(self) -> dict | None:
+        p = self._acks_path()
+        if p and os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def _seed(self, offsets: dict) -> None:
+        """Raise the pacing base to element-wise max with ``offsets`` —
+        offsets Spark hands us (checkpointed starts, replayed ends) are
+        authoritative lower bounds for what's already been planned."""
+        base = self._last or {}
+        self._last = {
+            d: max(base.get(d, 0), offsets.get(d, 0))
+            for d in set(base) | set(offsets)
+        }
 
     def initialOffset(self) -> dict:
         return {d: 0 for d in _partition_dirs(self.path)}
@@ -80,18 +118,28 @@ class QueueStreamReader(DataSourceStreamReader):
         for d in _partition_dirs(self.path):
             seg_dir = os.path.join(self.path, d)
             out[d] = sum(
-                1 for f in os.listdir(seg_dir) if f.endswith(".json")
+                1
+                for f in os.listdir(seg_dir)
+                if f.endswith(".json") and not f.startswith(".")
             )
         if self.max_per_batch > 0:
             base = self._last or {d: 0 for d in out}
+            # clamp to >= base: never regress below a seen/acked offset
             out = {
-                d: min(n, base.get(d, 0) + self.max_per_batch)
+                d: max(
+                    min(n, base.get(d, 0) + self.max_per_batch),
+                    base.get(d, 0),
+                )
                 for d, n in out.items()
             }
         self._last = out
         return out
 
     def partitions(self, start: dict, end: dict):
+        # Spark replays an uncommitted batch through partitions() before
+        # any latestOffset call on restart — learn the committed start
+        # here so in-run pacing never regresses even without a group.
+        self._seed(start)
         parts = []
         for d, hi in end.items():
             lo = start.get(d, 0)
@@ -117,9 +165,25 @@ class QueueStreamReader(DataSourceStreamReader):
                         )
 
     def commit(self, end: dict) -> None:
-        # a broker-backed source would ack the consumer group here; the
-        # directory log is immutable, so checkpointed offsets suffice
-        pass
+        """Ack the consumer group: with a ``group`` set, merge ``end``
+        (element-wise max — acks are monotone) into the broker-side
+        sidecar so a restarted reader's pacing base starts at the
+        committed position. Atomic rename; losers of a write race are
+        fine because acks only ever grow and both writers merged the
+        same on-disk state or newer. Without a group the directory log
+        is immutable and Spark's checkpoint alone suffices."""
+        p = self._acks_path()
+        if p is None:
+            return
+        prev = self._read_acks() or {}
+        merged = {
+            d: max(prev.get(d, 0), end.get(d, 0))
+            for d in set(prev) | set(end)
+        }
+        tmp = f"{p}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, p)
 
 
 class QueueDataSource(DataSource):

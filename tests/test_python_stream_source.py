@@ -84,6 +84,93 @@ def test_partition_planning_matches_offset_ranges(spark):
     assert rows == [(2, "a", 1.0)]
 
 
+def test_paced_reader_restart_never_regresses_below_acks(spark):
+    """Round-8 ADVICE: a rate-limited reader restarted from a checkpoint
+    must not return a latestOffset below the committed position (Spark
+    logs the regressed end, and the NEXT batch's [start, end) then
+    re-reads committed segments). With a consumer ``group``, commit()
+    acks to the broker-side sidecar and a fresh reader seeds its pacing
+    base from it — latestOffset is monotone across restarts."""
+    base = scratch_dir("queue_paced_topic")
+    for i in range(4):
+        _write_segment(base, 0, i, [{"event_id": i, "event_type": "a", "value": 1.0}])
+
+    a = QueueStreamReader({"path": base, "max_segments_per_batch": "1", "group": "g1"})
+    assert a.latestOffset() == {"p=0": 1}
+    a.commit({"p=0": 1})
+    assert a.latestOffset() == {"p=0": 2}
+    a.commit({"p=0": 2})
+
+    # restart: fresh reader instance, same group — paces from acks (2),
+    # never from 0
+    b = QueueStreamReader({"path": base, "max_segments_per_batch": "1", "group": "g1"})
+    assert b.latestOffset() == {"p=0": 3}
+
+    # the ack sidecar must be invisible to segment counting
+    assert os.path.exists(os.path.join(base, "p=0"))
+    c = QueueStreamReader({"path": base})
+    assert c.latestOffset() == {"p=0": 4}
+
+    # groupless fallback: partitions() re-seeds the base in-run, so a
+    # replayed batch's checkpointed start still lifts the pacing floor
+    d = QueueStreamReader({"path": base, "max_segments_per_batch": "1"})
+    d.partitions({"p=0": 3}, {"p=0": 4})
+    assert d.latestOffset()["p=0"] >= 3
+
+
+def test_paced_restart_no_duplicate_delivery(spark):
+    """End-to-end: paced (cap=1) grouped consumer, real checkpointed
+    restart with an append in between — the sink holds each event
+    exactly once. Without the ack-seeded pacing base, the restarted
+    run's regressed latestOffset would replay committed segments."""
+    import time as _t
+
+    spark.dataSource.register(QueueDataSource)
+    base = scratch_dir("queue_paced_restart_topic")
+    ck = scratch_dir("queue_paced_restart_ck")
+    out = scratch_dir("queue_paced_restart_out")
+
+    def run_until(n_rows: int) -> list[int]:
+        stream = (
+            spark.readStream.format("file_queue")
+            .option("path", base)
+            .option("max_segments_per_batch", "1")
+            .option("group", "exactly_once")
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        t0 = _t.time()
+        try:
+            while _t.time() - t0 < 90:
+                try:
+                    if spark.read.parquet(out).count() >= n_rows:
+                        break
+                except Exception:
+                    pass  # sink dir not created yet
+                _t.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+
+    for i in range(4):
+        _write_segment(base, 0, i, [{"event_id": i, "event_type": "a", "value": 1.0}])
+    assert run_until(4) == [0, 1, 2, 3]
+
+    for i in range(4, 6):
+        _write_segment(base, 0, i, [{"event_id": i, "event_type": "a", "value": 1.0}])
+    # restart from the checkpoint: exactly the two appended events land,
+    # nothing is replayed
+    assert run_until(6) == [0, 1, 2, 3, 4, 5]
+
+
 def test_stream_matches_batch_counts(spark, sf_dir):
     """The registered op's aggregate equals the straight batch aggregate
     over events — queue round-trip is lossless."""
