@@ -26,6 +26,15 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from dataengineeringutils_spark.blas import cap_blas_env  # noqa: E402
+
+# Before the JVM starts: every Python worker inherits this env, so each
+# worker's OpenBLAS pool is 1 thread — local[32] runs 32 single-threaded
+# tasks, exactly subscribed. Without it each of up to 32 workers spins a
+# 32-thread pool and the GEMM ops inflate 2-3x under serial bench load
+# (round-8 VERDICT: the five load-only >2 s crossings).
+cap_blas_env(1)
+
 from dataengineeringutils_spark.registry import queries  # noqa: E402
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
 

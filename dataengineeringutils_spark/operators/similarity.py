@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dataengineeringutils_spark.blas import cap_blas_threads
 from dataengineeringutils_spark.registry import query
 from dataengineeringutils_spark.tables import table
 
@@ -225,7 +226,7 @@ def _lsh_signature_kernel(it):
     (vec_id, table, bucket) rows; vectors rejoin after candidate dedup."""
     import numpy as np
     import pandas as pd
-
+    cap_blas_threads(1)  # one BLAS thread per worker = task's CPU share
     planes = np.asarray(_hyperplanes(n_tables=N_TABLES))  # (T, n, dim)
     n_tables, n_bits, dim = planes.shape
     m = planes.reshape(n_tables * n_bits, dim).T  # (dim, T*n)
@@ -413,6 +414,8 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_mat = np.asarray(mat_l, dtype=np.float64)
 
     def nominate(batches, q_ids=q_ids, q_mat=q_mat):
+
+        cap_blas_threads(1)  # one BLAS thread per worker = task's CPU share
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -683,7 +686,7 @@ def _block_pair_cosine(it):
     via a single vectorized matmul."""
     import numpy as np
     import pandas as pd
-
+    cap_blas_threads(1)  # one BLAS thread per worker = task's CPU share
     for pdf in it:
         out_a, out_b, out_c = [], [], []
         for _, row in pdf.iterrows():
@@ -1140,6 +1143,8 @@ def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids, q_mat = collect_panel(e, BLOCK_TOPK_PANEL_K)
 
     def nominate(batches):
+
+        cap_blas_threads(1)  # one BLAS thread per worker = task's CPU share
         for pdf in batches:
             order = np.argsort(
                 np.asarray(pdf["vec_id"], dtype=np.int64), kind="stable"
@@ -2091,6 +2096,8 @@ def embeddings_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFram
     q_ids, q_mat = collect_panel(e, KNN_EVAL_PANEL_K)
 
     def nominate(batches):
+
+        cap_blas_threads(1)  # one BLAS thread per worker = task's CPU share
         for pdf in batches:
             order = np.argsort(
                 np.asarray(pdf["vec_id"], dtype=np.int64), kind="stable"
@@ -2245,6 +2252,8 @@ def embeddings_sign_quantization_eval(spark: SparkSession, sf_dir: str) -> DataF
     q_sign = np.where(q_mat >= 0.0, 1.0, -1.0)
 
     def nominate(batches):
+
+        cap_blas_threads(1)  # one BLAS thread per worker = task's CPU share
         for pdf in batches:
             order = np.argsort(
                 np.asarray(pdf["vec_id"], dtype=np.int64), kind="stable"

@@ -47,6 +47,16 @@ PORTABLE_CONF: dict[str, str] = {
     # portable: correct on any deployment.
     "spark.python.worker.reuse": "true",
     "spark.python.authenticate.socketTimeout": "120s",
+    # [scale] one BLAS thread per Python worker: a task's CPU share is
+    # spark.task.cpus (=1), but numpy's OpenBLAS defaults its pool to
+    # ALL host cores per worker PROCESS — N workers x N cores runnable
+    # threads during mapInPandas GEMM kernels (measured 2-3x wall-time
+    # inflation under concurrent load, round-8 VERDICT). Kernels also
+    # re-cap the loaded library at runtime (blas.cap_blas_threads) for
+    # sessions not built here.
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
     # keep bucketed scans bucketed: the DisableUnnecessaryBucketedScan
     # rule does not credit bucket-FILE pruning as a benefit, so a
     # point lookup on a bucket column would silently read all buckets

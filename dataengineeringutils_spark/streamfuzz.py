@@ -299,6 +299,342 @@ def _stream_build(case: dict):
     return build
 
 
+# ---------------------------------------------------------------------------
+# Stateful-join / dedup-state shape families (round-8 VERDICT #3): the
+# state-store paths where an off-by-one in eviction silently drops rows.
+#
+# SOUNDNESS (why stream == batch by construction, so any divergence is a
+# real engine bug, not fuzz noise):
+#
+# ssjoin — watermarked interval join, ONE-SIDED lookback bound
+# (right.ts in [left.ts - B, left.ts]). Batches are contiguous time
+# slices; Spark's global watermark for batch N derives from data through
+# N-2 (pinned contract). For any pair (a, b): if b arrived first, when
+# a's batch processes W <= max_ts(two batches back) - D <= ta - D, and
+# right-side eviction needs W > tb + B >= ta, impossible since D > 0;
+# if a arrived first, left-side eviction needs W > ta >= tb >= W + D.
+# So NO matchable partner is ever evicted early — for ANY delay D > 0,
+# displacement included — while genuinely old state still evicts during
+# the run (the path under test). The one-sided bound is what makes the
+# displaced case airtight; a symmetric bound would need D >= slice span.
+#
+# dedup_wm — dropDuplicatesWithinWatermark over the full row. Duplicates
+# are COPIES of the last ``dup_tail`` rows of each slice injected one
+# batch later: when the copy arrives in batch i+1, W <= end(slice i-1)
+# - D <= original.ts, so the original's state entry survives and the
+# copy is dropped; the copy itself is never watermark-filtered for the
+# same reason displaced rows never are. Stream output therefore equals
+# batch dropDuplicates equals DISTINCT over the (filtered) source.
+# ---------------------------------------------------------------------------
+
+# actual fixture event types (EVENT_TYPES above keeps the original
+# aggregate families' seed mapping stable)
+_FIXTURE_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def gen_stateful_case(seed: int) -> dict:
+    """One seeded stateful case (stream-stream join or dedup-state).
+    Same seed -> identical case forever; separate seed space from
+    gen_stream_case so the aggregate families' cases never shift."""
+    rng = random.Random(20_000_000 + seed)
+    shape = rng.choice(["ssjoin", "dedup_wm"])
+    case: dict = {"shape": shape, "seed": seed}
+    if rng.random() < 0.4:
+        m = rng.randint(2, 5)
+        case["user_mod"] = (m, rng.randrange(m))
+    else:
+        case["user_mod"] = None
+    case["delay_min"] = rng.choice([10, 30, 60, 120])
+    case["n_batches"] = rng.randint(2, 5)
+    if shape == "ssjoin":
+        case["bound_min"] = rng.choice([15, 30, 60, 120])
+        case["l_types"] = sorted(rng.sample(_FIXTURE_TYPES, k=rng.randint(1, 2)))
+        case["r_types"] = sorted(rng.sample(_FIXTURE_TYPES, k=rng.randint(1, 2)))
+        case["displace"] = rng.randint(0, 3)
+    else:
+        case["types"] = (
+            sorted(rng.sample(_FIXTURE_TYPES, k=rng.randint(1, 3)))
+            if rng.random() < 0.5
+            else None
+        )
+        case["dup_tail"] = rng.randint(1, 3)
+    return case
+
+
+def _stateful_src_pandas(
+    spark: SparkSession, sf_dir: str, case: dict
+) -> pd.DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "ts",
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        "value",
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    if case["shape"] == "ssjoin":
+        all_types = sorted(set(case["l_types"]) | set(case["r_types"]))
+        ev = ev.filter(F.col("event_type").isin(*all_types))
+    elif case.get("types") is not None:
+        ev = ev.filter(F.col("event_type").isin(*case["types"]))
+    if case["user_mod"] is not None:
+        m, r = case["user_mod"]
+        ev = ev.filter(F.col("user_id") % m == r)
+    pdf = ev.toPandas()
+    return pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _slices(pdf: pd.DataFrame, n: int) -> list[pd.DataFrame]:
+    cuts = [round(i * len(pdf) / n) for i in range(n + 1)]
+    return [pdf.iloc[cuts[i]: cuts[i + 1]] for i in range(n)]
+
+
+def _mod_sql(case: dict) -> str:
+    if case["user_mod"] is None:
+        return ""
+    m, r = case["user_mod"]
+    return f" AND user_id % {m} = {r}"
+
+
+def _run_ssjoin(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
+    """Stream-stream inner interval join three ways; returns issues."""
+    from dataengineeringutils_spark.paths import ram_scratch_dir, scratch_dir
+    from dataengineeringutils_spark.streaming.windows import _sink_counter
+
+    pdf = _stateful_src_pandas(spark, sf_dir, case)
+    if not len(pdf):
+        return []
+    chunks = _slices(pdf, case["n_batches"])
+    d = case["displace"]
+    if d and len(chunks) > 1:
+        moved: list[pd.DataFrame] = []
+        out = []
+        for i, ch in enumerate(chunks):
+            parts = moved
+            moved = []
+            if i < len(chunks) - 1 and len(ch) > d:
+                parts = [*parts, ch.iloc[:-d]]
+                moved = [ch.iloc[-d:]]
+            else:
+                parts = [*parts, ch]
+            out.append(pd.concat(parts) if len(parts) > 1 else parts[0])
+        if moved:
+            out[-1] = pd.concat([out[-1], *moved])
+        chunks = out
+    schema = "ts timestamp, event_type string, user_id long, value double, event_id long"
+    cols = ["ts", "event_type", "user_id", "value", "event_id"]
+    base = scratch_dir(f"sfz_ssj_{case['seed']}")
+    n_l = n_r = 0
+    for i, ch in enumerate(chunks):
+        lch = ch[ch["event_type"].isin(case["l_types"])]
+        rch = ch[ch["event_type"].isin(case["r_types"])]
+        if len(lch):
+            spark.createDataFrame(lch[cols], schema=schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{base}/l/b={i}")
+            n_l += 1
+        if len(rch):
+            spark.createDataFrame(rch[cols], schema=schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{base}/r/b={i}")
+            n_r += 1
+    if not n_l or not n_r:
+        return []
+    delay = f"{case['delay_min']} minutes"
+    bound = case["bound_min"]
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{base}/l/b=*")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("event_id").alias("k_lid"),
+            F.col("ts").alias("l_ts"),
+            "user_id",
+        )
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{base}/r/b=*")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("event_id").alias("k_rid"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {bound} MINUTES"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    joined = left.join(right, cond).select(
+        "k_lid", "k_rid", F.col("user_id").alias("k_user")
+    )
+    name = f"sfz_sink_{next(_sink_counter)}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    # INNER join: rows emit in the data batch that matched them; the
+    # trailing no-data batch only evicts state a terminating run never
+    # reads again (same rationale as the registered stream_stream_join)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ram_scratch_dir(f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+    stream_pdf = spark.table(name).toPandas()
+
+    # batch plan: identical join over the union of the side batches
+    lb = spark.read.schema(schema).parquet(f"{base}/l/b=*")
+    rb = spark.read.schema(schema).parquet(f"{base}/r/b=*")
+    batch_pdf = (
+        lb.select(
+            F.col("event_id").alias("k_lid"), F.col("ts").alias("l_ts"), "user_id"
+        )
+        .join(
+            rb.select(
+                F.col("event_id").alias("k_rid"),
+                F.col("ts").alias("r_ts"),
+                F.col("user_id").alias("r_user"),
+            ),
+            cond,
+        )
+        .select("k_lid", "k_rid", F.col("user_id").alias("k_user"))
+        .toPandas()
+    )
+    lq = ", ".join(f"'{t}'" for t in case["l_types"])
+    rq = ", ".join(f"'{t}'" for t in case["r_types"])
+    sql = f"""
+    SELECT l.event_id AS k_lid, r.event_id AS k_rid, l.user_id AS k_user
+    FROM (SELECT * FROM events
+          WHERE event_type IN ({lq}){_mod_sql(case)}) l
+    JOIN (SELECT * FROM events
+          WHERE event_type IN ({rq}){_mod_sql(case)}) r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL {bound} MINUTE AND l.ts
+    """
+    duck_pdf = con.execute(sql).df()
+    issues = [
+        f"stream-vs-batch {x}" for x in compare_frames(stream_pdf, batch_pdf)
+    ]
+    issues += [
+        f"batch-vs-duck {x}" for x in compare_frames(batch_pdf, duck_pdf)
+    ]
+    return issues
+
+
+def _run_dedup_wm(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
+    """dropDuplicatesWithinWatermark three ways; returns issues."""
+    pdf = _stateful_src_pandas(spark, sf_dir, case)
+    if not len(pdf):
+        return []
+    chunks = _slices(pdf, case["n_batches"])
+    d = case["dup_tail"]
+    out = []
+    for i, ch in enumerate(chunks):
+        parts = [ch]
+        if i > 0:
+            prev = chunks[i - 1]
+            parts.insert(0, prev.iloc[-min(d, len(prev)):])  # dup COPIES
+        out.append(pd.concat(parts) if len(parts) > 1 else parts[0])
+    cols = ["ts", "event_type", "user_id", "value"]
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    batches = [
+        spark.createDataFrame(ch[cols], schema=schema)
+        for ch in out
+        if len(ch)
+    ]
+    if not batches:
+        return []
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", f"{case['delay_min']} minutes")
+            .dropDuplicatesWithinWatermark()
+            .select(
+                F.col("ts").alias("k_ts"),
+                F.col("event_type").alias("k_type"),
+                F.col("user_id").alias("k_user"),
+                F.col("value").alias("k_value"),
+            )
+        )
+
+    from dataengineeringutils_spark.streaming.windows import run_streaming
+
+    stream_pdf = run_streaming(
+        spark, batches, f"sfz_dwm_{case['seed']}", build, output_mode="append"
+    ).toPandas()
+    src = batches[0]
+    for b in batches[1:]:
+        src = src.unionByName(b)
+    batch_pdf = (
+        src.dropDuplicates()
+        .select(
+            F.col("ts").alias("k_ts"),
+            F.col("event_type").alias("k_type"),
+            F.col("user_id").alias("k_user"),
+            F.col("value").alias("k_value"),
+        )
+        .toPandas()
+    )
+    where = _where_sql(
+        {"types": case.get("types"), "user_mod": case["user_mod"]}
+    )
+    sql = f"""
+    SELECT DISTINCT ts AS k_ts, event_type AS k_type,
+           user_id AS k_user, value AS k_value
+    FROM events{where}
+    """
+    duck_pdf = con.execute(sql).df()
+    issues = [
+        f"stream-vs-batch {x}" for x in compare_frames(stream_pdf, batch_pdf)
+    ]
+    issues += [
+        f"batch-vs-duck {x}" for x in compare_frames(batch_pdf, duck_pdf)
+    ]
+    return issues
+
+
+def run_stateful_case(
+    spark: SparkSession, con, sf_dir: str, seed: int
+) -> dict:
+    """Run one stateful-family seed three ways (same contract as
+    run_stream_case)."""
+    case = gen_stateful_case(seed)
+    try:
+        if case["shape"] == "ssjoin":
+            issues = _run_ssjoin(spark, con, sf_dir, case)
+        else:
+            issues = _run_dedup_wm(spark, con, sf_dir, case)
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        issues = [f"exception: {type(e).__name__}: {e}"]
+    return {
+        "seed": seed,
+        "ok": not issues,
+        "shape": case["shape"],
+        "sql": "",
+        "issues": issues,
+    }
+
+
 def run_stream_case(spark: SparkSession, con, sf_dir: str, seed: int) -> dict:
     """Run one seed three ways; returns {seed, ok, shape, sql, issues}."""
     case = gen_stream_case(seed)

@@ -11,11 +11,17 @@ from __future__ import annotations
 
 import pytest
 
-from dataengineeringutils_spark.streamfuzz import gen_stream_case, run_stream_case
+from dataengineeringutils_spark.streamfuzz import (
+    gen_stateful_case,
+    gen_stream_case,
+    run_stateful_case,
+    run_stream_case,
+)
 from tools.verify_local import duck_connect
 
 SF = "/root/testdata/sf0.001"
 N_SEEDS = 10
+N_STATEFUL_SEEDS = 6
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +35,16 @@ def test_stream_fuzz_seed(spark, duck, seed):
     assert r["ok"], (r["shape"], r["issues"][:3], r["sql"])
 
 
+@pytest.mark.parametrize("seed", range(1, N_STATEFUL_SEEDS + 1))
+def test_stream_fuzz_stateful_seed(spark, duck, seed):
+    """Round-9 width: stream-stream interval join and
+    dropDuplicatesWithinWatermark — the state-eviction paths where an
+    off-by-one silently drops rows (see streamfuzz.py's soundness
+    argument for why stream == batch by construction)."""
+    r = run_stateful_case(spark, duck, SF, seed)
+    assert r["ok"], (r["shape"], r["issues"][:3])
+
+
 def test_gen_is_deterministic_and_covers_shapes():
     cases = [gen_stream_case(s) for s in range(1, 200)]
     again = [gen_stream_case(s) for s in range(1, 200)]
@@ -37,3 +53,18 @@ def test_gen_is_deterministic_and_covers_shapes():
     assert shapes == {"tumbling", "sliding", "session"}
     # displaced-tail (out-of-order arrival) and multi-batch cases occur
     assert any(c["displace"] and c["n_batches"] > 1 for c in cases)
+
+
+def test_stateful_gen_is_deterministic_and_covers_shapes():
+    cases = [gen_stateful_case(s) for s in range(1, 200)]
+    assert cases == [gen_stateful_case(s) for s in range(1, 200)]
+    assert {c["shape"] for c in cases} == {"ssjoin", "dedup_wm"}
+    # out-of-order arrival against join state, and multi-copy dup tails
+    assert any(
+        c["shape"] == "ssjoin" and c["displace"] and c["n_batches"] > 2
+        for c in cases
+    )
+    assert any(
+        c["shape"] == "dedup_wm" and c["dup_tail"] > 1 and c["n_batches"] > 2
+        for c in cases
+    )

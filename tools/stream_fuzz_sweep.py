@@ -21,13 +21,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
-from dataengineeringutils_spark.streamfuzz import run_stream_case  # noqa: E402
+from dataengineeringutils_spark.streamfuzz import (  # noqa: E402
+    run_stateful_case,
+    run_stream_case,
+)
 from tools.verify_local import duck_connect  # noqa: E402
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=500)
+    ap.add_argument(
+        "--n-stateful",
+        type=int,
+        default=300,
+        help="seeds for the stateful families (stream-stream interval "
+        "join + dropDuplicatesWithinWatermark; round-9 width)",
+    )
     ap.add_argument("--sf-dir", default=os.environ.get(
         "FUZZ_SF_DIR", "/root/testdata/sf0.001"))
     ap.add_argument("--json", default=os.path.join(REPO, "STREAMFUZZ.json"))
@@ -47,8 +57,20 @@ def main() -> int:
         if seed % 50 == 0:
             print(f"... {seed}/{args.n} ({time.time() - t0:.0f}s, "
                   f"{len(failures)} divergent)", flush=True)
+    for seed in range(1, args.n_stateful + 1):
+        r = run_stateful_case(spark, con, args.sf_dir, seed)
+        shape_counts[r["shape"]] = shape_counts.get(r["shape"], 0) + 1
+        if not r["ok"]:
+            failures.append(r)
+            print(f"DIVERGE stateful seed={seed}: {r['issues'][:2]}")
+        if seed % 50 == 0:
+            print(f"... stateful {seed}/{args.n_stateful} "
+                  f"({time.time() - t0:.0f}s, "
+                  f"{len(failures)} divergent)", flush=True)
     out = {
-        "n_seeds": args.n,
+        "n_seeds": args.n + args.n_stateful,
+        "n_seeds_agg": args.n,
+        "n_seeds_stateful": args.n_stateful,
         "sf_dir": args.sf_dir,
         "n_divergent": len(failures),
         "shape_counts": shape_counts,
