@@ -97,6 +97,15 @@ HEAVY_OPS = [
     ("text_zipf_slope", 1.0),
     ("orders_skyline_2d", 1.0),
     ("join_theta_range", 2.0),
+    # round-8 VERDICT #4: pin the GEMM-kernel + two-phase-selection ops
+    # with machine-attributable bounds. dedup_embedding_cosine is exact
+    # all-pairs by declared semantics (block GEMM, n²/p independent
+    # tasks) — its work genuinely grows K², like join_theta_range's
+    # output. agg_percentile_disc crosses the TWO_PHASE_MIN_ROWS switch
+    # at 10x orders, so the stress exercises the bounded-bucket path the
+    # small fixture never runs.
+    ("dedup_embedding_cosine", 2.0),
+    ("agg_percentile_disc", 1.0),
 ]
 
 SLACK = 2.5  # fixed-overhead + timing-noise allowance on t_K <= SLACK*K^e*t_1
