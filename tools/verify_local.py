@@ -24,6 +24,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
+from dataengineeringutils_spark.blas import cap_blas_env  # noqa: E402
+
+cap_blas_env(1)  # workers inherit: 1 BLAS thread/worker (see blas.py)
+
 from dataengineeringutils_spark.registry import oracle_sql, queries  # noqa: E402
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
 from dataengineeringutils_spark.tables import TABLES  # noqa: E402
