@@ -980,6 +980,30 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("off").cast("decimal(18,2)").alias("off"),
         F.col("tw").cast("decimal(18,2)").alias("tw"),
     )
+    # Push the target buckets' PRICE RANGES into the scan: the selection
+    # phase only reads rows of the <=|groups| crossing buckets (~1/32 of
+    # the table each), and bucket b is by construction the open-closed
+    # price interval (cuts[b-1], cuts[b]] — a plain range predicate the
+    # parquet reader prunes row groups with. The bucket expression then
+    # runs on ~3/32 of the rows instead of all of them (measured: the
+    # full-scan plan needed ~4 JIT warmup runs to reach steady state,
+    # which interleaved bench rounds never gave it). The join on
+    # (group, bkt) below still drops other groups' rows that share a
+    # target price range.
+    rng = None
+    for _g, b, _off, _tw in targets_rows:
+        b = int(b)
+        cond = None
+        if b >= 1:
+            cond = price > F.lit(cuts[b - 1])
+        if b < len(cuts):
+            hi = price <= F.lit(cuts[b])
+            cond = hi if cond is None else (cond & hi)
+        if cond is None:  # single-bucket degenerate case: no cuts
+            cond = F.lit(True)
+        rng = cond if rng is None else (rng | cond)
+    if rng is not None:
+        li = li.filter(rng)
     sel = li.join(F.broadcast(targets), ["l_returnflag", "bkt"])
     w_loc = (
         Window.partitionBy("l_returnflag", "bkt")
