@@ -33,7 +33,7 @@ from dataengineeringutils_spark.blas import cap_blas_env  # noqa: E402
 # tasks, exactly subscribed. Without it each of up to 32 workers spins a
 # 32-thread pool and the GEMM ops inflate 2-3x under serial bench load
 # (round-8 VERDICT: the five load-only >2 s crossings).
-cap_blas_env(1)
+cap_blas_env(1, force=True)  # measurement entrypoint: override ambient (blas.py)
 
 from dataengineeringutils_spark.registry import queries  # noqa: E402
 from dataengineeringutils_spark.session import get_spark  # noqa: E402

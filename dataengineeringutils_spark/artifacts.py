@@ -29,9 +29,16 @@ invalidation axes, both automatic:
   anywhere in the module rebuilds its artifacts once, which is cheap;
   missing a helper change would not be.
 
-Stale reuse is structurally impossible on either axis; superseded
-entries are dead files that ``cache_stats`` still counts (disk is the
-bounded cost of the guarantee).
+Honesty about the CODE axis (round-9 ADVICE): it covers exactly ONE
+file — the one defining the (fully unwrapped) builder callable. Two
+known holes remain, by design: (a) a builder whose logic lives in a
+helper imported from ANOTHER module is re-stamped only when its own
+defining file changes, so operator modules keep their builders (and
+the closures they capture) locally defined; (b) a sourceless callable
+(C extension, REPL lambda) cannot be hashed at all — such builders now
+raise unless the caller opts in with an explicit version suffix in
+``name`` (see ``_code_stamp``), so a silent pin to a stale stamp is
+impossible. The DATA axis has no such holes.
 
 Concurrency: writers build into ``<final>.tmp-<pid>-<token>`` and
 ``os.rename`` into place; on a lost race the loser discards its build
@@ -105,20 +112,37 @@ def fixture_fingerprint(sf_dir: str) -> str:
 _CODE_MEMO: dict[tuple, str] = {}
 
 
-def _code_stamp(build) -> str:
+def _code_stamp(build, name: str = "") -> str:
     """8-hex stamp of the source file defining ``build`` (see module
-    docstring: the CODE invalidation axis). Builders without a real
-    source file (C callables, REPL lambdas) get the pinned stamp
-    ``static`` — such callers must version their ``name``."""
+    docstring: the CODE invalidation axis). ``functools.partial`` chains
+    and decorator ``__wrapped__`` chains are unwrapped in a loop so the
+    stamp lands on the innermost real function. Builders without a real
+    source file (C callables, REPL lambdas) cannot be stamped — they get
+    ``static`` ONLY if the caller acknowledged the pin by putting an
+    explicit version in ``name`` (a ``.v<digits>`` suffix); otherwise we
+    raise rather than silently serve stale artifacts forever (round-9
+    ADVICE: the quiet fallback defeated the invalidation guarantee)."""
     import inspect
+    import re
 
-    fn = getattr(build, "func", build)  # functools.partial
+    fn = build
+    for _ in range(32):  # bounded: pathological self-referential chains
+        inner = getattr(fn, "func", None) or getattr(fn, "__wrapped__", None)
+        if inner is None or inner is fn:
+            break
+        fn = inner
     try:
         path = inspect.getsourcefile(fn)
     except TypeError:
         path = None
     if not path or not os.path.isfile(path):
-        return "static"
+        if re.search(r"\.v\d+$", name):
+            return "static"
+        raise ValueError(
+            f"artifact builder for {name!r} has no hashable source file; "
+            "append an explicit '.v<N>' version suffix to the artifact "
+            "name to opt in to the unversioned 'static' code stamp"
+        )
     st = os.stat(path)
     key = (path, st.st_size, st.st_mtime_ns)
     memo = _CODE_MEMO.get(key)
@@ -132,7 +156,7 @@ def _code_stamp(build) -> str:
 def _slot(sf_dir: str, name: str, build) -> str:
     d = os.path.join(artifact_root(), fixture_fingerprint(sf_dir))
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"{name}.c{_code_stamp(build)}")
+    return os.path.join(d, f"{name}.c{_code_stamp(build, name)}")
 
 
 def _rename_into_place(tmp: str, final: str) -> None:

@@ -39,11 +39,27 @@ _ENV_VARS = (
 )
 
 
-def cap_blas_env(n: int = 1) -> None:
+def cap_blas_env(n: int = 1, force: bool = False) -> None:
     """Cap via environment (effective for libraries not yet loaded).
-    ``setdefault`` so an operator's explicit setting wins."""
+
+    Library callers use the default ``setdefault`` path so an operator's
+    explicit setting wins. MEASUREMENT entrypoints (bench.py,
+    tools/verify_local.py, tools/bench_artifacts.py) pass ``force=True``:
+    a pre-existing host ``OMP_NUM_THREADS``/``OPENBLAS_NUM_THREADS``
+    (common in CI images) would otherwise silently defeat the cap and
+    make published bench numbers depend on the ambient environment
+    (round-9 ADVICE). Force mode overwrites and prints one line per
+    variable it had to override, so the provenance is in the log."""
     for var in _ENV_VARS:
-        os.environ.setdefault(var, str(n))
+        prev = os.environ.get(var)
+        if prev is None:
+            os.environ[var] = str(n)
+        elif force and prev != str(n):
+            print(
+                f"[blas] overriding ambient {var}={prev} -> {n} "
+                "(measurement entrypoint pins BLAS threads)"
+            )
+            os.environ[var] = str(n)
 
 
 _CAPPED_AT: int | None = None

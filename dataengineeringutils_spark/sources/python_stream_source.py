@@ -124,11 +124,18 @@ class QueueStreamReader(DataSourceStreamReader):
             )
         if self.max_per_batch > 0:
             base = self._last or {d: 0 for d in out}
-            # clamp to >= base: never regress below a seen/acked offset
+            # Clamp to >= base (never regress below a seen/acked offset)
+            # but ALSO cap at the observed segment count n: a sidecar
+            # that exceeds the directory's real extent (retention-deleted
+            # segments, or a stale ack file for a reused topic path with
+            # the same group) must not make Spark plan a batch over
+            # nonexistent segment files (round-9 ADVICE). min(base, n)
+            # keeps the monotonicity guarantee wherever the segments
+            # actually exist.
             out = {
                 d: max(
                     min(n, base.get(d, 0) + self.max_per_batch),
-                    base.get(d, 0),
+                    min(base.get(d, 0), n),
                 )
                 for d, n in out.items()
             }
@@ -168,22 +175,36 @@ class QueueStreamReader(DataSourceStreamReader):
         """Ack the consumer group: with a ``group`` set, merge ``end``
         (element-wise max — acks are monotone) into the broker-side
         sidecar so a restarted reader's pacing base starts at the
-        committed position. Atomic rename; losers of a write race are
-        fine because acks only ever grow and both writers merged the
-        same on-disk state or newer. Without a group the directory log
-        is immutable and Spark's checkpoint alone suffices."""
+        committed position. The read-merge-write runs under an advisory
+        ``flock`` on a ``.lock`` sibling: without it two concurrent
+        committers could both read {d:5}, one write 7, the other then
+        write 6 — regressing the file below a persisted ack (round-9
+        ADVICE; the element-wise max alone only protects each writer
+        against what it READ, not against a racing write). Impact of a
+        lost ack is bounded (partitions() re-seeds from the checkpointed
+        start on replay) but the sidecar should still never move
+        backwards. The write itself stays tmp-file + atomic rename so
+        readers never observe a torn file. Without a group the directory
+        log is immutable and Spark's checkpoint alone suffices."""
         p = self._acks_path()
         if p is None:
             return
-        prev = self._read_acks() or {}
-        merged = {
-            d: max(prev.get(d, 0), end.get(d, 0))
-            for d in set(prev) | set(end)
-        }
-        tmp = f"{p}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
-        with open(tmp, "w") as f:
-            json.dump(merged, f)
-        os.replace(tmp, p)
+        import fcntl
+
+        with open(f"{p}.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                prev = self._read_acks() or {}
+                merged = {
+                    d: max(prev.get(d, 0), end.get(d, 0))
+                    for d in set(prev) | set(end)
+                }
+                tmp = f"{p}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+                with open(tmp, "w") as f:
+                    json.dump(merged, f)
+                os.replace(tmp, p)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 class QueueDataSource(DataSource):

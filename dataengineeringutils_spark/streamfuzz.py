@@ -318,13 +318,17 @@ def _stream_build(case: dict):
 # the run (the path under test). The one-sided bound is what makes the
 # displaced case airtight; a symmetric bound would need D >= slice span.
 #
-# dedup_wm — dropDuplicatesWithinWatermark over the full row. Duplicates
-# are COPIES of the last ``dup_tail`` rows of each slice injected one
-# batch later: when the copy arrives in batch i+1, W <= end(slice i-1)
-# - D <= original.ts, so the original's state entry survives and the
-# copy is dropped; the copy itself is never watermark-filtered for the
-# same reason displaced rows never are. Stream output therefore equals
-# batch dropDuplicates equals DISTINCT over the (filtered) source.
+# dedup_wm — dropDuplicatesWithinWatermark over the full row INCLUDING
+# event_id (round-9 ADVICE: with event_id kept, natural (ts,type,user,
+# value) coincidences in the fixture are unique by construction, so the
+# argument below needs NO assumption about fixture content). Duplicates
+# are COPIES of the last ``dup_tail`` rows of each slice — event_id and
+# all — injected one batch later: when the copy arrives in batch i+1,
+# W <= end(slice i-1) - D <= original.ts, so the original's state entry
+# survives and the copy is dropped; the copy itself is never
+# watermark-filtered for the same reason displaced rows never are.
+# Stream output therefore equals batch dropDuplicates equals DISTINCT
+# over the (filtered) source.
 # ---------------------------------------------------------------------------
 
 # actual fixture event types (EVENT_TYPES above keeps the original
@@ -555,8 +559,17 @@ def _run_dedup_wm(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
             prev = chunks[i - 1]
             parts.insert(0, prev.iloc[-min(d, len(prev)):])  # dup COPIES
         out.append(pd.concat(parts) if len(parts) > 1 else parts[0])
-    cols = ["ts", "event_type", "user_id", "value"]
-    schema = "ts timestamp, event_type string, user_id long, value double"
+    # event_id STAYS in the deduped row (round-9 ADVICE): the injected
+    # copies above duplicate it too, so the intended within-watermark
+    # drop is unchanged — but natural full-row (ts,type,user,value)
+    # coincidences in the fixture become unique by construction, so the
+    # stream==batch soundness argument no longer assumes the fixture is
+    # free of far-apart natural duplicates.
+    cols = ["ts", "event_type", "user_id", "value", "event_id"]
+    schema = (
+        "ts timestamp, event_type string, user_id long, value double,"
+        " event_id long"
+    )
     batches = [
         spark.createDataFrame(ch[cols], schema=schema)
         for ch in out
@@ -574,6 +587,7 @@ def _run_dedup_wm(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
                 F.col("event_type").alias("k_type"),
                 F.col("user_id").alias("k_user"),
                 F.col("value").alias("k_value"),
+                F.col("event_id").alias("k_id"),
             )
         )
 
@@ -592,6 +606,7 @@ def _run_dedup_wm(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
             F.col("event_type").alias("k_type"),
             F.col("user_id").alias("k_user"),
             F.col("value").alias("k_value"),
+            F.col("event_id").alias("k_id"),
         )
         .toPandas()
     )
@@ -600,7 +615,7 @@ def _run_dedup_wm(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
     )
     sql = f"""
     SELECT DISTINCT ts AS k_ts, event_type AS k_type,
-           user_id AS k_user, value AS k_value
+           user_id AS k_user, value AS k_value, event_id AS k_id
     FROM events{where}
     """
     duck_pdf = con.execute(sql).df()

@@ -93,10 +93,24 @@ def test_fixture_regen_invalidates_in_process(tmp_path, monkeypatch):
     assert artifacts.json_artifact(sf, "n", build) == 2
 
 
-def test_code_stamp_fallback_is_static_for_sourceless_callables():
-    # C callables have no source file — the pinned fallback keeps such
-    # builders cacheable (callers version their names instead)
-    assert artifacts._code_stamp(len) == "static"
+def test_code_stamp_sourceless_requires_explicit_version():
+    # C callables have no source file — round-9 ADVICE: the silent
+    # 'static' pin is gone. Unversioned names raise; an explicit .v<N>
+    # suffix opts in to the pinned stamp (caller owns invalidation).
+    import functools
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no hashable source file"):
+        artifacts._code_stamp(len, "unversioned")
+    assert artifacts._code_stamp(len, "thing.v1") == "static"
+    # partial/__wrapped__ chains unwrap to the innermost real function
+    fn = _fake_fixture  # module-level, has a source file
+    direct = artifacts._code_stamp(fn, "n")
+    chained = artifacts._code_stamp(
+        functools.partial(functools.partial(fn)), "n"
+    )
+    assert direct == chained and direct != "static"
 
 
 def test_commit_sidecar_roundtrip(tmp_path, monkeypatch):

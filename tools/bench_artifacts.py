@@ -34,7 +34,7 @@ sys.path.insert(0, REPO)
 
 from dataengineeringutils_spark.blas import cap_blas_env  # noqa: E402
 
-cap_blas_env(1)
+cap_blas_env(1, force=True)  # measurement entrypoint: override ambient (blas.py)
 
 from dataengineeringutils_spark import artifacts  # noqa: E402
 from dataengineeringutils_spark.registry import queries  # noqa: E402

@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 
 from dataengineeringutils_spark.blas import cap_blas_env  # noqa: E402
 
-cap_blas_env(1)  # workers inherit: 1 BLAS thread/worker (see blas.py)
+cap_blas_env(1, force=True)  # measurement entrypoint: override ambient (blas.py)
 
 from dataengineeringutils_spark.registry import oracle_sql, queries  # noqa: E402
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
