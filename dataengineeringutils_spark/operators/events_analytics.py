@@ -4664,11 +4664,22 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     miss (same mean, different shape), with the α=0.05 critical value
     and verdict in the output.
 
-    Values collapse to one (value → c₁, c₂) frame; cumulative counts
-    run over that collapsed frame (distinct values ≪ rows; were they
-    not, the ml_rank_auc bucket-cut cumsum drops in unchanged); the
-    supremum is one map-combined MAX.
+    Values collapse to one (value → c₁, c₂) frame first. Cumulative
+    counts over that frame are stats-switched (``two_phase_min_rows``):
+    on a small input the direct global window wins; at scale — where
+    distinct doubles approach row count and an unpartitioned window
+    would sort them on ONE task — both running counts ride the
+    bucket-cut two-phase plan (``bucketed_running_sums``: one
+    |buckets|-row aggregate, driver prefix scan, per-bucket windows) in
+    a single shared pass. The supremum is one map-combined MAX.
     """
+    from dataengineeringutils_spark.operators.windows import (
+        bucketed_running_sums,
+        sampled_cuts,
+        table_rows,
+        two_phase_min_rows,
+    )
+
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click")
         & F.col("value").isNotNull()
@@ -4681,14 +4692,29 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = vals.agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
-    cum = vals.select(
-        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
-    ).crossJoin(F.broadcast(tot))
+    if table_rows(spark, sf_dir, "events") < two_phase_min_rows():
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = vals.select(
+            F.sum("c1").over(w).alias("k1"),
+            F.sum("c2").over(w).alias("k2"),
+        )
+        tot = vals.agg(
+            F.sum("c1").cast("bigint").alias("n1"),
+            F.sum("c2").cast("bigint").alias("n2"),
+        )
+    else:
+        # cut sample, bucket aggregate, totals and the final cumsum all
+        # consume the collapsed frame — materialize it once
+        vals = vals.localCheckpoint(eager=True)
+        cuts = sampled_cuts(spark, sf_dir, "ks2s_v", vals, "v")
+        cum = bucketed_running_sums(
+            vals, "v", ["c1", "c2"], cuts, ["k1", "k2"]
+        ).select("k1", "k2")
+        tot = vals.agg(
+            F.sum("c1").cast("bigint").alias("n1"),
+            F.sum("c2").cast("bigint").alias("n2"),
+        )
+    cum = cum.crossJoin(F.broadcast(tot))
     dmax = cum.groupBy("n1", "n2").agg(
         F.max(
             F.abs(

@@ -598,6 +598,61 @@ def two_phase_global_rank(
     return out.drop(bcol, ocol, socol)
 
 
+def bucketed_running_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    cuts: list,
+    out_names: list[str],
+) -> DataFrame:
+    """Exact global running SUMs (``SUM(c) OVER (ORDER BY order_col ROWS
+    UNBOUNDED PRECEDING)``) for SEVERAL bigint columns in ONE pass,
+    WITHOUT a single-partition WindowExec — the N-column sibling of
+    ``two_phase_global_rank``'s ``cum_sum_name`` path, for the
+    ECDF/KS-style ops whose cumulative state is more than one counter
+    (round-9 VERDICT #2).
+
+    Same machinery: rows bucket monotonically on ``cuts`` (ties share a
+    bucket via ``bucket_expr``), a |buckets|-row aggregate carries one
+    SUM per column, the driver prefix-scans that bounded frame into
+    per-bucket starting offsets (the same bounded-collect class as the
+    cuts themselves), and each running sum is a per-bucket window plus
+    its broadcast offset. ``df`` must be value-collapsed on
+    ``order_col`` (one row per value) and ``sum_cols`` must be integer
+    (exact driver accumulation); NULL order values land in bucket 0 =
+    Spark's NULLS FIRST ascending default.
+    """
+    bcol = "__bkt_rs"
+    d = df.withColumn(bcol, bucket_expr(F.col(order_col), cuts))
+    counts = d.groupBy(bcol).agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols]
+    )
+    rows = sorted(counts.collect(), key=lambda r: r[bcol])
+    acc = {c: 0 for c in sum_cols}
+    data = []
+    for r in rows:
+        data.append((r[bcol], *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            v = r[f"__s_{c}"]
+            acc[c] += v if v is not None else 0
+    off_cols = [f"__off_{c}" for c in sum_cols]
+    offsets = df.sparkSession.createDataFrame(
+        data,
+        schema=", ".join(
+            [f"{bcol} int"] + [f"{o} bigint" for o in off_cols]
+        ),
+    )
+    w_loc = (
+        Window.partitionBy(bcol)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = d.join(F.broadcast(offsets), bcol)
+    for c, o, name in zip(sum_cols, off_cols, out_names):
+        out = out.withColumn(name, F.col(o) + F.sum(c).over(w_loc))
+    return out.drop(bcol, *off_cols)
+
+
 def ntile_closed_form(rn: str, n: str, tiles: int) -> Column:
     """NTILE(``tiles``) as an exact integer closed form of a global rank
     ``rn`` and group size ``n`` (column NAMES): the first (n mod t)
