@@ -650,6 +650,275 @@ def run_stateful_case(
     }
 
 
+# ---------------------------------------------------------------------------
+# foreachBatch sink shape families (round-9 VERDICT #6): the two stateful
+# sink mechanics with no fuzz family until round 10 — MERGE-upsert into a
+# keyed table and txn-idempotent append into a transaction log. Both are
+# DELIVERY-ORDER ROBUST by construction, which is what makes stream ==
+# batch airtight with no watermark argument at all:
+#
+# upsert — KeyedTable keeps, per key, the max row under the strict total
+# order (ts DESC, event_id DESC) [event_id unique ⇒ no ties across
+# distinct rows], so the final state after ANY sequence of batches is the
+# global per-key argmax of all delivered rows — independent of batch
+# boundaries, delivery order, and REPLAYS (a re-delivered batch is a
+# subset of already-merged rows and can never win over the row that beat
+# it). The injected replay therefore exercises the crash-window
+# re-delivery path while the oracle stays the plain QUALIFY argmax.
+#
+# txn_sink — LogTable.append with a (app, batch_id) txn action refuses a
+# second append of the same txn id (returns -1), so per-batch partial
+# aggregates sum to the exact source totals iff (a) every batch committed
+# exactly once and (b) every injected replay — optionally across a log
+# checkpoint, which must preserve the txn watermark — was refused.
+# Totals are order-independent sums, so delivery order is irrelevant.
+# ---------------------------------------------------------------------------
+
+
+def gen_foreachbatch_case(seed: int) -> dict:
+    """One seeded foreachBatch-sink case. Separate seed space (30M+) so
+    the aggregate and stateful families' seed mappings never shift."""
+    rng = random.Random(30_000_000 + seed)
+    shape = rng.choice(["upsert", "txn_sink"])
+    case: dict = {"shape": shape, "seed": seed}
+    if rng.random() < 0.4:
+        m = rng.randint(2, 5)
+        case["user_mod"] = (m, rng.randrange(m))
+    else:
+        case["user_mod"] = None
+    case["types"] = (
+        sorted(rng.sample(_FIXTURE_TYPES, k=rng.randint(1, 3)))
+        if rng.random() < 0.5
+        else None
+    )
+    case["n_batches"] = rng.randint(2, 5)
+    if shape == "upsert":
+        # None = no replay; else re-deliver that batch index at the end
+        case["replay"] = rng.choice([None] + list(range(case["n_batches"])))
+    else:
+        case["replay_set"] = sorted(
+            rng.sample(
+                range(case["n_batches"]), k=rng.randint(1, case["n_batches"])
+            )
+        )
+        case["ckpt_before_replay"] = rng.random() < 0.5
+    return case
+
+
+_FB_COLS = ["event_id", "ts", "user_id", "value", "event_type"]
+_FB_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, value double,"
+    " event_type string"
+)
+
+
+def _fb_batches(spark: SparkSession, sf_dir: str, case: dict, base: str):
+    """Write the case's contiguous time slices as one parquet file per
+    batch under ``base``/src and return the batch DataFrames (empty
+    slices dropped so batch ids are dense)."""
+    import shutil
+
+    pdf = _stateful_src_pandas(spark, sf_dir, case)
+    if not len(pdf):
+        return []
+    chunks = [c for c in _slices(pdf, case["n_batches"]) if len(c)]
+    sdfs = [
+        spark.createDataFrame(ch[_FB_COLS], schema=_FB_SCHEMA)
+        for ch in chunks
+    ]
+    shutil.rmtree(base, ignore_errors=True)
+    for i, b in enumerate(sdfs):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{base}/src/batch={i}")
+    return sdfs
+
+
+def _run_upsert(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
+    """foreachBatch MERGE-upsert three ways; returns issues."""
+    from dataengineeringutils_spark.keyed import KeyedTable
+    from dataengineeringutils_spark.paths import ram_scratch_dir, scratch_dir
+    from dataengineeringutils_spark.streaming.windows import _sink_counter
+
+    base = scratch_dir(f"sfz_ups_{case['seed']}")
+    sdfs = _fb_batches(spark, sf_dir, case, base)
+    if not sdfs:
+        return []
+    kt = KeyedTable(
+        spark, f"{base}/table", keys=["user_id"], order_by=["ts", "event_id"]
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            spark.readStream.schema(sdfs[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/src/batch=*")
+            .writeStream.foreachBatch(lambda b, _id: kt.upsert(b))
+            .option(
+                "checkpointLocation",
+                ram_scratch_dir(f"ck_sfzups_{next(_sink_counter)}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if case["replay"] is not None and case["replay"] < len(sdfs):
+            # crash-window re-delivery: must not change the final state
+            kt.upsert(sdfs[case["replay"]])
+        out_cols = [
+            F.col("user_id").alias("k_user"),
+            F.col("ts").alias("k_ts"),
+            F.col("event_id").alias("k_id"),
+            F.col("value").alias("k_value"),
+        ]
+        stream_pdf = kt.current().select(*out_cols).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    src = sdfs[0]
+    for b in sdfs[1:]:
+        src = src.unionByName(b)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch_pdf = (
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*out_cols)
+        .toPandas()
+    )
+    where = _where_sql(
+        {"types": case.get("types"), "user_mod": case["user_mod"]}
+    )
+    sql = f"""
+    SELECT user_id AS k_user, ts AS k_ts, event_id AS k_id,
+           value AS k_value
+    FROM events{where}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """
+    duck_pdf = con.execute(sql).df()
+    issues = [
+        f"stream-vs-batch {x}" for x in compare_frames(stream_pdf, batch_pdf)
+    ]
+    issues += [
+        f"batch-vs-duck {x}" for x in compare_frames(batch_pdf, duck_pdf)
+    ]
+    return issues
+
+
+def _run_txn_sink(spark: SparkSession, con, sf_dir: str, case: dict) -> list:
+    """foreachBatch txn-idempotent log sink three ways; returns issues."""
+    from dataengineeringutils_spark.paths import ram_scratch_dir, scratch_dir
+    from dataengineeringutils_spark.streaming.windows import _sink_counter
+    from dataengineeringutils_spark.txnlog import LogTable
+
+    base = scratch_dir(f"sfz_txn_{case['seed']}")
+    sdfs = _fb_batches(spark, sf_dir, case, base)
+    if not sdfs:
+        return []
+    t = LogTable(spark, f"{base}/table")
+    seen: list = []
+
+    def write_batch(batch_df, batch_id):
+        partial = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+        t.append(partial, txn=("fz", batch_id))
+        seen.append((partial, batch_id))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    issues: list = []
+    try:
+        q = (
+            spark.readStream.schema(_FB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/src/batch=*")
+            .writeStream.foreachBatch(write_batch)
+            .option(
+                "checkpointLocation",
+                ram_scratch_dir(f"ck_sfztxn_{next(_sink_counter)}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if case["ckpt_before_replay"]:
+            t.checkpoint()  # consolidation must keep the txn watermark
+        for i in case["replay_set"]:
+            if i < len(seen):
+                partial, bid = seen[i]
+                if t.append(partial, txn=("fz", bid)) != -1:
+                    issues.append(f"replay of txn batch {bid} not refused")
+        stream_pdf = (
+            t.snapshot()
+            .groupBy("event_type")
+            .agg(
+                F.sum("pn").cast("bigint").alias("k_n"),
+                F.sum("pv").cast("double").alias("k_sum"),
+            )
+            .select(F.col("event_type").alias("k_type"), "k_n", "k_sum")
+            .toPandas()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    src = sdfs[0]
+    for b in sdfs[1:]:
+        src = src.unionByName(b)
+    batch_pdf = (
+        src.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("k_n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("k_sum"),
+        )
+        .select(F.col("event_type").alias("k_type"), "k_n", "k_sum")
+        .toPandas()
+    )
+    where = _where_sql(
+        {"types": case.get("types"), "user_mod": case["user_mod"]}
+    )
+    sql = f"""
+    SELECT event_type AS k_type, CAST(COUNT(*) AS BIGINT) AS k_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS k_sum
+    FROM events{where}
+    GROUP BY event_type
+    """
+    duck_pdf = con.execute(sql).df()
+    issues += [
+        f"stream-vs-batch {x}" for x in compare_frames(stream_pdf, batch_pdf)
+    ]
+    issues += [
+        f"batch-vs-duck {x}" for x in compare_frames(batch_pdf, duck_pdf)
+    ]
+    return issues
+
+
+def run_foreachbatch_case(
+    spark: SparkSession, con, sf_dir: str, seed: int
+) -> dict:
+    """Run one foreachBatch-family seed three ways (same contract as
+    run_stream_case)."""
+    case = gen_foreachbatch_case(seed)
+    try:
+        if case["shape"] == "upsert":
+            issues = _run_upsert(spark, con, sf_dir, case)
+        else:
+            issues = _run_txn_sink(spark, con, sf_dir, case)
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        issues = [f"exception: {type(e).__name__}: {e}"]
+    return {
+        "seed": seed,
+        "ok": not issues,
+        "shape": case["shape"],
+        "sql": "",
+        "issues": issues,
+    }
+
+
 def run_stream_case(spark: SparkSession, con, sf_dir: str, seed: int) -> dict:
     """Run one seed three ways; returns {seed, ok, shape, sql, issues}."""
     case = gen_stream_case(seed)

@@ -12,8 +12,10 @@ from __future__ import annotations
 import pytest
 
 from dataengineeringutils_spark.streamfuzz import (
+    gen_foreachbatch_case,
     gen_stateful_case,
     gen_stream_case,
+    run_foreachbatch_case,
     run_stateful_case,
     run_stream_case,
 )
@@ -22,6 +24,7 @@ from tools.verify_local import duck_connect
 SF = "/root/testdata/sf0.001"
 N_SEEDS = 10
 N_STATEFUL_SEEDS = 6
+N_FOREACHBATCH_SEEDS = 6
 
 
 @pytest.fixture(scope="module")
@@ -43,6 +46,34 @@ def test_stream_fuzz_stateful_seed(spark, duck, seed):
     argument for why stream == batch by construction)."""
     r = run_stateful_case(spark, duck, SF, seed)
     assert r["ok"], (r["shape"], r["issues"][:3])
+
+
+@pytest.mark.parametrize("seed", range(1, N_FOREACHBATCH_SEEDS + 1))
+def test_stream_fuzz_foreachbatch_seed(spark, duck, seed):
+    """Round-10 width: the foreachBatch sink mechanics — MERGE-upsert
+    keyed-table state and txn-idempotent log appends, both with injected
+    crash-window replays (see streamfuzz.py's order-robustness argument
+    for why stream == batch for ANY delivery order and replay set)."""
+    r = run_foreachbatch_case(spark, duck, SF, seed)
+    assert r["ok"], (r["shape"], r["issues"][:3])
+
+
+def test_foreachbatch_gen_is_deterministic_and_covers_shapes():
+    cases = [gen_foreachbatch_case(s) for s in range(1, 200)]
+    assert cases == [gen_foreachbatch_case(s) for s in range(1, 200)]
+    assert {c["shape"] for c in cases} == {"upsert", "txn_sink"}
+    # replayed upserts, multi-batch replay sets, and checkpoint-crossing
+    # replays all occur in the first 200 seeds
+    assert any(
+        c["shape"] == "upsert" and c["replay"] is not None and c["n_batches"] > 2
+        for c in cases
+    )
+    assert any(
+        c["shape"] == "txn_sink"
+        and len(c["replay_set"]) > 1
+        and c["ckpt_before_replay"]
+        for c in cases
+    )
 
 
 def test_gen_is_deterministic_and_covers_shapes():

@@ -22,6 +22,7 @@ sys.path.insert(0, REPO)
 
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
 from dataengineeringutils_spark.streamfuzz import (  # noqa: E402
+    run_foreachbatch_case,
     run_stateful_case,
     run_stream_case,
 )
@@ -37,6 +38,14 @@ def main() -> int:
         default=300,
         help="seeds for the stateful families (stream-stream interval "
         "join + dropDuplicatesWithinWatermark; round-9 width)",
+    )
+    ap.add_argument(
+        "--n-foreachbatch",
+        type=int,
+        default=100,
+        help="seeds for the foreachBatch sink families (KeyedTable "
+        "MERGE-upsert + txn-idempotent LogTable append, with injected "
+        "crash-window replays; round-10 width)",
     )
     ap.add_argument("--sf-dir", default=os.environ.get(
         "FUZZ_SF_DIR", "/root/testdata/sf0.001"))
@@ -67,10 +76,21 @@ def main() -> int:
             print(f"... stateful {seed}/{args.n_stateful} "
                   f"({time.time() - t0:.0f}s, "
                   f"{len(failures)} divergent)", flush=True)
+    for seed in range(1, args.n_foreachbatch + 1):
+        r = run_foreachbatch_case(spark, con, args.sf_dir, seed)
+        shape_counts[r["shape"]] = shape_counts.get(r["shape"], 0) + 1
+        if not r["ok"]:
+            failures.append(r)
+            print(f"DIVERGE foreachbatch seed={seed}: {r['issues'][:2]}")
+        if seed % 50 == 0:
+            print(f"... foreachbatch {seed}/{args.n_foreachbatch} "
+                  f"({time.time() - t0:.0f}s, "
+                  f"{len(failures)} divergent)", flush=True)
     out = {
-        "n_seeds": args.n + args.n_stateful,
+        "n_seeds": args.n + args.n_stateful + args.n_foreachbatch,
         "n_seeds_agg": args.n,
         "n_seeds_stateful": args.n_stateful,
+        "n_seeds_foreachbatch": args.n_foreachbatch,
         "sf_dir": args.sf_dir,
         "n_divergent": len(failures),
         "shape_counts": shape_counts,
