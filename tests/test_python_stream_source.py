@@ -80,7 +80,13 @@ def test_partition_planning_matches_offset_ranges(spark):
     # only partition 0 has new segments; its range is [1, 2)
     assert len(parts) == 1
     assert parts[0].start == 1 and parts[0].end == 2
-    rows = list(r.read(parts[0]))
+    # read() yields Arrow RecordBatches (Spark 4 fast path); flatten to
+    # row tuples for the assertion
+    rows = [
+        tuple(row.values())
+        for batch in r.read(parts[0])
+        for row in batch.to_pylist()
+    ]
     assert rows == [(2, "a", 1.0)]
 
 

@@ -106,6 +106,12 @@ HEAVY_OPS = [
     # small fixture never runs.
     ("dedup_embedding_cosine", 2.0),
     ("agg_percentile_disc", 1.0),
+    # round-9 VERDICT #2: the two ops whose global cumulative windows
+    # converted to the bucket-cut two-phase plan this round; at 10x
+    # events/lineitem both cross the TWO_PHASE_MIN_ROWS switch, so the
+    # stress runs the at-scale path the small fixture never exercises.
+    ("events_ks_two_sample", 1.0),
+    ("orders_abc_migration", 1.0),
 ]
 
 SLACK = 2.5  # fixed-overhead + timing-noise allowance on t_K <= SLACK*K^e*t_1
