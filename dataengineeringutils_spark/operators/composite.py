@@ -3041,19 +3041,28 @@ def customer_supplier_switching(
 
     One fact-to-fact join (lineitem→orders on the order key — AQE
     picks the strategy; at 100 TB both sides pre-bucket on orderkey,
-    cf. ``sink_bucketed_join``), one (cust, part) collapse carrying
-    only two counters, and a 1-row summary of exact integers.
+    cf. ``sink_bucketed_join``), then TWO stacked map-combined
+    collapses instead of ``countDistinct``: COUNT(DISTINCT supp) beside
+    COUNT(*) plans an Expand that doubles every joined row through the
+    shuffle, while collapsing to (cust, part, supp) line counts first
+    and re-aggregating the (already tiny) triple frame shuffles each
+    row once and keeps both aggregates exact. 1-row summary of exact
+    integers.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cps = (
+    triples = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey", "l_partkey")
+        .groupBy("o_custkey", "l_partkey", "l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("supp_lines"))
+    )
+    cps = (
+        triples.groupBy("o_custkey", "l_partkey")
         .agg(
-            F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
-            F.count("*").cast("bigint").alias("n_lines"),
+            F.count("*").cast("bigint").alias("n_supp"),
+            F.sum("supp_lines").cast("bigint").alias("n_lines"),
         )
         .filter(F.col("n_lines") >= 2)
     )
