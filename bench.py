@@ -39,6 +39,25 @@ from dataengineeringutils_spark.registry import queries  # noqa: E402
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
 
 
+def _git_head() -> str | None:
+    """Short HEAD sha for artifact provenance; None outside a checkout."""
+    try:
+        import subprocess
+
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:  # noqa: BLE001 — provenance is informational only
+        return None
+
+
 def _is_transient(exc: BaseException) -> bool:
     """True for the flake class that nulled round 6's driver bench: a
     Python worker timing out on connect-back under host load (surfaces
@@ -119,41 +138,42 @@ def main() -> int:
     # warm the JVM + file listing once with the flagship query
     qs["agg_group_sums"](spark, sf_dir).count()
 
+    # In-worker BLAS probe (round-10 VERDICT #1): prove whether the env
+    # cap above actually binds inside the Python workers — three rounds
+    # of driver-bench tail inflation were attributed to an unbound cap
+    # without direct evidence. MUST run before any GEMM kernel executes:
+    # those call cap_blas_threads(1) at batch-0, which is sticky across
+    # worker reuse and would mask an unbound env cap. Emitted into both
+    # the printed line and BENCH_FULL.json so the artifact itself
+    # proves or disproves the cap story.
+    from dataengineeringutils_spark.blas import blas_probe
+
+    try:
+        probe = blas_probe(spark)
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not gate
+        probe = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    print(f"[blas] worker probe: {json.dumps(probe, separators=(',', ':'))}")
+
     # Optional subset: `python bench.py name [name ...]` for fast local
     # iteration on specific ops; the driver's no-arg run times everything.
     if len(sys.argv) > 1:
         qs = {n: qs[n] for n in sys.argv[1:]}
 
-    # Pre-warm the two-phase / big-codegen family (round-9 VERDICT #1):
-    # these plans compile multi-hundred-line WholeStageCodegen stages
-    # over full scans and need more executions than BENCH_REPEAT to
-    # reach C2-JIT steady state when repeats are interleaved across 484
-    # ops; their two-phase artifact slots (quantile cuts, row counts)
-    # also first-touch on call 1. Two untimed priming passes move both
-    # costs into the bootstrap, where one shared warm session already
-    # is the declared methodology. The list is the measured offender
-    # set (driver-load-only >2 s crossers, rounds 8-9), not all ops —
-    # warming everything would double wall time without changing any
-    # number the gate reads (best-of-N of warm executions).
-    prewarm = [
-        n
-        for n in (
-            "customer_supplier_switching",
-            "dq_fanout_profile",
-            "dq_outlier_iqr_fences",
-            "agg_weighted_median",
-            "agg_percentile_disc",
-        )
-        if n in qs
-    ]
-    for _pass in range(2):
-        for name in prewarm:
-            try:
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:  # noqa: BLE001 — priming must never gate
-                pass
+    # UNIFORM pre-warm (round-10 ADVICE): one untimed pass over EVERY op,
+    # so all 484 are measured under identical warmth — C2-JIT compilation
+    # of the big WholeStageCodegen stages and artifact first-touch land in
+    # this pass instead of in any timed repeat. (Rounds 8-10 warmed a
+    # hand-picked 5-op offender list twice; that selective warmth biased
+    # the published per-op numbers toward known >2 s crossers and hid
+    # priming failures.) Failures are recorded and published, not
+    # swallowed — a query that also fails in every timed round lands in
+    # the errors map anyway.
+    prewarm_errors: dict[str, str] = {}
+    for name, fn in sorted(qs.items()):
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — priming must never gate
+            prewarm_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     per_query, errors = time_queries(spark, qs, sf_dir, repeat)
     if not per_query:
@@ -164,6 +184,14 @@ def main() -> int:
 
     p50 = statistics.median(per_query.values())
     p95 = round(sorted(per_query.values())[max(0, int(0.95 * len(per_query)) - 1)], 4)
+    # Provenance stamp (round-10 VERDICT #4: BENCH_FULL.json is
+    # overwritten by whichever bench ran last and the judge had to
+    # p50-forensic its origin). Driver runs bench.py bare -> "driver";
+    # tools/bench_replica.py sets BENCH_SOURCE=replica.
+    provenance = {
+        "source": os.environ.get("BENCH_SOURCE", "driver"),
+        "commit": _git_head(),
+    }
     full = {
         "metric": "p50_query_seconds",
         "value": round(p50, 4),
@@ -173,6 +201,9 @@ def main() -> int:
         "n_queries": len(per_query),
         "p95": p95,
         "errors": errors,
+        "prewarm_errors": prewarm_errors,
+        "blas_probe": probe,
+        "provenance": provenance,
     }
     # Artifact-cache visibility (round-7 ADVICE: the serve-from-artifact
     # effect must be legible in bench artifacts): deterministic fixture
@@ -205,6 +236,9 @@ def main() -> int:
                 "n_queries": len(per_query),
                 "p95": p95,
                 "n_errors": len(errors),
+                "n_prewarm_errors": len(prewarm_errors),
+                "blas_probe_threads": probe.get("openblas_threads"),
+                "provenance": provenance,
                 "queries_note": "slowest 40 shown; full map in BENCH_FULL.json",
             },
             separators=(",", ":"),

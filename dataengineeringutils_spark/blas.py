@@ -62,6 +62,88 @@ def cap_blas_env(n: int = 1, force: bool = False) -> None:
             os.environ[var] = str(n)
 
 
+def _openblas_get_threads() -> int | None:
+    """Effective thread count of the ALREADY-LOADED OpenBLAS pool in
+    THIS process, or None if no OpenBLAS .so is mapped. Mirror of the
+    setter scan in ``cap_blas_threads``."""
+    try:
+        with open("/proc/self/maps") as fh:
+            libs = sorted(
+                {
+                    ln.split()[-1]
+                    for ln in fh
+                    if "openblas" in ln.lower() and ln.split()[-1].endswith(".so")
+                }
+            )
+    except OSError:
+        return None
+    for lib in libs:
+        try:
+            dll = ctypes.CDLL(lib)
+        except OSError:
+            continue
+        for sym in ("openblas_get_num_threads64_", "openblas_get_num_threads"):
+            fn = getattr(dll, sym, None)
+            if fn is not None:
+                return int(fn())
+    return None
+
+
+def blas_probe(spark, n_tasks: int = 32) -> dict:
+    """Measure the EFFECTIVE OpenBLAS state from INSIDE Python workers.
+
+    The env-var cap (``cap_blas_env``) only binds if the workers actually
+    inherit it; three rounds of driver-bench tail inflation were
+    *attributed* to an unbound cap without direct evidence (round-10
+    VERDICT #1). This probe is that evidence: a tiny mapInPandas fan-out
+    (one row per task) where each worker imports numpy (forcing the
+    bundled OpenBLAS to load under the worker's ambient env) and reports
+    its pid, the pool's ``openblas_get_num_threads`` value, and the
+    thread-count env vars as the worker sees them.
+
+    Run it BEFORE any kernel that calls ``cap_blas_threads`` — the
+    runtime cap is sticky across worker reuse and would mask an unbound
+    env cap. Returns a JSON-ready summary; ``openblas_threads`` is the
+    distinct set seen across workers ([1] = cap binding, [32] = not).
+    """
+    import json as _json
+
+    def kernel(batches):
+        import numpy  # noqa: F401 — forces the bundled OpenBLAS to load
+        import pandas as pd
+
+        threads = _openblas_get_threads()
+        env = {v: os.environ.get(v) for v in _ENV_VARS}
+        for _ in batches:
+            pass
+        yield pd.DataFrame(
+            {
+                "pid": [os.getpid()],
+                "threads": [-1 if threads is None else threads],
+                "env": [_json.dumps(env, sort_keys=True)],
+            }
+        )
+
+    rows = (
+        spark.range(0, n_tasks, 1, n_tasks)
+        .mapInPandas(kernel, "pid long, threads long, env string")
+        .collect()
+    )
+    env_sets: dict[str, set] = {v: set() for v in _ENV_VARS}
+    for r in rows:
+        for var, val in _json.loads(r["env"]).items():
+            env_sets[var].add(val)
+    return {
+        "n_tasks": n_tasks,
+        "n_worker_pids": len({r["pid"] for r in rows}),
+        "openblas_threads": sorted({int(r["threads"]) for r in rows}),
+        "worker_env": {
+            v: sorted(s, key=str) for v, s in env_sets.items()
+        },
+        "driver_env": {v: os.environ.get(v) for v in _ENV_VARS},
+    }
+
+
 _CAPPED_AT: int | None = None
 
 

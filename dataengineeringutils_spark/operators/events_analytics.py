@@ -4665,18 +4665,22 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     and verdict in the output.
 
     Values collapse to one (value → c₁, c₂) frame first. Cumulative
-    counts over that frame are stats-switched (``two_phase_min_rows``):
-    on a small input the direct global window wins; at scale — where
-    distinct doubles approach row count and an unpartitioned window
-    would sort them on ONE task — both running counts ride the
-    bucket-cut two-phase plan (``bucketed_running_sums``: one
-    |buckets|-row aggregate, driver prefix scan, per-bucket windows) in
-    a single shared pass. The supremum is one map-combined MAX.
+    counts over that frame are stats-switched on the COLLAPSED frame's
+    cardinality — an artifact-cached approx-distinct of ``value``
+    (round-10 ADVICE: raw event rows overstate the windowed frame by
+    however much the collapse dedups, paying the two-phase machinery
+    for a few thousand distinct doubles): below ``two_phase_min_rows``
+    the direct global window wins; at scale — where distinct doubles
+    approach row count and an unpartitioned window would sort them on
+    ONE task — both running counts ride the bucket-cut two-phase plan
+    (``bucketed_running_sums``: one |buckets|-row aggregate, driver
+    prefix scan, per-bucket windows) in a single shared pass. The
+    supremum is one map-combined MAX.
     """
     from dataengineeringutils_spark.operators.windows import (
         bucketed_running_sums,
         sampled_cuts,
-        table_rows,
+        table_distinct,
         two_phase_min_rows,
     )
 
@@ -4692,7 +4696,7 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c2"),
     )
-    if table_rows(spark, sf_dir, "events") < two_phase_min_rows():
+    if table_distinct(spark, sf_dir, "events", "value") < two_phase_min_rows():
         w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
         cum = vals.select(
             F.sum("c1").over(w).alias("k1"),

@@ -315,6 +315,26 @@ def table_rows(spark, sf_dir: str, tbl: str) -> int:
     )
 
 
+def table_distinct(spark, sf_dir: str, tbl: str, col: str) -> int:
+    """Fixture-persisted APPROX distinct count of one column — the
+    cardinality proxy for two-phase switches whose windowed frame is a
+    value-collapsed projection of the table (round-10 ADVICE: switching
+    on raw table rows pays the two-phase machinery even when the
+    collapsed frame is orders of magnitude smaller). One map-combined
+    HLL pass (approx_count_distinct), no shuffle of the values; ±5%
+    error is irrelevant to a 500k-row threshold decision."""
+    from dataengineeringutils_spark.artifacts import json_artifact
+    from dataengineeringutils_spark.tables import table as _t
+
+    return json_artifact(
+        sf_dir,
+        f"adistinct_{tbl}_{col}",
+        lambda: _t(spark, sf_dir, tbl)
+        .agg(F.approx_count_distinct(col).alias("n"))
+        .collect()[0]["n"],
+    )
+
+
 def keyed_two_phase(
     df: DataFrame,
     groups: list[str],

@@ -117,21 +117,30 @@ class QueueStreamReader(DataSourceStreamReader):
         out = {}
         for d in _partition_dirs(self.path):
             seg_dir = os.path.join(self.path, d)
-            out[d] = sum(
-                1
+            # Extent = max(seq)+1 over the files PRESENT, not the file
+            # COUNT (round-10 ADVICE): offsets are sequence numbers, and
+            # under retention deletion of low-numbered segments a count
+            # undercounts — ranges [start, count) would then map onto
+            # exactly the deleted files. With max+1 the offset space and
+            # the directory always agree; read() skips any seq whose
+            # file retention removed from inside a planned range.
+            seqs = [
+                int(f[:-5])
                 for f in os.listdir(seg_dir)
-                if f.endswith(".json") and not f.startswith(".")
-            )
+                if f.endswith(".json")
+                and not f.startswith(".")
+                and f[:-5].isdigit()
+            ]
+            out[d] = (max(seqs) + 1) if seqs else 0
         if self.max_per_batch > 0:
             base = self._last or {d: 0 for d in out}
             # Clamp to >= base (never regress below a seen/acked offset)
-            # but ALSO cap at the observed segment count n: a sidecar
-            # that exceeds the directory's real extent (retention-deleted
-            # segments, or a stale ack file for a reused topic path with
-            # the same group) must not make Spark plan a batch over
-            # nonexistent segment files (round-9 ADVICE). min(base, n)
-            # keeps the monotonicity guarantee wherever the segments
-            # actually exist.
+            # but ALSO cap at the observed extent n: a sidecar that
+            # exceeds the directory's real extent (a stale ack file for
+            # a reused topic path with the same group) must not make
+            # Spark plan a batch past the last segment that exists
+            # (round-9 ADVICE). min(base, n) keeps the monotonicity
+            # guarantee wherever the segments actually exist.
             out = {
                 d: max(
                     min(n, base.get(d, 0) + self.max_per_batch),
@@ -177,9 +186,26 @@ class QueueStreamReader(DataSourceStreamReader):
         parse = pajson.ParseOptions(explicit_schema=schema)
         for seq in range(part.start, part.end):
             fp = os.path.join(part.part_dir, f"{seq:08d}.json")
-            if os.path.getsize(fp) == 0:
-                continue  # empty (p, seg) cell: zero rows, not a parse error
-            tbl = pajson.read_json(fp, parse_options=parse)
+            try:
+                if os.path.getsize(fp) == 0:
+                    continue  # empty (p, seg) cell: zero rows, not an error
+            except FileNotFoundError:
+                # retention-deleted segment inside a planned range:
+                # offsets are max(seq)+1 extents (see latestOffset), so
+                # a gap below the extent is data that no longer exists,
+                # not a planning bug — skip, don't fail the batch.
+                continue
+            try:
+                tbl = pajson.read_json(fp, parse_options=parse)
+            except pa.ArrowInvalid:
+                # pyarrow rejects whitespace-only input that the old
+                # per-line reader tolerated via line.strip() (round-10
+                # ADVICE): treat it as zero rows; anything with real
+                # content keeps failing loudly.
+                with open(fp, "rb") as fh:
+                    if fh.read().strip() == b"":
+                        continue
+                raise
             yield from tbl.select(
                 ["event_id", "event_type", "value"]
             ).to_batches()

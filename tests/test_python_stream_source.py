@@ -233,3 +233,49 @@ def test_jsonl_dir_writer_manifest_protocol(spark, tmp_path):
     w = JsonlDirWriter({"path": out})
     w.abort([_WrittenFile(os.path.join(out, "seg-orphan.jsonl"), 1)])
     assert not os.path.exists(os.path.join(out, "seg-orphan.jsonl"))
+
+
+def test_retention_deleted_segments_extent_and_read(spark):
+    """Round-10 ADVICE: offsets are SEQUENCE NUMBERS — after retention
+    deletes low-numbered segments, latestOffset must still report
+    max(seq)+1 (the file COUNT would alias planned ranges onto exactly
+    the deleted files), and read() must skip a deleted seq inside a
+    planned range instead of raising FileNotFoundError."""
+    base = scratch_dir("queue_retention_topic")
+    for i in range(4):
+        _write_segment(
+            base, 0, i, [{"event_id": i, "event_type": "a", "value": 1.0}]
+        )
+    for i in range(2):  # retention removes the two oldest segments
+        os.remove(os.path.join(base, "p=0", f"{i:08d}.json"))
+    r = QueueStreamReader({"path": base})
+    assert r.latestOffset() == {"p=0": 4}  # extent, not count (2)
+    parts = r.partitions({"p=0": 0}, {"p=0": 4})
+    rows = [row for b in r.read(parts[0]) for row in b.to_pylist()]
+    assert sorted(row["event_id"] for row in rows) == [2, 3]
+
+
+def test_whitespace_only_segment_yields_zero_rows(spark):
+    """Round-10 ADVICE: the Arrow rewrite must keep the old per-line
+    reader's tolerance for a segment containing only whitespace — zero
+    rows, not an ArrowInvalid; real malformed content still raises."""
+    import pytest
+
+    base = scratch_dir("queue_blank_topic")
+    _write_segment(
+        base, 0, 0, [{"event_id": 1, "event_type": "a", "value": 1.0}]
+    )
+    with open(os.path.join(base, "p=0", f"{1:08d}.json"), "w") as f:
+        f.write("\n   \n\t\n")
+    with open(os.path.join(base, "p=0", f"{2:08d}.json"), "w") as f:
+        f.write("{not json!\n")
+    r = QueueStreamReader({"path": base})
+    assert r.latestOffset() == {"p=0": 3}
+    rows = [
+        row
+        for b in r.read(r.partitions({"p=0": 0}, {"p=0": 2})[0])
+        for row in b.to_pylist()
+    ]
+    assert [row["event_id"] for row in rows] == [1]
+    with pytest.raises(Exception):  # noqa: B017 — engine-specific type
+        list(r.read(r.partitions({"p=0": 2}, {"p=0": 3})[0]))

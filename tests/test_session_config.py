@@ -63,3 +63,25 @@ def test_checkpoint_root_seam_handles_remote_uri(monkeypatch):
     import os
 
     assert not os.path.exists("s3a:")  # no local dir side effect
+
+
+def test_blas_probe_reports_capped_workers(spark):
+    """The in-worker BLAS probe (round-10 VERDICT #1) must see the env
+    cap binding inside real Python workers: session.py pins the
+    thread-count vars via spark.executorEnv, so every worker's OpenBLAS
+    pool must report exactly 1 thread (or no OpenBLAS mapped at all,
+    reported as -1, which cannot oversubscribe either)."""
+    from dataengineeringutils_spark.blas import blas_probe
+
+    probe = blas_probe(spark, n_tasks=8)
+    assert probe["n_tasks"] == 8
+    assert probe["n_worker_pids"] >= 1
+    assert set(probe["openblas_threads"]) <= {1, -1}, probe
+    # session.py pins exactly these three via spark.executorEnv (the
+    # BLAS pools that exist in this container); the other two probe
+    # vars are only env-pinned by measurement entrypoints.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        assert set(probe["worker_env"][var]) <= {"1"}, (
+            var,
+            probe["worker_env"][var],
+        )

@@ -197,6 +197,24 @@ def test_streaming_ops_are_floor_bound(spark, sf_dir):
             "its own plan got more expensive, not just the machinery"
         )
     report["amortization"] = _measure_marginals(spark, floors)
+    # Provenance stamp (round-10 VERDICT #4): record which commit
+    # produced this artifact so a stale/modified file is identifiable.
+    import subprocess
+
+    try:
+        report["provenance"] = {
+            "source": "tests/test_stream_floor.py",
+            "commit": subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.join(os.path.dirname(__file__), ".."),
+                timeout=10,
+            ).stdout.strip()
+            or None,
+        }
+    except Exception:  # noqa: BLE001 — provenance is informational only
+        report["provenance"] = {"source": "tests/test_stream_floor.py"}
     out = os.path.join(os.path.dirname(__file__), "..", "STREAM_FLOOR.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)

@@ -21,12 +21,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     t0 = time.time()
+    # Provenance (round-10 VERDICT #4): bench.py stamps its artifacts
+    # with {"source": $BENCH_SOURCE or "driver"} — mark this run so
+    # BENCH_FULL.json written by the replica is distinguishable from a
+    # driver run without p50 forensics.
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=3600,
+        timeout=5400,
+        env={**os.environ, "BENCH_SOURCE": "replica"},
     )
     parsed = None
     for line in reversed(r.stdout.splitlines()):
@@ -48,6 +53,8 @@ def main() -> int:
         "parsed": parsed,
         "elapsed_sec": round(time.time() - t0, 1),
         "full_queries": (full or {}).get("queries"),
+        "provenance": (full or {}).get("provenance"),
+        "blas_probe": (full or {}).get("blas_probe"),
         "stderr_tail": r.stderr[-500:] if r.returncode != 0 else "",
     }
     with open(os.path.join(REPO, "BENCH_REPLICA.json"), "w") as f:
