@@ -112,6 +112,27 @@ HEAVY_OPS = [
     # stress runs the at-scale path the small fixture never exercises.
     ("events_ks_two_sample", 1.0),
     ("orders_abc_migration", 1.0),
+    # round-10 VERDICT #4: widen past the 25-op panel — the families the
+    # panel skipped, chosen by "largest frame touched by a window or
+    # self-join": the iterative graph ops (self-join per round over the
+    # co-purchase / supplier edge sets), the newest two-phase converts,
+    # the heaviest dq profiles, the corpus mixing/boilerplate text ops,
+    # and the txn-log sinks (full write+read-back cycle). Shards are
+    # key-disjoint, so graph components never bridge copies and the
+    # iterative ops stay linear by construction.
+    ("graph_triangle_count", 1.0),
+    ("hierarchy_depth_doubling", 1.0),
+    ("graph_pagerank", 1.0),
+    ("graph_kcore_2", 1.0),
+    ("corpus_mixing_sample", 1.0),
+    ("text_boilerplate_phrases", 1.0),
+    ("dq_outlier_iqr_fences", 1.0),
+    ("dq_fanout_profile", 1.0),
+    ("events_value_ecdf", 1.0),
+    ("events_session_gap_sensitivity", 1.0),
+    ("events_markov_stationary", 1.0),
+    ("sink_txn_merge_upsert", 1.0),
+    ("sink_txn_log_table", 1.0),
 ]
 
 SLACK = 2.5  # fixed-overhead + timing-noise allowance on t_K <= SLACK*K^e*t_1

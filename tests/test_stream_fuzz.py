@@ -13,9 +13,11 @@ import pytest
 
 from dataengineeringutils_spark.streamfuzz import (
     gen_foreachbatch_case,
+    gen_recovery_case,
     gen_stateful_case,
     gen_stream_case,
     run_foreachbatch_case,
+    run_recovery_case,
     run_stateful_case,
     run_stream_case,
 )
@@ -25,6 +27,7 @@ SF = "/root/testdata/sf0.001"
 N_SEEDS = 10
 N_STATEFUL_SEEDS = 6
 N_FOREACHBATCH_SEEDS = 6
+N_RECOVERY_SEEDS = 6
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +77,25 @@ def test_foreachbatch_gen_is_deterministic_and_covers_shapes():
         and c["ckpt_before_replay"]
         for c in cases
     )
+
+
+@pytest.mark.parametrize("seed", range(1, N_RECOVERY_SEEDS + 1))
+def test_stream_fuzz_recovery_seed(spark, duck, seed):
+    """Round-11 width: checkpoint recovery — each seed stops a real
+    streaming query, restarts it from its checkpoint (half the seeds
+    with the newest commit-log entry deleted, forcing a replay of the
+    last micro-batch through the file sink's manifest dedupe), and
+    compares the settled sink against batch + DuckDB."""
+    r = run_recovery_case(spark, duck, SF, seed)
+    assert r["ok"], (r["shape"], r["issues"][:3])
+
+
+def test_recovery_gen_is_deterministic_and_covers_modes():
+    cases = [gen_recovery_case(s) for s in range(1, 200)]
+    assert cases == [gen_recovery_case(s) for s in range(1, 200)]
+    assert {c["unclean"] for c in cases} == {True, False}
+    assert all(1 <= c["kill_after"] < c["n_batches"] for c in cases)
+    assert {c["shape"] for c in cases} == {"tumbling", "sliding", "session"}
 
 
 def test_gen_is_deterministic_and_covers_shapes():

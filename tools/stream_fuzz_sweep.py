@@ -23,6 +23,7 @@ sys.path.insert(0, REPO)
 from dataengineeringutils_spark.session import get_spark  # noqa: E402
 from dataengineeringutils_spark.streamfuzz import (  # noqa: E402
     run_foreachbatch_case,
+    run_recovery_case,
     run_stateful_case,
     run_stream_case,
 )
@@ -46,6 +47,13 @@ def main() -> int:
         help="seeds for the foreachBatch sink families (KeyedTable "
         "MERGE-upsert + txn-idempotent LogTable append, with injected "
         "crash-window replays; round-10 width)",
+    )
+    ap.add_argument(
+        "--n-recovery",
+        type=int,
+        default=100,
+        help="seeds for the checkpoint-recovery family (stop/restart "
+        "from checkpoint with seeded unclean kills; round-11 width)",
     )
     ap.add_argument("--sf-dir", default=os.environ.get(
         "FUZZ_SF_DIR", "/root/testdata/sf0.001"))
@@ -86,11 +94,23 @@ def main() -> int:
             print(f"... foreachbatch {seed}/{args.n_foreachbatch} "
                   f"({time.time() - t0:.0f}s, "
                   f"{len(failures)} divergent)", flush=True)
+    for seed in range(1, args.n_recovery + 1):
+        r = run_recovery_case(spark, con, args.sf_dir, seed)
+        shape_counts[r["shape"]] = shape_counts.get(r["shape"], 0) + 1
+        if not r["ok"]:
+            failures.append(r)
+            print(f"DIVERGE recovery seed={seed}: {r['issues'][:2]}")
+        if seed % 50 == 0:
+            print(f"... recovery {seed}/{args.n_recovery} "
+                  f"({time.time() - t0:.0f}s, "
+                  f"{len(failures)} divergent)", flush=True)
     out = {
-        "n_seeds": args.n + args.n_stateful + args.n_foreachbatch,
+        "n_seeds": args.n + args.n_stateful + args.n_foreachbatch
+        + args.n_recovery,
         "n_seeds_agg": args.n,
         "n_seeds_stateful": args.n_stateful,
         "n_seeds_foreachbatch": args.n_foreachbatch,
+        "n_seeds_recovery": args.n_recovery,
         "sf_dir": args.sf_dir,
         "n_divergent": len(failures),
         "shape_counts": shape_counts,
