@@ -39,6 +39,35 @@ class KeyedTable:
         self.order_by = order_by
         self._version = -1
 
+    @classmethod
+    def attach(
+        cls,
+        spark: SparkSession,
+        base_path: str,
+        keys: list[str],
+        order_by: list[str],
+    ) -> "KeyedTable":
+        """Open an EXISTING path-versioned table read/write: recover the
+        committed-version frontier from the ``state_v<N>`` directories on
+        disk (the path-versioned analog of reading a lakehouse table's
+        log) instead of assuming an empty history. Needed by any process
+        that did not create the table — e.g. time travel over a table
+        committed by a previous maintenance run."""
+        import os
+        import re
+
+        t = cls(spark, base_path, keys, order_by)
+        try:
+            versions = [
+                int(m.group(1))
+                for e in os.listdir(base_path)
+                if (m := re.fullmatch(r"state_v(\d+)", e))
+            ]
+        except FileNotFoundError:
+            versions = []
+        t._version = max(versions) if versions else -1
+        return t
+
     def _rank_window(self, df: DataFrame):
         # Final tie-break: a content hash over every column. Two batch
         # rows equal on (keys + full order_by) used to be resolved by

@@ -106,12 +106,34 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact: (  # noqa: E731
         (F.abs(approx - exact) / exact) <= F.lit(0.05)
     )
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey").alias("a_supp"),
-        F.countDistinct("l_suppkey").alias("exact_suppliers"),
-        F.approx_count_distinct("l_partkey").alias("a_part"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+
+    # One combined (exact + approx) aggregate planned as Expand x3 with
+    # the PARTIAL HLL sketches keyed on the expanded (flag, partkey,
+    # suppkey, gid) rows: the exchange carried 104 sketch longs PER
+    # DISTINCT KEY PAIR (measured 1.44 s at sf0.1; plan pinned in
+    # plans/r11/agg_approx_distinct_before.txt). Collapse each column to
+    # its distinct support FIRST (map-combined, narrow), then take both
+    # the exact count and the HLL on the collapsed frame — HLL register
+    # state is multiplicity-insensitive, so approx_count_distinct over
+    # the support is bit-identical to the original. No Expand, two
+    # narrow shuffles, sketches only ever aggregated over |distinct|
+    # rows (guide §2.3: aggregate before you shuffle).
+    def per_col(col: str, exact_name: str, approx_name: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(col).alias(exact_name),
+                F.approx_count_distinct(col).alias(approx_name),
+            )
+        )
+
+    supp = per_col("l_suppkey", "exact_suppliers", "a_supp")
+    part = per_col("l_partkey", "exact_parts", "a_part")
+    # both sides are |flags|-row aggregates; broadcast so the join adds
+    # no exchange of its own (the two distinct pipelines stay parallel)
+    agg = supp.join(F.broadcast(part), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_suppliers",

@@ -3163,17 +3163,14 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q")
     )
-    # span needs only min/max demand DAY, and min/max commute with
-    # date_trunc — so read it straight off a column-pruned lineitem scan
-    # instead of re-running the whole part-day aggregation a second time.
-    span = li.agg(
-        (
-            F.datediff(
-                F.date_trunc("day", F.max("l_shipdate")).cast("date"),
-                F.date_trunc("day", F.min("l_shipdate")).cast("date"),
-            )
-            + 1
-        )
+    # span needs only min/max demand DAY; taking it from the part-day
+    # frame (min/max commute with the collapse) lets the span branch
+    # consume the SAME exchange as per_part below (ReusedExchange —
+    # round-11 opt: the former column-pruned second lineitem scan was a
+    # separate full-table job; plan diff in plans/r11, one Scan parquet
+    # instead of two).
+    span = daily.agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1)
         .cast("bigint")
         .alias("n_days")
     )

@@ -803,9 +803,8 @@ def ml_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bigints.
     """
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    # materialize the (score, cnt, pos) collapse ONCE: the cut sample,
-    # the bucket-offset collect, and the final agg all consume it and
-    # would otherwise each re-scan events
+    # materialize the (score, cnt, pos) collapse ONCE (the heavy pass);
+    # everything downstream consumes the checkpointed frame
     vals = (
         e.groupBy(F.col("value").alias("score"))
         .agg(
@@ -817,35 +816,36 @@ def ml_rank_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # Global cumulative count in score order via the bucket-cut pattern
-    # (windows.two_phase_global_rank's shape, carrying SUM(cnt) instead
-    # of row counts): cuts from a seeded loose sample bucket the frame,
-    # per-bucket cnt totals make a <=33-row prefix scan on the driver,
-    # and the running sum is a per-bucket window — no single-partition
-    # WindowExec even when every score is distinct.
-    # cuts from the materialized score table (weighting by multiplicity
-    # is irrelevant: cuts only influence bucket BALANCE, min_rank stays
-    # exact for any cut set)
-    cuts = sorted(
-        set(
-            vals.approxQuantile("score", [i / 32 for i in range(1, 32)], 0.01)
-        )
+    # (two_phase_global_rank's shape, carrying SUM(cnt)), with the cut
+    # selection and bucket offsets IN-PLAN (round-11 opt: the old
+    # approxQuantile + bucket-count collect ran 2 further blocking
+    # driver jobs per call): cuts come from a loose in-plan
+    # percentile_approx over the checkpointed frame (1-row broadcast;
+    # cuts only balance buckets, min_rank stays exact for ANY cut set),
+    # bucket offsets from a <=33-row broadcast self-join prefix sum (no
+    # window, no WindowExec warning) — one checkpoint job + one final
+    # action instead of four sequential driver barriers.
+    cuts1 = vals.agg(
+        F.expr(
+            "percentile_approx(score, array("
+            + ",".join(str(i / 32) for i in range(1, 32))
+            + "), 100)"
+        ).alias("__cs")
     )
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.coalesce(
-            (F.col("score") > F.lit(c)).cast("int"), F.lit(0)
+    vb = (
+        vals.crossJoin(F.broadcast(cuts1))
+        .withColumn(
+            "__bkt",
+            F.expr("size(filter(__cs, c -> score > c))"),
         )
-    vb = vals.withColumn("__bkt", bucket)
-    totals = sorted(
-        vb.groupBy("__bkt").agg(F.sum("cnt").alias("bc")).collect(),
-        key=lambda r: r["__bkt"],
+        .drop("__cs")
     )
-    data, off = [], 0
-    for r in totals:
-        data.append((r["__bkt"], off))
-        off += r["bc"]
-    offsets = vals.sparkSession.createDataFrame(
-        data, schema="__bkt int, __off long"
+    bw = vb.groupBy("__bkt").agg(F.sum("cnt").alias("bc"))
+    lo = bw.select(F.col("__bkt").alias("__b2"), F.col("bc").alias("__bc2"))
+    offsets = (
+        bw.join(F.broadcast(lo), F.col("__b2") < F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(F.coalesce(F.sum("__bc2"), F.lit(0)).alias("__off"))
     )
     from pyspark.sql import Window as W
 

@@ -1466,15 +1466,13 @@ def text_token_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and all three K cutoffs are conditional sums over the ranked frame
     in one pass.
     """
+    from pyspark.sql import Window
+
     from dataengineeringutils_spark.operators.dedup import tokens_col
-    from dataengineeringutils_spark.operators.windows import (
-        two_phase_global_rank,
-    )
 
     d = table(spark, sf_dir, "documents")
-    # materialize the |vocab|-row count table ONCE: three driver actions
-    # consume it (the quantile cuts, the two-phase rank's bucket-offset
-    # scan, the final agg) and would otherwise each re-run the
+    # materialize the |vocab|-row count table ONCE: both consumers (the
+    # top-10k head and the totals) read it instead of re-running the
     # tokenize+explode over the full corpus
     counts = (
         d.select(F.explode(tokens_col()).alias("tok"))
@@ -1482,24 +1480,33 @@ def text_token_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    n_cuts = max(spark.sparkContext.defaultParallelism, 32) - 1
-    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
-    cuts = counts.select(
-        F.col("cnt").cast("double").alias("c")
-    ).stat.approxQuantile("c", qs, 0.01)
-    ranked = two_phase_global_rank(
-        counts, "cnt", "tok", sorted(set(cuts)), descending=True
+    # Round-11 opt: the largest K is a CONSTANT (10k), so the global
+    # frequency rank never needs the bucket-cut two-phase rank at any
+    # scale — a bounded top-k (TakeOrderedAndProject: per-partition
+    # priority queues, no full sort, no driver quantile/offset jobs)
+    # followed by row_number over that <=10k-row frame gives identical
+    # ranks for every rank the query consumes. The former shape ran an
+    # approxQuantile + bucket-offset collect (3 blocking driver jobs /
+    # 6 bench jobs, 1.27 s); this one runs the checkpoint + ONE action.
+    order = [F.col("cnt").desc(), F.col("tok").asc()]
+    topk = counts.orderBy(*order).limit(10000)
+    rn = F.row_number().over(Window.orderBy(*order))
+    heads = (
+        topk.withColumn("rn", rn)
+        .agg(
+            *[
+                F.sum(F.when(F.col("rn") <= k, F.col("cnt")).otherwise(0))
+                .cast("bigint")
+                .alias(f"m{k}")
+                for k in (100, 1000, 10000)
+            ]
+        )
     )
-    one = ranked.agg(
+    totals = counts.agg(
         F.sum("cnt").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n_vocab"),
-        *[
-            F.sum(F.when(F.col("rn") <= k, F.col("cnt")).otherwise(0))
-            .cast("bigint")
-            .alias(f"m{k}")
-            for k in (100, 1000, 10000)
-        ],
     )
+    one = totals.crossJoin(F.broadcast(heads))
     return one.select(
         F.expr(
             "stack(3, CAST(100 AS INT), m100, CAST(1000 AS INT), m1000, "

@@ -118,3 +118,22 @@ def test_dq_expectations_catch_planted_violations(spark, sf_dir):
         (F.count("*") - F.countDistinct("o_orderkey")).alias("v_uniq"),
     ).collect()[0]
     assert (row.v_price, row.v_null, row.v_dom, row.v_uniq) == (1, 1, 1, 1)
+
+
+def test_keyed_table_attach_recovers_version_frontier(spark):
+    base = scratch_dir("test_kt_attach")
+    kt = KeyedTable(spark, base, keys=["k"], order_by=["v"])
+    kt.upsert(_df(spark, {"k": [1, 2], "v": [10, 5]}))   # v0
+    kt.upsert(_df(spark, {"k": [1, 3], "v": [30, 7]}))   # v1
+    # a fresh process attaches to the same path and sees both versions
+    kt2 = KeyedTable.attach(spark, base, keys=["k"], order_by=["v"])
+    assert kt2._version == 1
+    v0 = {(r.k, r.v) for r in kt2.at_version(0).collect()}
+    v1 = {(r.k, r.v) for r in kt2.at_version(1).collect()}
+    assert v0 == {(1, 10), (2, 5)}
+    assert v1 == {(1, 30), (2, 5), (3, 7)}
+    # attaching to an empty/nonexistent path behaves like a new table
+    kt3 = KeyedTable.attach(
+        spark, scratch_dir("test_kt_attach_empty"), keys=["k"], order_by=["v"]
+    )
+    assert kt3._version == -1

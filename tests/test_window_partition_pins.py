@@ -52,6 +52,7 @@ ALLOWLIST: dict[str, tuple[str, str]] = {
     "orders_yoy_growth": ("agg", "|month| frame"),
     "sim_kmeans_lloyd": ("agg", "k-row centroid frame"),
     "surv_kaplan_meier": ("agg", "|distinct day| risk table"),
+    "text_token_head_coverage": ("topk", "top-10k head of the vocab frame"),
     "topn_with_other": ("agg", "|group| frame before top-N cut"),
     "udf_sql_registered": ("filter", "constant o_orderkey <= 500 slice"),
     "win_pct_change": ("agg", "|month| frame"),
