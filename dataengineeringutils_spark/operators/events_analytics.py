@@ -2839,26 +2839,36 @@ def events_type_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact integer counts; ln at 4 dp from shared text.
     """
     islands = _session_islands(table(spark, sf_dir, "events"))
-    stypes = islands.select("user_id", "session_id", "event_type").distinct()
-    ns = stypes.select("user_id", "session_id").distinct().agg(
-        F.count("*").cast("bigint").alias("n")
+    # Round-11 opt: the former DISTINCT (session, type) frame fed a
+    # (user, session)-keyed SELF-JOIN — two more exchanges (the join
+    # re-keys the distinct output) plus the join itself. Collapse each
+    # session to its SORTED TYPE SET in one aggregate instead; singles,
+    # the session total, and the ordered pairs (type_a < type_b falls
+    # out of the sorted array) are then per-row array expansions over
+    # that one exchange (reused by all three consumers). Work stays
+    # bounded by |types|^2 per session exactly as before.
+    sess = (
+        islands.groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("tps"))
     )
-    single = stypes.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("c")
+    ns = sess.agg(F.count("*").cast("bigint").alias("n"))
+    single = (
+        sess.select(F.explode("tps").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    a = stypes.alias("a")
-    b = stypes.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.session_id") == F.col("b.session_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        sess.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(tps, (x, i) -> "
+                    "transform(slice(tps, i + 2, size(tps)), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .select("p.*")
+        .groupBy("type_a", "type_b")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
     )
     sa = single.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))

@@ -546,9 +546,6 @@ def two_phase_global_rank(
     (value dir, tie asc) order (SUM() OVER (ORDER BY … ROWS UNBOUNDED
     PRECEDING)) as per-bucket window sum + broadcast offset.
     """
-    from decimal import Decimal
-
-    import pyspark.sql.types as T
     val = F.col(value_col)
     bucket = F.lit(0)
     for c in cuts:
@@ -566,44 +563,44 @@ def two_phase_global_rank(
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("__s"))
     counts = d.groupBy(bcol).agg(*aggs)
-    # offsets come from the |buckets|-row count aggregate — bounded by
-    # len(cuts)+1 BY CONSTRUCTION, so the cumulative sum is a driver-side
-    # prefix scan over ≤ a few thousand rows (the same bounded-collect
-    # class as quantile cuts), then a broadcast back. No window operator
-    # at all — the old unpartitioned-window form tripped WindowExec's
-    # single-partition path even though the frame was tiny.
-    rows = sorted(
-        counts.collect(),
-        key=lambda r: r[bcol],
-        reverse=descending,
+    # Offsets come from the |buckets|-row count aggregate — bounded by
+    # len(cuts)+1 BY CONSTRUCTION. Round-11 opt: the prefix scan runs
+    # IN-PLAN as window sums over that bounded frame instead of a
+    # blocking collect + createDataFrame round-trip — one fewer
+    # sequential driver job per call at every call site, and the whole
+    # rank becomes a single action. The unpartitioned WindowExec this
+    # plans is fed by the counts aggregate (input cardinality =
+    # |buckets|), the exact class tests/test_window_partition_pins.py
+    # allowlists and structurally checks.
+    border = F.col(bcol).desc() if descending else F.col(bcol).asc()
+    w_prev = Window.orderBy(border).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    n_total = sum(r["cnt"] for r in rows)
-    fields = [
-        T.StructField(bcol, T.IntegerType()),
-        T.StructField(ocol, T.LongType()),
-        T.StructField(n_name, T.LongType()),
+    w_all = Window.orderBy(border).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    off_cols = [
+        F.col(bcol),
+        F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).alias(ocol),
+        F.sum("cnt").over(w_all).alias(n_name),
     ]
     if sum_col is not None:
+        # window sums widen decimal precision; cast back to the
+        # aggregate's own sum type so downstream column types (and the
+        # declared output schema) are unchanged vs the collect-based
+        # prefix scan. The totals fit by construction: they equal the
+        # global SUM the type was widened for.
         sum_dt = counts.schema["__s"].dataType
-        zero = Decimal(0) if isinstance(sum_dt, T.DecimalType) else 0
-        s_total = zero
-        for r in rows:
-            s_total += r["__s"] if r["__s"] is not None else zero
-        fields += [
-            T.StructField(socol, sum_dt),
-            T.StructField(sum_total_name, sum_dt),
+        zero = F.lit(0).cast(sum_dt)
+        off_cols += [
+            F.coalesce(F.sum("__s").over(w_prev), zero)
+            .cast(sum_dt)
+            .alias(socol),
+            F.coalesce(F.sum("__s").over(w_all), zero)
+            .cast(sum_dt)
+            .alias(sum_total_name),
         ]
-    data, off, s_off = [], 0, zero if sum_col is not None else 0
-    for r in rows:
-        row = (r[bcol], off, n_total)
-        if sum_col is not None:
-            row += (s_off, s_total)
-            s_off += r["__s"] if r["__s"] is not None else zero
-        data.append(row)
-        off += r["cnt"]
-    offsets = df.sparkSession.createDataFrame(
-        data, schema=T.StructType(fields)
-    )
+    offsets = counts.select(*off_cols)
     w_loc = Window.partitionBy(bcol).orderBy(
         val.desc() if descending else val.asc(), F.col(tie_col).asc()
     )

@@ -36,7 +36,18 @@ from dataengineeringutils_spark.registry import queries
 ALLOWLIST: dict[str, tuple[str, str]] = {
     "agg_ratio_to_report": ("agg", "|groups| frame (nation-level)"),
     "corpus_token_budget_allocation": ("agg", "|source| budget frame"),
+    "customer_ltv_deciles": ("agg", "|buckets| offset frame (two-phase rank)"),
     "customer_whale_dependency": ("topk", "top-k whale pool + |nation| agg"),
+    "events_power_users_pareto": (
+        "agg", "|buckets| offset frame (two-phase rank)"
+    ),
+    "events_repeat_purchase_latency": (
+        "agg", "|buckets| offset frame (two-phase rank)"
+    ),
+    "orders_abc_class": ("agg", "|buckets| offset frame (two-phase rank)"),
+    "orders_gini_coefficient": (
+        "agg", "|buckets| offset frame (two-phase rank)"
+    ),
     "events_feature_adoption_curve": ("agg", "|feature,week| frame"),
     "events_hourly_seasonality": ("agg", "24-row hour frame"),
     "events_ks_two_sample": ("agg", "distinct-value frame; two-phase at scale"),
