@@ -3300,9 +3300,25 @@ def events_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFram
         two_phase_global_rank,
     )
 
-    cuts = gap.stat.approxQuantile("gap_hours", [0.25, 0.5, 0.75], 0.05)
+    # bucket cuts are a deterministic statistic of the fixture's gap
+    # distribution — persist like every other cut artifact (round-11
+    # opt: the per-call approxQuantile re-ran the first-two join as an
+    # extra blocking job; cuts only balance buckets, never the answer)
+    from dataengineeringutils_spark.artifacts import json_artifact
+
+    cuts = json_artifact(
+        sf_dir,
+        "repeat_gap_cuts",
+        lambda: sorted(
+            set(
+                gap.stat.approxQuantile(
+                    "gap_hours", [0.25, 0.5, 0.75], 0.05
+                )
+            )
+        ),
+    )
     ranked = two_phase_global_rank(
-        gap, "gap_hours", "user_id", sorted(set(cuts)), rn_name="rn"
+        gap, "gap_hours", "user_id", cuts, rn_name="rn"
     )
     return (
         ranked.agg(
