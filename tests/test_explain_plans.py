@@ -126,21 +126,25 @@ def test_salted_join_is_shuffled_not_broadcast(spark, sf_dir):
 
 
 def test_entity_scaled_frames_have_no_unpartitioned_window(spark, sf_dir):
-    """Round-5 VERDICT #1: the five formerly global-window ops must plan
-    ZERO unpartitioned Window operators — every Window node's partition
-    spec must be non-empty (bucket-cut / keyed), so no single task ever
-    sorts an entity-scaled frame."""
+    """Round-5 VERDICT #1: the five formerly global-window ops must never
+    sort an ENTITY-SCALED frame in a single task. Since round 11 the
+    two-phase rank sites legitimately plan ONE unpartitioned Window —
+    the bucket-offset prefix sum over the ≤|buckets|-row count aggregate
+    (commit 885a668) — so the pin is structural: every unpartitioned
+    Window node's input subtree must contain a full aggregate (input
+    cardinality = grouping-key cardinality), i.e. the collapsed bucket
+    frame, never the raw entity rows. The registry-wide sweep in
+    test_window_partition_pins applies the same bound to ALL ops; this
+    test keeps the original five pinned by name."""
     import json
 
-    def walk(o):
-        if isinstance(o, dict):
-            yield o
-            for v in o.values():
-                yield from walk(v)
-        elif isinstance(o, list):
-            for v in o:
-                yield from walk(v)
+    from tests.test_window_partition_pins import _unpartitioned_windows
 
+    agg_nodes = {
+        "HashAggregateExec",
+        "ObjectHashAggregateExec",
+        "SortAggregateExec",
+    }
     for name in (
         "orders_skyline_2d",
         "orders_abc_class",
@@ -149,13 +153,9 @@ def test_entity_scaled_frames_have_no_unpartitioned_window(spark, sf_dir):
         "text_zipf_slope",
     ):
         df = queries()[name](spark, sf_dir)
-        plan = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
-        for node in walk(plan):
-            cls = node.get("class")
-            if isinstance(cls, str) and cls.endswith(
-                ("WindowExec", "WindowGroupLimitExec")
-            ):
-                assert node.get("partitionSpec"), (
-                    f"{name}: {cls.split('.')[-1]} with EMPTY partitionSpec "
-                    "— single-partition window at runtime"
-                )
+        raw = json.loads(df._jdf.queryExecution().executedPlan().toJSON())
+        for classes in _unpartitioned_windows(raw):
+            assert classes & agg_nodes, (
+                f"{name}: unpartitioned Window over a NON-aggregated "
+                "input — single task would sort an entity-scaled frame"
+            )
