@@ -1262,8 +1262,16 @@ def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def audit(df: DataFrame, keys: list[str], label: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_rows")).crossJoin(
-            df.select(*keys).distinct().agg(F.count("*").alias("n_distinct"))
+        # ONE scan per table (was two: a count branch + a distinct
+        # branch): collapse to per-key group sizes, then sum(sizes) =
+        # n_rows and count(groups) = n_distinct — identical values
+        # (including NULL-key groups, which COUNT(DISTINCT) would drop),
+        # half the scan work (guide §6.2: don't re-read what one pass
+        # already proves).
+        g = df.select(*keys).groupBy(*keys).agg(F.count("*").alias("__k"))
+        return g.agg(
+            F.sum("__k").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_distinct"),
         ).select(F.lit(label).alias("pk"), "n_rows", "n_distinct")
 
     parts = [

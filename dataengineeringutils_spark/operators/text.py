@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataengineeringutils_spark.operators.dedup import shingle_rows, tokens_col
+from dataengineeringutils_spark.operators.dedup import (
+    docs_parallel,
+    shingle_rows,
+    tokens_col,
+)
 from dataengineeringutils_spark.registry import query
 from dataengineeringutils_spark.tables import table
 
@@ -893,7 +897,12 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's tokens at a time — the measured rule is lambdas on SMALL
     arrays are fine; corpora scale by adding rows, not array length.
     """
-    d = table(spark, sf_dir, "documents").select(
+    # docs_parallel: the zip_with chains below are the op's whole cost
+    # and evaluate in the scan stage — one task on the single-row-group
+    # fixture file (and TWICE: the orderBy's range sampler evaluates the
+    # projection too). Spreading raw text across cores first parallelizes
+    # both passes (guide §2 stragglers).
+    d = docs_parallel(spark, sf_dir).select(
         "doc_id", F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("tk")
     )
     tk = F.col("tk")
@@ -1043,7 +1052,9 @@ def text_boilerplate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg + TakeOrdered. At 100 TB the HAVING floor prunes the
     singleton long tail before anything sorts.
     """
-    d = table(spark, sf_dir, "documents").select(
+    # docs_parallel: the zip_with phrase build + array_distinct dominate
+    # and would otherwise run on the single scan task (guide §2)
+    d = docs_parallel(spark, sf_dir).select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != F.lit("")).alias("tk"),
     )
@@ -1768,7 +1779,9 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dataengineeringutils_spark.operators.dedup import tokens_col
 
-    d = table(spark, sf_dir, "documents")
+    # docs_parallel: gram fan-out + per-gram md5 dominate and would
+    # otherwise evaluate on the single scan task (guide §2)
+    d = docs_parallel(spark, sf_dir)
     # the >= 5 guard matters: Spark's sequence(1, 0) is DESCENDING
     # [1, 0], not empty like DuckDB's range(1, 1) — a 4-token doc would
     # emit phantom grams without it
