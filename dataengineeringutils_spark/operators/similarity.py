@@ -860,22 +860,15 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     union. This is THE standard IVF recall knob: at 100 TB nprobe scales
     candidate volume linearly while the corpus-side layout (bucketed by
     cid) is untouched — queries just fan out to nprobe buckets.
+
+    Round-11 opt (guide §2.4/§5): both sides now serve from the
+    persisted ``ivf_assignment_cached`` index (same centroids, same
+    arg-max ordering, rn ≤ max nprobe ≥ 2) — the per-call n·k
+    crossJoin + row_number window that re-derived the assignment was
+    the duplicated index build the rest of the IVF family already
+    dropped; the probe set is its rn ≤ 2 slice.
     """
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
-    )
-    cents = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    c_cos = dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
-    wa = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cid").asc())
-    scored = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cid", c_cos.alias("c_cos"))
-        .withColumn("rn", F.row_number().over(wa))
-    )
+    scored = ivf_assignment_cached(spark, sf_dir)
     assigned = scored.filter(F.col("rn") == 1).select(
         "vec_id", "embedding", "nrm", "cid"
     )
@@ -2579,14 +2572,18 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.col("rn").alias("rnc"),
     )
-    w_q = Window.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
     exact = _exact_top3_cached(spark, sf_dir)
-    n_queries = exact.select("q_id").distinct().count()
     # score the candidate union ONCE at max nprobe (the probe sets are
-    # nested), checkpoint, then each smaller nprobe is a filter + window
-    # over the scored frame — not a re-scoring pass
+    # nested). Round-11 opt (guide §2.4/§5.3): the per-nprobe loop used
+    # to run THREE separate sort+row_number windows, three broadcast
+    # joins against the exact panel, three aggregates, plus a blocking
+    # n_queries count and an eager checkpoint — 17 jobs per call. One
+    # sorted window pass now carries a running COUNT of each nested
+    # probe subset (rank of a row within {rnc <= p} under the same
+    # (cos DESC, vec_id ASC) order == its row_number in the filtered
+    # frame), one join attaches the exact top-3 panel, and one
+    # aggregate emits every nprobe's hit count; n_queries is a
+    # countDistinct in the same pass instead of a driver round-trip.
     scored_cands = (
         assigned.join(F.broadcast(qpanel), "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -2598,38 +2595,58 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))
             ).alias("cos_sim"),
         )
-        .localCheckpoint(eager=True)
     )
-    outs = []
-    for p in RECALL_NPROBES:
-        ivf = (
-            scored_cands.filter(F.col("rnc") <= p)
-            .withColumn("rn", F.row_number().over(w_q))
-            .filter(F.col("rn") <= 3)
-            .select("q_id", F.col("vec_id").alias("i_vec"))
-        )
-        hit = exact.join(
-            F.broadcast(ivf),
-            (exact.q_id == ivf.q_id) & (exact.vec_id == ivf.i_vec),
-            "left",
-        )
-        outs.append(
-            hit.agg(
-                F.lit(p).cast("int").alias("nprobe"),
-                F.lit(n_queries).cast("bigint").alias("n_queries"),
-                F.sum(F.col("i_vec").isNotNull().cast("long"))
-                .cast("bigint")
-                .alias("n_hits"),
-                F.expr(
-                    "ROUND(CAST(SUM(CASE WHEN i_vec IS NOT NULL"
-                    " THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)"
-                ).alias("recall_at_3"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    w_run = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored_cands.select(
+        "q_id",
+        "vec_id",
+        "rnc",
+        *[
+            F.sum((F.col("rnc") <= p).cast("long"))
+            .over(w_run)
+            .alias(f"r{p}")
+            for p in RECALL_NPROBES
+        ],
+    )
+    hit = exact.join(
+        F.broadcast(ranked),
+        (exact.q_id == ranked.q_id) & (exact.vec_id == ranked.vec_id),
+        "left",
+    ).select(
+        exact.q_id.alias("eq_id"),
+        *[
+            ((F.col("rnc") <= p) & (F.col(f"r{p}") <= 3)).alias(f"hit{p}")
+            for p in RECALL_NPROBES
+        ],
+    )
+    sums = hit.agg(
+        F.count_distinct(F.col("eq_id")).cast("bigint").alias("nq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        *[
+            F.sum(F.coalesce(F.col(f"hit{p}"), F.lit(False)).cast("long"))
+            .cast("bigint")
+            .alias(f"h{p}")
+            for p in RECALL_NPROBES
+        ],
+    )
+    stack_args = ", ".join(
+        f"{p}, h{p}" for p in RECALL_NPROBES
+    )
+    return sums.selectExpr(
+        f"stack({len(RECALL_NPROBES)}, {stack_args})"
+        " AS (nprobe, n_hits)",
+        "nq",
+        "n_exact",
+    ).select(
+        F.col("nprobe").cast("int").alias("nprobe"),
+        F.col("nq").alias("n_queries"),
+        F.col("n_hits"),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_3"),
+    )
 
 
 @query(
