@@ -3176,11 +3176,16 @@ def part_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q")
     )
     # span needs only min/max demand DAY; taking it from the part-day
-    # frame (min/max commute with the collapse) lets the span branch
-    # consume the SAME exchange as per_part below (ReusedExchange —
-    # round-11 opt: the former column-pruned second lineitem scan was a
-    # separate full-table job; plan diff in plans/r11, one Scan parquet
-    # instead of two).
+    # frame (min/max commute with the collapse) keeps one logical
+    # collapse. Session-4: column pruning specializes the two consumers'
+    # exchanges differently (span prunes l_quantity), so ReusedExchange
+    # did NOT fire and the plan re-scanned + re-shuffled lineitem per
+    # branch; a lazy localCheckpoint of the part-day frame materializes
+    # the collapse once per call (recomputed from parquet every
+    # invocation — nothing persists across runs) and both branches read
+    # it (A/B under identical load: 3.2 s vs 4.2 s; plan: one Scan
+    # parquet instead of two).
+    daily = daily.localCheckpoint(eager=False)
     span = daily.agg(
         (F.datediff(F.max("d"), F.min("d")) + 1)
         .cast("bigint")

@@ -4283,7 +4283,9 @@ def events_quantile_treatment_effect(
     # past it — where each variant instead ranks through the two-phase
     # bucket-cut machinery (cuts only balance buckets, never the
     # answer). Path equality is pinned by a unit test.
-    if table(spark, sf_dir, "events").count() <= QTE_LOCAL_ROWS:
+    from dataengineeringutils_spark.operators.windows import table_rows
+
+    if table_rows(spark, sf_dir, "events") <= QTE_LOCAL_ROWS:
         w = Window.partitionBy("variant").orderBy(
             F.col("y").asc(), F.col("user_id").asc()
         )
@@ -4331,22 +4333,32 @@ def events_quantile_treatment_effect(
             for p in (25, 50, 75, 90)
         ]
     )
-    a = qs.filter(F.col("variant") == 0)
-    b = qs.filter(F.col("variant") == 1)
-    grid = None
-    for p in (25, 50, 75, 90):
-        part = (
-            a.select(F.col(f"q{p}").alias("qa"))
-            .crossJoin(b.select(F.col(f"q{p}").alias("qb")))
-            .select(
-                F.lit(p).cast("int").alias("p"),
-                F.col("qa").cast("double").alias("control_q"),
-                F.col("qb").cast("double").alias("treatment_q"),
-                (F.col("qb") - F.col("qa")).cast("double").alias("qte"),
-            )
-        )
-        grid = part if grid is None else grid.unionByName(part)
-    return grid
+    # Round-11 opt (guide §2.4): the 4-row grid used to be four
+    # crossJoins of two filtered 1-row frames unioned together — eight
+    # re-plans of the ranked subtree per action. One global aggregate
+    # folds the 2-row qs frame to a single wide row (min(when) per
+    # variant×percentile) and stack() unpivots it; the quantile values
+    # are copied, not recomputed, so the grid is bit-identical.
+    wide = qs.agg(
+        *[
+            F.min(
+                F.when(F.col("variant") == v, F.col(f"q{p}"))
+            ).alias(f"{'ab'[v]}{p}")
+            for p in (25, 50, 75, 90)
+            for v in (0, 1)
+        ]
+    )
+    stack_expr = (
+        "stack(4, "
+        + ", ".join(f"{p}, a{p}, b{p}" for p in (25, 50, 75, 90))
+        + ") AS (p, qa, qb)"
+    )
+    return wide.selectExpr(stack_expr).select(
+        F.col("p").cast("int").alias("p"),
+        F.col("qa").cast("double").alias("control_q"),
+        F.col("qb").cast("double").alias("treatment_q"),
+        (F.col("qb") - F.col("qa")).cast("double").alias("qte"),
+    )
 
 
 @query(

@@ -531,29 +531,45 @@ def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(name, 17, 2).alias("hB"),
         )
 
-    d_b = dirty.select("d_key", "d_name", *blocks(F.col("d_name")))
+    # Round-11 opt (guide §2.3): distance-filter each block branch
+    # BEFORE any exchange (the old shape shuffled ~180k wide candidate
+    # rows through a distinct just to drop most of them one operator
+    # later), and fold dedup + best-match into ONE map-combined
+    # min(struct(lev, key)) aggregate: a pair matching both blocks
+    # contributes the same struct twice and min() absorbs the
+    # duplicate, while struct ordering (lev ASC, then key ASC) is
+    # exactly the old window's (row_number = 1) selection. One narrow
+    # exchange replaces the distinct shuffle + window sort.
+    # the probe side scans as ONE task (one-row-group fixture file), so
+    # the blocked join's lev fan-out would serialize; a round-robin
+    # spread of the 1.5k-row dirty side parallelizes every candidate's
+    # distance eval (same note as docs_parallel)
+    d_b = dirty.select("d_key", "d_name", *blocks(F.col("d_name"))).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     c_b = c.select("c_custkey", "c_name", *blocks(F.col("c_name")))
-    cand = (
-        d_b.join(c_b.withColumnRenamed("hA", "hA2"), F.col("hA") == F.col("hA2"))
-        .select("d_key", "d_name", "c_custkey", "c_name")
-        .unionAll(
-            d_b.join(
-                c_b.withColumnRenamed("hB", "hB2"), F.col("hB") == F.col("hB2")
-            ).select("d_key", "d_name", "c_custkey", "c_name")
-        )
-        .distinct()
-    )
     lev = F.levenshtein("d_name", "c_name")
-    scored = cand.select(
-        "d_key", "d_name", "c_custkey", lev.alias("lev")
-    ).filter(F.col("lev") <= 1)
-    w = Window.partitionBy("d_key").orderBy(
-        F.col("lev").asc(), F.col("c_custkey").asc()
-    )
+
+    def branch(bcol: str) -> DataFrame:
+        return (
+            d_b.join(
+                c_b.withColumnRenamed(bcol, f"{bcol}2"),
+                F.col(bcol) == F.col(f"{bcol}2"),
+            )
+            .select("d_key", "d_name", "c_custkey", lev.alias("lev"))
+            .filter(F.col("lev") <= 1)
+        )
+
+    scored = branch("hA").unionAll(branch("hB"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("d_key", "d_name", F.col("c_custkey").alias("matched_key"), "lev")
+        scored.groupBy("d_key", "d_name")
+        .agg(F.min(F.struct("lev", "c_custkey")).alias("m"))
+        .select(
+            "d_key",
+            "d_name",
+            F.col("m.c_custkey").alias("matched_key"),
+            F.col("m.lev").alias("lev"),
+        )
         .orderBy("d_key")
     )
 

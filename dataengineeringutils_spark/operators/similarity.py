@@ -91,19 +91,38 @@ def probe_panel(e: DataFrame, k: int) -> DataFrame:
     )
 
 
-def collect_panel(e: DataFrame, k: int):
+def collect_panel(e: DataFrame, k: int, sf_dir: str | None = None):
     """Panel ids + row-normalized float64 matrix, driver-side (K rows —
-    bounded by construction, not by corpus size)."""
-    pdf = (
-        e.join(F.broadcast(probe_panel(e, k)), "vec_id")
-        .select("vec_id", "embedding")
-        .toPandas()
+    bounded by construction, not by corpus size).
+
+    With ``sf_dir`` given, the panel is persisted per fixture as a JSON
+    artifact (floats round-trip exactly through json repr) — the SAME
+    convention as ``lsh_recall_panel``: a deterministic md5-ranked id
+    panel is eval-bench INPUT a deployment pins once, and re-collecting
+    it cost two driver jobs (limit + toPandas) on every call of the
+    three panel evals."""
+
+    def _build():
+        pdf = (
+            e.join(F.broadcast(probe_panel(e, k)), "vec_id")
+            .select("vec_id", "embedding")
+            .toPandas()
+        )
+        q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+        q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+        order = np.argsort(q_ids)
+        return [q_ids[order].tolist(), q_mat[order].tolist()]
+
+    if sf_dir is None:
+        ids_l, mat_l = _build()
+    else:
+        from dataengineeringutils_spark.artifacts import json_artifact
+
+        ids_l, mat_l = json_artifact(sf_dir, f"probe_panel_{k}", _build)
+    return np.asarray(ids_l, dtype=np.int64), np.asarray(
+        mat_l, dtype=np.float64
     )
-    q_ids = np.asarray(pdf["vec_id"], dtype=np.int64)
-    q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    order = np.argsort(q_ids)
-    return q_ids[order], q_mat[order]
 
 
 def _block_topk_rows(ids, scores, depth):
@@ -1172,7 +1191,7 @@ def sim_block_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    q_ids, q_mat = collect_panel(e, BLOCK_TOPK_PANEL_K)
+    q_ids, q_mat = collect_panel(e, BLOCK_TOPK_PANEL_K, sf_dir)
 
     def nominate(batches):
 
@@ -2125,7 +2144,7 @@ def embeddings_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFram
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    q_ids, q_mat = collect_panel(e, KNN_EVAL_PANEL_K)
+    q_ids, q_mat = collect_panel(e, KNN_EVAL_PANEL_K, sf_dir)
 
     def nominate(batches):
 
@@ -2280,7 +2299,7 @@ def embeddings_sign_quantization_eval(spark: SparkSession, sf_dir: str) -> DataF
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm("embedding").alias("nrm")
     )
-    q_ids, q_mat = collect_panel(e, SIGNQ_PANEL_K)
+    q_ids, q_mat = collect_panel(e, SIGNQ_PANEL_K, sf_dir)
     q_sign = np.where(q_mat >= 0.0, 1.0, -1.0)
 
     def nominate(batches):
