@@ -2086,16 +2086,15 @@ def lineitem_sourcing_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-source-risk review (n_suppliers = 1 is the fragile tail)
     and the fan-out forecast for any part↔supplier join.
 
-    Distinct (part, supplier) pairs collapse in one map-combined
-    aggregate, per-part counts in a second keyed one, and the
-    histogram is a ≤|max depth|-row frame — the fact table is read
-    once and only key pairs ever shuffle.
+    Per-part supplier sets collapse in ONE map-combined ``collect_set``
+    aggregate (set merge dedups map-side, so the single part-keyed
+    exchange carries the same distinct pairs a DISTINCT would — without
+    DISTINCT's second exchange), and the histogram is a ≤|max depth|-row
+    frame — the fact table is read once and only key pairs ever shuffle.
     """
     li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    per_part = (
-        li.distinct()
-        .groupBy("l_partkey")
-        .agg(F.count("*").cast("bigint").alias("n_suppliers"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.size(F.collect_set("l_suppkey")).cast("bigint").alias("n_suppliers")
     )
     return per_part.groupBy("n_suppliers").agg(
         F.count("*").cast("bigint").alias("n_parts")
@@ -3905,7 +3904,11 @@ def supplier_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One fact pass collapsed by supplier nation (dims broadcast), exact
     DECIMAL revenue/quantity sums, and a 1-row global frame joined
-    back; ratios divide identical doubles on both engines.
+    back; ratios divide identical doubles on both engines. The
+    |nations|-row collapse is lazily checkpointed: two consumers (the
+    global unit price and the per-nation select) would otherwise each
+    re-run the fact join+agg — Catalyst does not share duplicate
+    subtrees.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_quantity"
@@ -3921,6 +3924,7 @@ def supplier_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
         )
+        .localCheckpoint(eager=False)
     )
     world = lines.agg(
         (F.sum("rev").cast("double") / F.sum("qty").cast("double")).alias(

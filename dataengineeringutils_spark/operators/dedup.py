@@ -221,16 +221,23 @@ def ngram_jaccard_pairs(sh: DataFrame, stop_shingles: DataFrame | None = None) -
     With ``stop_shingles`` (see ``hot_shingle_stoplist``), Jaccard is
     computed over the CAPPED shingle space: hot shingles leave sets AND
     intersections via one broadcast anti-join — standard stop-gram
-    semantics (numerator and denominator stay consistent), and the
-    shingle table is never reshuffled, keeping its doc_id partitioning
-    for the size window below.
+    semantics (numerator and denominator stay consistent).
+
+    Set sizes are a map-combined per-doc count aggregate re-attached by
+    broadcast AFTER the pair aggregation: the shingle table arrives from
+    the parquet artifact with no useful partitioning, so a per-doc count
+    window would plan a full Exchange+Sort over the shingle rows on BOTH
+    self-join branches just to carry one small integer. The |docs|-row
+    size frame broadcasts at any corpus size (it is the doc dimension,
+    not the shingle fact). The self-join is pinned to sort-merge: both
+    branches are the same scan, so the exchange on ``s`` is planned once
+    and reused, and a shingle-fact broadcast is not a plan at 100 TB.
     """
     if stop_shingles is not None:
         sh = sh.join(F.broadcast(stop_shingles), "s", "left_anti")
-    wn = Window.partitionBy("doc_id")
-    sh = sh.withColumn("n", F.count("*").over(wn))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("merge").alias("b")
     inter = (
         a.join(
             b,
@@ -239,18 +246,22 @@ def ngram_jaccard_pairs(sh: DataFrame, stop_shingles: DataFrame | None = None) -
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("n_common"))
     )
-    jac = inter.select(
-        "doc_a",
-        "doc_b",
-        (
-            F.col("n_common").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_common"))
-        ).alias("jaccard"),
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 

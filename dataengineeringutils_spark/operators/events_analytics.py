@@ -3469,8 +3469,10 @@ def events_session_depth_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shared 30-minute sessionization kernel collapses events to one
     DEPTH row per session (all windows on one user exchange); the
-    survival grid is a 6-row cross join against that collapsed frame's
-    conditional counts — adding thresholds costs counters, not passes.
+    survival grid is ONE wide aggregate of conditional counters over
+    that collapsed frame (plus the total in the same pass), unpivoted
+    with ``stack()`` — adding thresholds costs counters, not passes,
+    and no session row is fanned out or re-read.
     """
     ev = table(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3496,27 +3498,26 @@ def events_session_depth_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sess.groupBy("user_id", "sid").agg(
         F.count("*").cast("bigint").alias("depth")
-    ).select("depth").localCheckpoint(eager=True)
-    tot = sizes.agg(F.count("*").cast("double").alias("t"))
-    grid = sizes.sparkSession.createDataFrame(
-        [(k,) for k in (1, 2, 3, 5, 8, 13)], "k int"
     )
-    return (
-        sizes.crossJoin(F.broadcast(grid))
-        .groupBy("k")
-        .agg(
-            F.sum((F.col("depth") >= F.col("k")).cast("long"))
+    ks = (1, 2, 3, 5, 8, 13)
+    wide = sizes.agg(
+        F.count("*").cast("double").alias("t"),
+        *[
+            F.sum((F.col("depth") >= F.lit(k)).cast("long"))
             .cast("bigint")
-            .alias("n_sessions_ge_k")
-        )
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "k",
-            "n_sessions_ge_k",
-            F.round(
-                F.col("n_sessions_ge_k").cast("double") / F.col("t"), 6
-            ).alias("share"),
-        )
+            .alias(f"ge_{k}")
+            for k in ks
+        ],
+    )
+    stack_expr = "stack({}, {}) AS (k, n_sessions_ge_k)".format(
+        len(ks), ", ".join(f"CAST({k} AS INT), ge_{k}" for k in ks)
+    )
+    return wide.select(F.expr(stack_expr), "t").select(
+        "k",
+        "n_sessions_ge_k",
+        F.round(F.col("n_sessions_ge_k").cast("double") / F.col("t"), 6).alias(
+            "share"
+        ),
     )
 
 

@@ -169,6 +169,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
+        # |V|-row frame with THREE consumers (two orientation broadcasts
+        # + the stats row): lazily checkpoint so the edge-table degree
+        # count runs once per call, not three times
+        .localCheckpoint(eager=False)
     )
     # deg is |V|-sized — broadcast it into the orientation joins so the
     # edge table is never exchanged (at 100 TB deg would be the one
