@@ -3551,12 +3551,17 @@ def supplier_dual_sourcing_coverage(
 
     One part-keyed collapse carrying a distinct-supplier count and an
     exact DECIMAL revenue sum; the 1-row summary divides exact values.
+    The distinct count is ``size(collect_set)`` (suppkey is NOT NULL in
+    TPC-H, so set size ≡ COUNT(DISTINCT)): partial sets merge map-side,
+    so ONE part-keyed exchange carries both the set state and the
+    decimal sum — the COUNT(DISTINCT) form planned a (part, supp)
+    exchange AND a second part-keyed exchange for the same answer.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     ps = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+        F.size(F.collect_set("l_suppkey")).cast("bigint").alias("n_supp"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
     )
     dual = F.col("n_supp") >= 2
