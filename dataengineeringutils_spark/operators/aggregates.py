@@ -46,7 +46,15 @@ def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17: TPC-H Q1 shape — multi-aggregate group-by on the fact table."""
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount",
     )
+    # spread the 1-task fixture scan so the six decimal aggregates
+    # parallelize (6 output groups: the partial agg reduces ~100000x,
+    # so this keyed spread is the only fact-scale movement; decimal
+    # sums are order-independent)
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         money_sum("l_quantity").alias("sum_qty"),
@@ -300,7 +308,13 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB version is identical — decimal sums are associative, so
     partial aggregation is lossless.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    # spread the 1-task fixture scan so the decimal products
+    # parallelize (3 output groups; partial agg reduces ~200000x, so
+    # the keyed spread is the only fact-scale movement)
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return li.groupBy("l_returnflag").agg(
@@ -485,7 +499,11 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale that's what you store, because pairs re-merge (e.g. daily →
     monthly) while finished averages don't.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    # same 1-task-scan spread as agg_decimal_exact above
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     num = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * F.col("l_quantity").cast("decimal(18,2)")

@@ -1554,8 +1554,17 @@ def lineitem_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cent: gross - discount_given = net and net + tax = charged,
     EXACTLY — the op is self-auditing, and any drift (a double
     accumulator sneaking in) breaks the ledger identity outright.
+
+    The raw rows spread by l_orderkey before the aggregate: the
+    single-row-group fixture file scans as one task, which serialized
+    all five decimal products on one core (decimal sums are
+    order-independent; at scale the scan is already parallel and the
+    spread coalesces away).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount", "l_tax"
+    )
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     return li.groupBy(
         F.date_trunc("month", F.col("l_shipdate").cast("date")).alias("month")
     ).agg(
@@ -2043,7 +2052,13 @@ def lineitem_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back from the same collapsed frame via a 1-row cross
     join — one fact-table scan total.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    # spread the 1-task fixture scan so the decimal accumulation
+    # parallelizes (11 output groups; same rationale as
+    # lineitem_discount_depth_mix above)
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(22,4)"
     )
@@ -3492,11 +3507,18 @@ def lineitem_intra_order_price_dispersion(
     One order-keyed collapse to exact DECIMAL moments (n, Σp, Σp²),
     per-order CV from shared text, quantized at 10⁻⁹ into int64 for the
     order-independent band means. Single-line orders are skipped (CV
-    undefined).
+    undefined). The raw (orderkey, price) rows are spread by l_orderkey
+    first: per-order groups average ~4 rows so the scan-stage partial
+    agg barely reduces, and on the single-row-group fixture file it
+    serialized the decimal products on one task; the keyed spread is
+    the same bytes the partial-agg output would shuffle, satisfies the
+    groupBy (no second exchange), and decimal sums are
+    order-independent.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     )
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     dp = F.col("l_extendedprice").cast("decimal(18,2)")
     per_order = (
         li.groupBy("l_orderkey")
@@ -3918,6 +3940,11 @@ def supplier_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_quantity"
     )
+    # spread the 1-task fixture scan so the broadcast join + decimal
+    # sums parallelize (the nation collapse reduces ~25000x, so this is
+    # the only fact-scale movement; the checkpointed pass below then
+    # runs 32-wide instead of serialized)
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_suppkey")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     lines = (
@@ -4378,8 +4405,16 @@ def lineitem_discount_depth_mix(
 
     One pass to 4 band rows of exact DECIMAL sums (the discount-dollar
     product stays decimal until the final cast); no joins, no windows.
+    The raw rows are spread by l_orderkey first: the single-row-group
+    fixture file scans as ONE task, so the decimal multiply+sum would
+    otherwise serialize on one core (exact decimal sums are
+    order-independent, so the spread cannot change any value; at scale
+    the scan is many tasks and the spread exchange coalesces away).
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_extendedprice", "l_quantity"
+    )
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     depth = (
         F.when(F.col("l_discount") == 0, "none")
         .when(F.col("l_discount") <= 0.05, "shallow")
