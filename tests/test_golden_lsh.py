@@ -15,7 +15,7 @@ from dataengineeringutils_spark.operators.dedup import (
     minhash_verified_pairs,
     simhash_pairs,
 )
-from dataengineeringutils_spark.operators.similarity import _lsh_topk_cached
+from dataengineeringutils_spark.operators.similarity import _lsh_topk
 from dataengineeringutils_spark.registry import queries
 
 SF = "/root/testdata/sf0.001"
@@ -65,7 +65,7 @@ def test_simhash_property_op_reports_green(spark):
 
 def test_ann_lsh_neighbors_are_exact_valued_and_deterministic(spark):
     knn = queries()["sim_knn_join"]
-    got = _lsh_topk_cached(spark, SF).collect()
+    got = _lsh_topk(spark, SF).collect()
     assert got
     # <= 3 neighbors per query (top-3 re-rank over probed buckets).
     per_q = {}
@@ -83,7 +83,7 @@ def test_ann_lsh_neighbors_are_exact_valued_and_deterministic(spark):
     for r in overlap:
         assert abs(exact_vals[(r["q_id"], r["vec_id"])] - r["cos_sim"]) < 1e-9
     # Determinism: hyperplanes are seed-pinned.
-    again = _lsh_topk_cached(spark, SF).collect()
+    again = _lsh_topk(spark, SF).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in again}
 
 

@@ -308,17 +308,30 @@ def test_weighted_median_fact_window_is_bucketed(spark, sf_dir):
 
 
 def test_lsh_signatures_are_arrow_batched(spark, sf_dir):
-    # the registered op serves from the session-cached index frame
-    # (Scan ExistingRDD); the plan contract applies to the BUILD plan
+    # the signature kernel (the INDEX build) must be a vectorized Arrow
+    # mapInPandas, not a per-row Python UDF
     from dataengineeringutils_spark.operators.similarity import (
-        _lsh_topk_build,
+        _lsh_signature_kernel,
+        _lsh_topk,
     )
+    from dataengineeringutils_spark.tables import table
 
-    plan = _plan(_lsh_topk_build(spark, sf_dir))
-    # the signature kernel must be a vectorized Arrow mapInPandas, not a
-    # per-row Python UDF
+    sig = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            _lsh_signature_kernel, schema="vec_id long, t int, bucket long"
+        )
+    )
+    plan = _plan(sig)
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    # the per-call SEARCH plan serves the persisted signature index —
+    # it must not re-run the signature kernel (round-12 artifact line:
+    # index persists, search is timed)
+    search = _plan(_lsh_topk(spark, sf_dir))
+    assert "MapInPandas" not in search, search
+    assert "Scan parquet" in search, search
 
 
 def test_dpp_join_prunes_partitions(spark, sf_dir):

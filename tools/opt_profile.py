@@ -57,7 +57,9 @@ def main() -> int:
     spark = get_spark("opt_profile")
     qs = queries()
     tracker = spark.sparkContext.statusTracker()
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("OPT_PLANS_ROUND", "r12")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     # JVM + listing warm-up
