@@ -222,16 +222,33 @@ def main() -> int:
     if len(sys.argv) <= 1:
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
-    slowest = dict(
-        sorted(per_query.items(), key=lambda kv: -kv[1])[:40]
-    )
-    print(
-        json.dumps(
+    # Printed window = slowest-40 NOW, UNION the window printed LAST
+    # round (seed file bench_window.json, reseeded at round close).
+    # Round-11 VERDICT item 7: the bare slowest-40 window made the
+    # driver's round-over-round diff mostly churn — 17 ops "dropped from
+    # bench" that had merely IMPROVED out of the window. Carrying the
+    # previous window forward means an op can only leave the printed map
+    # by actually failing or being removed. The whole line must stay
+    # under the driver's 2000-char stdout capture (round 1's 5 KB line
+    # lost its head and parsed as null), so prev-window names are
+    # mandatory and extra current-slowest entries fill the remaining
+    # byte budget in descending-time order.
+    prev_window: list[str] = []
+    try:
+        with open(os.path.join(REPO, "bench_window.json")) as f:
+            prev_window = [n for n in json.load(f) if n in per_query]
+    except Exception:  # noqa: BLE001 — seed file is optional
+        pass
+    by_slowest = sorted(per_query.items(), key=lambda kv: -kv[1])
+    extras = [n for n, _ in by_slowest[:40] if n not in set(prev_window)]
+
+    def _line(sel: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "p50_query_seconds",
                 "value": round(p50, 4),
                 "unit": "sec",
-                "queries": slowest,
+                "queries": sel,
                 "sf": sf,
                 "n_queries": len(per_query),
                 "p95": p95,
@@ -239,11 +256,17 @@ def main() -> int:
                 "n_prewarm_errors": len(prewarm_errors),
                 "blas_probe_threads": probe.get("openblas_threads"),
                 "provenance": provenance,
-                "queries_note": "slowest 40 shown; full map in BENCH_FULL.json",
+                "queries_note": "slowest40+prev window; full map in BENCH_FULL.json",
             },
             separators=(",", ":"),
         )
-    )
+
+    names = prev_window + extras  # extras already descending by time
+    sel = {n: per_query[n] for n in names}
+    while len(_line(sel)) > 1900 and len(names) > len(prev_window):
+        names.pop()  # drop the fastest non-mandatory extras first
+        sel = {n: per_query[n] for n in names}
+    print(_line(sel))
     return 0
 
 
