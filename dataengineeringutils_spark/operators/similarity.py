@@ -341,22 +341,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     topk = _lsh_topk(spark, sf_dir).select("q_id", "vec_id")
     exact10 = _exact_topk_inplan(spark, sf_dir, 10).select("q_id", "vec_id")
-    per_q = topk.groupBy("q_id").agg(
-        F.count("*").cast("bigint").alias("n_neighbors")
+    # one pass instead of semi-join + two per-q aggregates + outer join
+    # (guide §2.4): exact pairs are unique (row_number <= 10), so a left
+    # join marks each LSH pair hit/miss without row multiplication and
+    # ONE groupBy(q_id) yields both the neighbor count and the >= 1 hit
+    # flag; values identical to the old three-exchange shape.
+    marked = topk.join(
+        exact10.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
     )
-    per_hit = (
-        topk.join(exact10, ["q_id", "vec_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return (
-        per_q.join(per_hit, "q_id", "left")
-        .select(
-            F.col("q_id").cast("bigint"),
-            "n_neighbors",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 1).alias("recall_ok"),
-        )
-    )
+    return marked.groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        (F.coalesce(F.sum("hit"), F.lit(0)) >= 1).alias("recall_ok"),
+    ).select(F.col("q_id").cast("bigint"), "n_neighbors", "recall_ok")
 
 
 def _lsh_topk_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,18 +424,19 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item 2).
     exact = _exact_topk_inplan(spark, sf_dir, 3).select("q_id", "vec_id")
     lsh = _lsh_topk(spark, sf_dir).select("q_id", "vec_id")
-    hits = exact.join(lsh, ["q_id", "vec_id"], "left_semi")
-    per_q = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
-    per_hit = hits.groupBy("q_id").agg(F.count("*").alias("n_hit"))
-    recall = (
-        per_q.join(per_hit, "q_id", "left")
-        .select(
-            "q_id",
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_exact")
-            ).alias("r"),
-        )
+    # one pass instead of semi-join + two per-q aggregates + outer join
+    # (guide §2.4): LSH pairs are unique (row_number <= 3), so a left
+    # join marks each exact pair hit/miss without row multiplication and
+    # ONE groupBy(q_id) yields both counts the old plan needed three
+    # exchanges for; values are identical (coalesce(n_hit,0)/n_exact).
+    marked = exact.join(
+        lsh.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left"
+    )
+    recall = marked.groupBy("q_id").agg(
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count("*")
+        ).alias("r")
     )
     return recall.agg(
         F.count("*").alias("n_queries"),
@@ -1007,30 +1004,51 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = dims.persist()
 
-    seed_ids = (
-        dims.select("vec_id")
-        .distinct()
+    # Seed = the K smallest vec_ids, taken from the UNEXPLODED table
+    # (vec_id is unique there): TakeOrderedAndProject over |V| rows
+    # replaces the former distinct + sort over the |V|x|dims| exploded
+    # frame — one exchange and one 64x-larger sort gone (guide §2.4).
+    seed4 = (
+        e.select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(4)
         .select(
-            "vec_id",
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            "embedding",
         )
     )
-    cent = (
-        dims.join(F.broadcast(seed_ids), "vec_id")
-        .select("cid", "i", F.col("x").alias("c"))
+    cent = seed4.select(
+        "cid", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "cid", (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("c")
     )
 
     assign = None
+    sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
     for it in range(2):
-        d = (
-            dims.join(F.broadcast(cent), "i")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dst"))
+        # Per-vector distances to all K centroids in ONE aggregate
+        # (guide §2.4): K conditional sums per vec_id replace the former
+        # groupBy(vec_id, cid) -> groupBy(vec_id) cascade — one exchange
+        # per iteration instead of two. Each (vec, cid) sum still
+        # accumulates the same (x-c)^2 terms in the same i-ascending
+        # stream order inside one partition, so the distances (and the
+        # struct-ordered argmin tie-break on cid) are bit-identical.
+        d = dims.join(F.broadcast(cent), "i").groupBy("vec_id").agg(
+            *[
+                F.sum(F.when(F.col("cid") == c, sq)).alias(f"d{c}")
+                for c in range(4)
+            ]
         )
-        assign = d.groupBy("vec_id").agg(
-            F.min(F.struct("dst", "cid")).alias("m")
+        assign = d.select(
+            "vec_id",
+            F.least(
+                *[
+                    F.struct(
+                        F.col(f"d{c}").alias("dst"), F.lit(c).alias("cid")
+                    )
+                    for c in range(4)
+                ]
+            ).alias("m"),
         ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dst").alias("dst"))
         if it == 0:
             cent = (
@@ -2456,11 +2474,14 @@ def _exact_topk_inplan(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             )
 
     e = table(spark, sf_dir, "embeddings")
+    # no dedup needed: every vec_id lives in exactly one Arrow batch of
+    # the scan, so (q_id, vec_id) nominations are unique by construction
+    # — the former .distinct() was a pure extra exchange (guide §2.4:
+    # "a distinct on data that is already unique")
     cand = (
         e.select("vec_id", "embedding")
         .mapInPandas(nominate, "q_id long, vec_id long")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .distinct()
     )
     q_emb = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")

@@ -727,6 +727,19 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cuts:
         bucket = bucket + (price > F.lit(c)).cast("int")
     o = o.withColumn("bkt", bucket)
+    # ONE fact exchange shared by both consumers (guide §2.4): the
+    # per-bucket counts and the per-(status, bucket) row_number window
+    # both need the rows clustered by (status, bucket), but column
+    # pruning specializes the two branches' subtrees so ReusedExchange
+    # does not fire and the old plan scanned + bucket-evaluated the fact
+    # table twice (the scan is ONE task at fixture scale, so the 33
+    # comparisons per row serialized twice). Repartition once and
+    # lazily localCheckpoint (the part_demand_classification idiom —
+    # recomputed from parquet every call, nothing persists across runs):
+    # the counts aggregate and the window then both run exchange-free on
+    # the materialized partitions; at scale the shuffle replaces the
+    # window's own exchange, so net fact movement is unchanged.
+    o = o.repartition("o_orderstatus", "bkt").localCheckpoint(eager=False)
 
     counts = o.groupBy("o_orderstatus", "bkt").agg(F.count("*").alias("cnt"))
     w_cum = (

@@ -242,8 +242,20 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     out = scratch_dir("sink_orc_lineitem")
     li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
+    # size-gated spread before the write: the single-row-group fixture
+    # file scans as ONE task, which serialized the whole ORC encode on
+    # one core (and the read-back on one file). Identity past one scan
+    # split, so at production scale the write keeps the scan's own
+    # parallelism with no extra exchange (guide §2.4/§6.2); the spread
+    # key is dropped before the write, so the written columns — and the
+    # round-trip aggregate — are unchanged.
+    from dataengineeringutils_spark.tables import spread_small_scan
+
+    li = spread_small_scan(spark, sf_dir, "lineitem", li, "l_orderkey")
+    li = li.drop("l_orderkey")
     li.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
@@ -646,10 +658,13 @@ def sink_txn_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     t = LogTable(spark, scratch_dir("txn_del_" + uuid.uuid4().hex))
     t.append(o, n_files=4)
-    n_before = t.snapshot().count()
     t.delete_where("o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+    # COW removes exactly the predicate-TRUE rows, and the delete's own
+    # probe job already counted them per file — the old before/after
+    # snapshot counts were two extra full-table jobs on the commit path
+    # (guide §5: the driver should do almost no data work).
+    n_deleted = t.last_delete_count
     snap = t.snapshot()
-    n_deleted = n_before - snap.count()
     n_commits = len(t._versions())
     return snap.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n"),

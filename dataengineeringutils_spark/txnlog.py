@@ -41,6 +41,9 @@ class LogTable:
         self.spark = spark
         self.base = base_path
         self.log_dir = os.path.join(base_path, "_log")
+        # rows removed by the most recent delete_where on this handle
+        # (counted inside the probe job — see delete_where)
+        self.last_delete_count = 0
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(os.path.join(base_path, "data"), exist_ok=True)
 
@@ -380,15 +383,20 @@ class LogTable:
         # set is a tiny distinct-collect instead of a per-file job loop
         # (measured 4 files -> 1 job, ~5x faster at fixture scale; at
         # production scale this is also where file-level min/max stats
-        # would prune most files before any row is read)
+        # would prune most files before any row is read). The same job
+        # counts the matches per file — COW removes exactly the
+        # predicate-TRUE rows, so the sum is the deleted-row count and
+        # callers that report it need no separate count job
+        # (``last_delete_count``).
         probe = (
             self._read_reconciled(live)
             .filter(predicate_sql)
-            .select(F.col("_metadata.file_path").alias("fp"))
-            .distinct()
+            .groupBy(F.col("_metadata.file_path").alias("fp"))
+            .agg(F.count("*").alias("n"))
             .collect()
         )
         hit_suffixes = {r["fp"] for r in probe}
+        self.last_delete_count = sum(r["n"] for r in probe)
         affected = [
             p
             for p in live

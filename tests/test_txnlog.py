@@ -225,6 +225,22 @@ def test_delete_where_no_match_burns_no_version(spark):
     assert v == v0
     assert t._versions() == [v0]
     assert t.snapshot().count() == 1
+    assert t.last_delete_count == 0
+
+
+def test_delete_where_counts_removed_rows_in_probe(spark):
+    """The probe job counts the predicate-TRUE rows it locates, so
+    callers reporting the removed-row total need no separate
+    before/after count jobs (round 12: sink_txn_delete_where dropped
+    two full-snapshot counts). The count must equal the actual
+    row-count delta across the COW commit, including rows spread over
+    multiple files and NULL-predicate survivors."""
+    rows = [(1, "F"), (2, "O"), (3, "F"), (4, None), (5, "F"), (6, "O")]
+    t = _fresh(spark)
+    t.append(spark.createDataFrame(rows, "k int, status string"), n_files=3)
+    n_before = t.snapshot().count()
+    t.delete_where("status = 'F'")
+    assert t.last_delete_count == n_before - t.snapshot().count() == 3
 
 
 def test_append_column_order_insensitive(spark):
